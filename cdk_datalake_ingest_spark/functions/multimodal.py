@@ -1,0 +1,105 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so each executor processes whole record batches
+without per-row Python overhead. The actual codec work is STUBBED
+(image/audio libraries are not in this environment): ``decode_image``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic fake decoder produces stable feature rows — the Spark
+plumbing (schema, batching, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("byte_len", IntegerType()),
+        StructField("sha1", StringType()),
+        StructField("feat_0", IntegerType()),
+        StructField("feat_1", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for pixel decoding."""
+    h = hashlib.sha1(content or b"").digest()
+    return h[0], h[1]
+
+
+def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Arrow-batched feature extraction over binary image content.
+
+    Real decoding would swap ``_fake_decode`` for PIL/libvips inside
+    the same mapInPandas batch loop — the batch shape, schema and
+    partitioning are identical.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub decoder"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_decode(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": [len(c or b"") for c in pdf["content"]],
+                    "sha1": [
+                        hashlib.sha1(c or b"").hexdigest() for c in pdf["content"]
+                    ],
+                    "feat_0": [f[0] for f in feats],
+                    "feat_1": [f[1] for f in feats],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plan for video rows: explodes per-frame timestamp
+    offsets natively; frame decode itself would be a mapInPandas stage
+    like :func:`decode_image_features`."""
+    return (
+        df.filter(F.col("media_type") == "video")
+        .withColumn(
+            "frame_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.coalesce(F.col("duration_ms"), F.lit(0)), F.lit(every_ms)
+                )
+            ),
+        )
+        .select("media_id", "frame_ms", "content")
+    )

@@ -1,0 +1,140 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure native Column expressions (JVM-side, whole-stage codegen):
+token counting, quality scoring, n-gram language ID, fingerprinting.
+Regexes are restricted to syntax with identical semantics in Java
+regex and RE2 so DuckDB oracles can mirror them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.dedup import normalize_text, word_shingles
+
+WORD_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,!?;:]"
+
+# Tiny built-in stopword lists for the n-gram/stopword language-ID
+# heuristic. Order fixes the argmax tie-break (first wins).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un"],
+    "fr": ["le", "la", "les", "de", "des", "et", "en", "un", "une", "du", "que", "pour"],
+    "de": ["der", "die", "das", "und", "von", "zu", "den", "mit", "ist", "des", "im", "ein"],
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty array for
+    blank/empty input)."""
+    norm = normalize_text(col)
+    return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, " ")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def word_count(col: Column) -> Column:
+    """Regex word count (BPE-ish sub-token proxy: \\w+ runs)."""
+    return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), 0))
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col)
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(PUNCT_RE), 0))
+
+
+def digit_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.regexp_extract_all(col, F.lit(r"[0-9]"), 0)).cast("double") / n
+    )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the text."""
+    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.array_distinct(
+            F.filter(tokens(col), lambda t: F.array_contains(wordlist, t))
+        )
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are ``lang`` stopwords (duplicates count)."""
+    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    n = token_count(col)
+    hits = F.size(F.filter(tokens(col), lambda t: F.array_contains(wordlist, t)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def mean_word_length(col: Column) -> Column:
+    n = token_count(col)
+    total = F.aggregate(
+        tokens(col), F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic quality score in [0,1]: rewards
+    mid-length documents, plausible mean word length and stopword
+    presence; penalizes digit soup. Weights are fixed so DuckDB
+    oracles can reproduce the arithmetic exactly."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    mwl = mean_word_length(col)
+    mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
+    sw_score = F.least(stopword_ratio(col, "en") * F.lit(4.0), F.lit(1.0))
+    digit_pen = F.lit(1.0) - F.least(digit_ratio(col) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.3) * len_score
+        + F.lit(0.2) * mwl_score
+        + F.lit(0.3) * sw_score
+        + F.lit(0.2) * digit_pen,
+        6,
+    )
+
+
+def lang_id(col: Column, langs: list[str] | None = None) -> Column:
+    """Stopword-hit argmax language ID; 'und' when no list matches.
+    Tie-break: first language in ``langs`` order wins."""
+    langs = langs or list(STOPWORDS)
+    hits = {lang: stopword_hits(col, lang) for lang in langs}
+    best = None
+    for lang in langs:
+        cond = hits[lang] > 0
+        for other in langs:
+            if other == lang:
+                continue
+            # strictly greater than languages listed before (they won
+            # ties), >= for languages after.
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (hits[lang] > hits[other])
+            else:
+                cond = cond & (hits[lang] >= hits[other])
+        branch = F.when(cond, F.lit(lang))
+        best = branch if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))
+
+
+def doc_fingerprint(col: Column, n: int = 3) -> Column:
+    """Document fingerprint: lexicographic min of md5 over word
+    n-gram shingles (a 1-permutation MinHash — stable under shingle
+    reordering). Empty/short docs fall back to md5 of the normalized
+    text."""
+    sh = word_shingles(col, n)
+    return F.when(
+        F.size(sh) > 0,
+        F.array_min(F.transform(sh, lambda s: F.md5(s))),
+    ).otherwise(F.md5(normalize_text(col)))

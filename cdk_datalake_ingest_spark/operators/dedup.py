@@ -1,0 +1,353 @@
+"""Deduplication operators.
+
+W1 (latest-record window dedup) re-expresses the reference's single
+window function (aje-stage-dms-load.py:444-456) and REPLACES its
+nondeterministic `orderBy + dropDuplicates` pre-merge dedup
+(transform_light.py:394-395 does not pin the survivor): here the window
+pattern is the one dedup primitive, always deterministic given a total
+tiebreak.
+
+The near-duplicate family (exact hash / MinHash-LSH / SimHash / n-gram
+Jaccard) extends the engine for training-data pipelines. All of it is
+expressed with native array/hash functions — shuffles are per band/
+shingle key, the standard scale-out shape for LSH on Spark; the only
+pandas_udf is SimHash's 64-bit popcount math (Arrow-vectorized).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def latest_record_dedup(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[str | Column],
+    keep_order_column: bool = False,
+) -> DataFrame:
+    """Keep the first row per key under ``order_by`` (descending for
+    plain column names), via row_number — W1, aje-stage-dms-load.py:444-456.
+
+    Pass fully-tiebroken ``order_by`` for a deterministic survivor.
+    Scale note: one shuffle on ``keys``; skewed hot keys are handled by
+    AQE. No global sort.
+    """
+    order_cols = [
+        F.col(c).desc() if isinstance(c, str) else c for c in order_by
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return out if keep_order_column else out.drop("__rn")
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for exact/near dedup: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Exact-duplicate removal on normalized text via hash group-by.
+
+    Deterministic survivor: min (or max) id per content hash. Scale:
+    single shuffle on the 128-bit content hash (uniform keys — no skew).
+    """
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    fp = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    survivors = (
+        df.select(fp, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(agg.alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+    )
+    return survivors
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> (empty array if the
+    document has fewer than n tokens).
+
+    Implementation note: built by zip_with over n shifted slices of the
+    token array, NOT by indexing ``tokens`` inside a transform lambda —
+    an expression captured in a higher-order-function lambda is
+    re-evaluated per element, which turns shingling into
+    O(len^2) regex work per document."""
+    tokens = F.split(normalize_text(col), " ")
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    shingle = F.slice(tokens, n, count)
+    for k in reversed(range(n - 1)):
+        shifted = F.slice(tokens, k + 1, count)
+        shingle = F.zip_with(shifted, shingle, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(count > 0, shingle).otherwise(F.array().cast("array<string>"))
+
+
+def _minhash_signature(shingles: Column, num_hashes: int, prime: int, seed: int) -> Column:
+    """MinHash signature as array<bigint>: for each of ``num_hashes``
+    affine permutations h_i(x) = (a_i * x + b_i) mod p over the 64-bit
+    shingle hash, take the min across the document's shingles."""
+    base = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+    sig = []
+    # Deterministic (a_i, b_i) derived from a splitmix-style recurrence;
+    # no RNG state so the plan is reproducible.
+    a_seed, b_seed = seed * 2654435761 + 1, seed * 40503 + 7
+    for i in range(num_hashes):
+        a = (a_seed + i * 0x9E3779B97F4A7C15) % prime or 1
+        b = (b_seed + i * 0xBF58476D1CE4E5B9) % prime
+        sig.append(
+            F.array_min(
+                F.transform(
+                    base,
+                    lambda h: (
+                        (F.pmod(h, F.lit(prime)) * F.lit(a) + F.lit(b))
+                        % F.lit(prime)
+                    ),
+                )
+            )
+        )
+    return F.array(*sig)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    prime: int = (1 << 61) - 1,
+    cache: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate candidate pairs, verified
+    with exact Jaccard over shingle sets.
+
+    Pipeline shape (the standard Spark LSH scale-out):
+      shingle -> signature (narrow, per-row) -> explode bands ->
+      shuffle on (band, band_hash) -> self-join inside buckets ->
+      exact-verify candidates only.
+    At 100 TB the explode keeps only (id, band, hash) tuples — signature
+    width controls shuffle volume, not document text. rows_per_band =
+    num_hashes/bands tunes the candidate recall/precision.
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("__sh")
+    ).filter(F.size("__sh") > 0)
+    if cache:
+        # the plan scans the shingle sets from four branches (band
+        # self-join left/right + verify left/right); shingling is the
+        # expensive narrow stage, so materialize it once. At cluster
+        # scale prefer a checkpoint/persisted table for very large
+        # corpora.
+        shingled = shingled.persist()
+    sig = shingled.select(
+        F.col(id_col),
+        F.col("__sh"),
+        _minhash_signature(F.col("__sh"), num_hashes, prime, seed).alias("__sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col("__sig"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "b.band", "b.band_hash")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col(f"l.band") == F.col(f"r.band"),
+                F.col(f"l.band_hash") == F.col(f"r.band_hash"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sets = shingled.select(
+        F.col(id_col), F.array_distinct("__sh").alias("__set")
+    )
+    verified = (
+        cand.join(sets.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")
+        .join(
+            sets.withColumnRenamed(id_col, "id_b")
+            .withColumnRenamed("__set", "__set_b")
+            .alias("sb"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__set", "__set_b")).cast("double")
+            / F.size(F.array_union("__set", "__set_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, seed: int = 42
+) -> DataFrame:
+    """64-bit SimHash per document (Arrow-vectorized pandas_udf for the
+    bit-bucket accumulation; token hashing stays JVM-side via xxhash64).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.transform(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda t: F.xxhash64(t, F.lit(seed)),
+        ).alias("__th"),
+    )
+
+    @pandas_udf("long")
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            arr = np.asarray(hs, dtype=np.uint64)
+            bits = (arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for j in range(64):
+                if votes[j] > 0:
+                    sig |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(sig)
+        return pd.Series(out)
+
+    return tokens.select(F.col(id_col), _simhash("__th").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """SimHash near-dup pairs by 4x16-bit block LSH (any pair within
+    hamming distance <= 3 shares at least one of 4 blocks), verified by
+    exact popcount of the XOR."""
+    sigs = simhash_signatures(df, id_col, text_col, seed)
+    blocks = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("blk_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.blk", "b.blk_val")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.blk") == F.col("r.blk"),
+                F.col("l.blk_val") == F.col("r.blk_val"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            F.col("l.simhash").alias("sig_a"),
+            F.col("r.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity pairs >= threshold (no LSH
+    approximation): explode distinct shingles, self-join on shingle,
+    count intersections, Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    Scale note: cost is bounded by shingle-bucket sizes; for 100 TB use
+    :func:`minhash_near_dup_pairs` (this operator is the exactness
+    oracle for it)."""
+    sets = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("__set"),
+    ).filter(F.size("__set") > 0)
+    sizes = sets.select(F.col(id_col), F.size("__set").alias("__n"))
+    exploded = sets.select(F.col(id_col), F.explode("__set").alias("sh"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("__n", "n_a")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("__n", "n_b")
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )

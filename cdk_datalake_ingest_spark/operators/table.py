@@ -1,0 +1,213 @@
+"""ManagedTable — the engine's stage-zone table format.
+
+When delta-spark is importable, stage tables are Delta and MERGE /
+delete / vacuum map onto DeltaTable verbs (the reference's exact sink,
+aje-stage-dms-load.py:477-522). Without it, ManagedTable provides the
+same externally visible semantics over plain parquet with a versioned
+layout and an atomically swapped manifest — a deliberately tiny
+transaction log:
+
+    <path>/_manifest.json      {"version": N, "data_dir": "v0000N", ...}
+    <path>/v00001/...parquet   (immutable snapshot per write)
+
+Readers always resolve the manifest first, so concurrent readers never
+observe a half-written snapshot; ``vacuum`` drops superseded snapshot
+dirs (Delta ``vacuum(100)`` role, aje-stage-dms-load.py:516-522).
+
+Scale note: on a real cluster the manifest swap would use the
+FileSystem rename of the cluster's storage layer; the snapshot-dir
+scheme itself is storage-agnostic and avoids read-modify-write on the
+files being replaced (you can never overwrite the parquet you are
+reading from — the reason naive "read then overwrite same path" merge
+implementations corrupt data).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.merge import merge_dataframes
+
+try:  # pragma: no cover - environment-dependent
+    from delta.tables import DeltaTable  # type: ignore
+
+    HAS_DELTA = True
+except Exception:
+    DeltaTable = None
+    HAS_DELTA = False
+
+MANIFEST = "_manifest.json"
+
+
+class NoDataToMigrateException(Exception):
+    """Raised when a pipeline receives an empty batch and there is no
+    existing stage data (reference: aje-stage-dms-load.py:80-85,505-518).
+
+    Divergence from the reference, on purpose: the reference OVERWRITES
+    an existing stage table with the empty frame in this situation
+    (SJ:512-518) — a destructive bug. Here an empty batch over an
+    existing table is a no-op that still raises this exception.
+    """
+
+    def __str__(self) -> str:  # same message text as the reference
+        return repr("no data detected to migrate")
+
+
+class ManagedTable:
+    def __init__(self, spark: SparkSession, path: str | os.PathLike):
+        self.spark = spark
+        self.path = Path(path)
+
+    # -- manifest plumbing -------------------------------------------------
+    def _manifest_path(self) -> Path:
+        return self.path / MANIFEST
+
+    def _read_manifest(self) -> dict | None:
+        p = self._manifest_path()
+        if not p.exists():
+            return None
+        return json.loads(p.read_text())
+
+    def _swap_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path().with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(manifest))
+        os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    # -- public API --------------------------------------------------------
+    @property
+    def exists(self) -> bool:
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            return True
+        return self._read_manifest() is not None
+
+    def read(self) -> DataFrame:
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            return self.spark.read.format("delta").load(str(self.path))
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no ManagedTable at {self.path}")
+        return self.spark.read.parquet(str(self.path / m["data_dir"]))
+
+    def write(
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        coalesce_single_file: bool = False,
+    ) -> None:
+        """Full overwrite (S9): new immutable snapshot + manifest swap."""
+        if HAS_DELTA:
+            w = df.write.format("delta").mode("overwrite").option(
+                "overwriteSchema", "true"
+            )
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.save(str(self.path))
+            return
+        m = self._read_manifest() or {"version": 0}
+        version = int(m["version"]) + 1
+        data_dir = f"v{version:05d}"
+        if coalesce_single_file:  # S12 single-file compaction
+            df = df.repartition(1)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        self.path.mkdir(parents=True, exist_ok=True)
+        w.parquet(str(self.path / data_dir))
+        self._swap_manifest(
+            {
+                "version": version,
+                "data_dir": data_dir,
+                "partition_by": partition_by or [],
+            }
+        )
+
+    def merge_upsert(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list[str] | None = None,
+        delete_predicate: Column | None = None,
+        broadcast_source: bool = False,
+    ) -> None:
+        """Delta-MERGE-equivalent upsert (S10/A6) with optional
+        delete-window (A7)."""
+        if not self.exists:
+            self.write(
+                source.dropDuplicates(keys)
+                if not order_by
+                else merge_dataframes(
+                    source.limit(0), source, keys, order_by=order_by
+                )
+            )
+            return
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            dt = DeltaTable.forPath(self.spark, str(self.path))
+            if delete_predicate is not None:
+                dt.delete(delete_predicate)
+            src = (
+                merge_dataframes(source.limit(0), source, keys, order_by=order_by)
+                if order_by
+                else source.dropDuplicates(keys)
+            )
+            cond = " AND ".join(f"old.{k}=new.{k}" for k in keys)
+            (
+                dt.alias("old")
+                .merge(src.alias("new"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
+        target = self.read()
+        merged = merge_dataframes(
+            target,
+            source,
+            keys,
+            order_by=order_by,
+            delete_predicate=delete_predicate,
+            broadcast_source=broadcast_source,
+        )
+        m = self._read_manifest() or {}
+        self.write(merged, partition_by=m.get("partition_by") or None)
+
+    def delete_where(self, predicate: Column) -> None:
+        """Delta DELETE equivalent: drop rows where predicate is TRUE
+        (NULL keeps the row)."""
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            DeltaTable.forPath(self.spark, str(self.path)).delete(predicate)
+            return
+        kept = self.read().filter(~F.coalesce(predicate, F.lit(False)))
+        m = self._read_manifest() or {}
+        self.write(kept, partition_by=m.get("partition_by") or None)
+
+    def vacuum(self, keep_snapshots: int = 1) -> list[str]:
+        """Drop superseded snapshot directories (S11)."""
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            DeltaTable.forPath(self.spark, str(self.path)).vacuum(100)
+            return []
+        m = self._read_manifest()
+        if m is None:
+            return []
+        current = int(m["version"])
+        removed = []
+        for child in sorted(self.path.iterdir()):
+            if (
+                child.is_dir()
+                and child.name.startswith("v")
+                and child.name[1:].isdigit()
+                and int(child.name[1:]) <= current - keep_snapshots
+            ):
+                shutil.rmtree(child)
+                removed.append(child.name)
+        return removed
+
+    def register(self, name: str) -> None:
+        """Catalog registration replacing the reference's Glue crawlers
+        (crawlers_job.py:173-258): the writer registers its own table."""
+        self.read().createOrReplaceTempView(name)

@@ -1,0 +1,170 @@
+"""Run planner + bounded-concurrency executor + run log (R1/R2/R4/R5).
+
+Replaces the reference's EventBridge -> Lambda -> Step Functions
+control plane with driver-side Python: active-table selection and
+grouping (StartWorkFlow.py:62-164), a thread pool bounded at the
+reference's Map concurrency (MAX_TABLES_AT_A_TIME_GLUE = 5), the
+exponential retry policy of its Glue steps (backoff_rate=5,
+max_attempts=10, datalake_ingestion_stack.py:834), and a structured
+run log with the reference's record shape (aje-stage-dms-load.py:429-439).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import threading
+import time
+from collections import defaultdict
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+from cdk_datalake_ingest_spark.specs import ConfigCatalog, TableSpec
+
+MAX_TABLES_AT_A_TIME = 5  # reference MAX_TABLES_AT_A_TIME_GLUE
+
+
+class RunLog:
+    """Structured run-log sink (the reference's DynamoDB `logs` table,
+    record shape aje-stage-dms-load.py:429-439), stored as JSONL."""
+
+    def __init__(self, path: str | Path):
+        self.path = Path(path)
+        self._lock = threading.Lock()
+
+    def record(
+        self,
+        process_id: str,
+        flow_name: str,
+        task_name: str,
+        task_status: str,
+        message: str = "",
+        process_type: str = "F",
+        context: str = "",
+        project_name: str = "cdk-datalake-ingest-spark",
+    ) -> dict[str, str]:
+        rec = {
+            "process_id": process_id,
+            "date_system": dt.datetime.now().strftime("%Y%m%d_%H%M%S"),
+            "project_name": project_name,
+            "flow_name": flow_name,
+            "task_name": task_name,
+            "task_status": task_status,
+            "message": message,
+            "process_type": process_type,
+            "context": context,
+        }
+        with self._lock:
+            self.path.parent.mkdir(parents=True, exist_ok=True)
+            with self.path.open("a") as f:
+                f.write(json.dumps(rec) + "\n")
+        return rec
+
+    def records(self) -> list[dict[str, Any]]:
+        if not self.path.exists():
+            return []
+        return [
+            json.loads(line)
+            for line in self.path.read_text().splitlines()
+            if line.strip()
+        ]
+
+    def failed_count(self) -> int:
+        """A8 success gate: zero FAILED records
+        (prepareForCrawler.py:46-67 semantics)."""
+        return sum(1 for r in self.records() if r["task_status"] == "FAILED")
+
+
+def retry(
+    fn: Callable[[], Any],
+    max_attempts: int = 10,
+    backoff_rate: float = 5.0,
+    base_sleep: float = 1.0,
+    sleeper: Callable[[float], None] = time.sleep,
+) -> Any:
+    """Step-Functions-style retry: sleep base * rate^(attempt-1)."""
+    for attempt in range(1, max_attempts + 1):
+        try:
+            return fn()
+        except Exception:
+            if attempt == max_attempts:
+                raise
+            sleeper(base_sleep * (backoff_rate ** (attempt - 1)))
+
+
+@dataclass
+class TableRunResult:
+    table: str
+    status: str
+    error: str = ""
+
+
+@dataclass
+class RunPlanner:
+    catalog: ConfigCatalog
+    run_log: RunLog | None = None
+    max_concurrency: int = MAX_TABLES_AT_A_TIME
+    max_attempts: int = 3
+    backoff_rate: float = 5.0
+    base_sleep: float = 0.0
+    results: list[TableRunResult] = field(default_factory=list)
+
+    def plan(
+        self, process_id: str | None = None, endpoint_prefix: str | None = None
+    ) -> dict[tuple[str, str], list[TableSpec]]:
+        """R1 grouping: active tables bucketed by (bd_type, endpoint).
+        bd_type resolves through the endpoint catalog; unknown endpoints
+        group under 'file'."""
+        groups: dict[tuple[str, str], list[TableSpec]] = defaultdict(list)
+        for t in self.catalog.active_tables(process_id, endpoint_prefix):
+            ep = self.catalog.endpoints.get(t.endpoint)
+            bd_type = ep.bd_type if ep else "file"
+            groups[(bd_type, t.endpoint)].append(t)
+        return dict(groups)
+
+    def run(
+        self,
+        runner: Callable[[TableSpec], Any],
+        process_id: str | None = None,
+        endpoint_prefix: str | None = None,
+    ) -> list[TableRunResult]:
+        """R4 Map semantics: per-table execution with bounded
+        concurrency and retry; failures are isolated per table and
+        logged, not propagated (the reference notifies and moves on)."""
+        tables = [
+            t
+            for group in self.plan(process_id, endpoint_prefix).values()
+            for t in group
+        ]
+        results: list[TableRunResult] = []
+
+        def one(t: TableSpec) -> TableRunResult:
+            try:
+                retry(
+                    lambda: runner(t),
+                    max_attempts=self.max_attempts,
+                    backoff_rate=self.backoff_rate,
+                    base_sleep=self.base_sleep,
+                )
+                if self.run_log:
+                    self.run_log.record(
+                        t.process_id, "ingest", t.target_table_name, "SUCCEEDED"
+                    )
+                return TableRunResult(t.target_table_name, "SUCCEEDED")
+            except Exception as e:  # noqa: BLE001 - isolation by design
+                if self.run_log:
+                    self.run_log.record(
+                        t.process_id,
+                        "ingest",
+                        t.target_table_name,
+                        "FAILED",
+                        message=str(e),
+                    )
+                return TableRunResult(t.target_table_name, "FAILED", str(e))
+
+        with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
+            results = list(pool.map(one, tables))
+        self.results = results
+        return results

@@ -1,0 +1,918 @@
+"""Driver-facing query registry: one entry per implemented operator
+(SURVEY.md §2 + the LLM-pipeline extensions), each with a DuckDB oracle
+where SQL-expressible.
+
+Cross-engine determinism rules used throughout (Spark vs DuckDB must
+hash-match on values):
+- money/float aggregates: arithmetic in explicit DECIMAL casts (exact,
+  order-independent), cast to DOUBLE only at the end;
+- event timestamps: the fixtures store TIMESTAMP(NANOS) which Spark
+  reads as bigint ns (nanosAsLong) and DuckDB truncates to us — all
+  outputs use ``ts_us = floor(ns/1000)`` == DuckDB ``epoch_us(ts)``;
+- timestamp outputs are TIMESTAMP_NTZ (naive) with the session pinned
+  to UTC, matching DuckDB's naive timestamps;
+- every window/dedup has a total-order tie-break.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.dsl.compiler import compile_transformation
+from cdk_datalake_ingest_spark.functions import text as T
+from cdk_datalake_ingest_spark.functions.similarity import brute_force_topk, lsh_topk
+from cdk_datalake_ingest_spark.operators.dedup import (
+    exact_dedup,
+    latest_record_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from cdk_datalake_ingest_spark.operators.incremental import (
+    between_filter,
+    filter_expression,
+)
+from cdk_datalake_ingest_spark.operators.merge import merge_dataframes
+from cdk_datalake_ingest_spark.plans.pipeline import StagePipeline
+from cdk_datalake_ingest_spark.session import apply_runtime_conf
+from cdk_datalake_ingest_spark.specs import ColumnSpec, TableSpec
+
+# Jan 2024 event-time split points (bigint microseconds, UTC).
+TS_JAN15_US = 1705276800000000  # 2024-01-15 00:00:00
+TS_JAN20_US = 1705708800000000  # 2024-01-20 00:00:00
+WM_DEFAULT_US = 946684800000000  # 2000-01-01 00:00:00 (reference NULL default)
+
+
+def _prep(spark: SparkSession) -> SparkSession:
+    apply_runtime_conf(spark)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _prep(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer division: floor(ns/1000.0) in doubles loses ulp precision
+    return _t(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts div 1000")
+    )
+
+
+def _dec(col: str, t: str = "decimal(18,2)") -> F.Column:
+    return F.col(col).cast(t)
+
+
+# --------------------------------------------------------------------------
+# Relational / TPC-H-style queries (joins, aggregation, pushdown)
+# --------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + filter + group-agg; all money math in exact decimals."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    charge = (disc_price * (1 + _dec("l_tax"))).cast("decimal(28,6)")
+    qty = _dec("l_quantity")
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(qty).cast("double") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return out
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4)) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join with a broadcast dimension + top-k by revenue."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp_ntz")
+    )
+    revenue = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+    return out
+
+
+Q03_SQL = """
+SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (J1 executed natively; small dims broadcast)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(customer.c_nationkey == supplier.s_nationkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+    return out
+
+
+Q05_SQL = """
+SELECT n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------------
+# Stage pipeline (DSL transforms + W1 dedup + projection) — the flagship
+# --------------------------------------------------------------------------
+
+_STAGE_TABLE = TableSpec(
+    target_table_name="PE_LINEITEM",
+    stage_table_name="lineitem_stage",
+    id_column="order_id,line_no",
+    load_type="full",
+)
+
+_STAGE_COLUMNS = [
+    ColumnSpec("order_id", 1, "bigint", "l_orderkey", is_id=True),
+    ColumnSpec("line_no", 2, "int", "l_linenumber", is_id=True),
+    ColumnSpec(
+        "supply_key", 3, "string", "fn_transform_Concatenate(l_partkey,l_suppkey)"
+    ),
+    ColumnSpec(
+        "status_desc",
+        4,
+        "string",
+        "fn_transform_Case_with_default(l_returnflag,A|N->KEPT,R->RETURNED,$UNKNOWN)",
+    ),
+    ColumnSpec(
+        "combo_flag",
+        5,
+        "string",
+        "fn_transform_Case_with_default(l_returnflag&l_linestatus,R&F->REFUND,N&O->PENDING,$OTHER)",
+    ),
+    ColumnSpec(
+        "ship_month", 6, "string", "fn_transform_Date_to_String(l_shipdate,yyyyMM)"
+    ),
+    ColumnSpec("qty", 7, "decimal(12,2)", "l_quantity", is_filter_date=True),
+    ColumnSpec(
+        "net_price",
+        8,
+        "double",
+        "l_extendedprice * (1 - l_discount)",
+        is_filter_date=True,
+    ),
+    ColumnSpec(
+        "ship_ts", 9, "timestamp_ntz", "l_shipdate", is_filter_date=True
+    ),
+]
+# dedup order is filter-date columns in declaration order: the pipeline
+# sorts by column_id, so W1 orders by (qty, net_price, ship_ts) desc —
+# plus every remaining output column is a function of the keys or of
+# these, making the survivor deterministic.
+
+
+def stage_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-zone simulation (all columns stringly-typed, as CSV reads
+    produce) -> full stage transform: DSL columns, W1 dedup, COLUMN_ID
+    projection."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select([F.col(c).cast("string").alias(c) for c in li.columns])
+    pipe = StagePipeline(spark, _STAGE_TABLE, _STAGE_COLUMNS, strict=True)
+    result = pipe.transform(raw)
+    if result.failed_columns:
+        raise RuntimeError(f"transform failures: {result.failed_columns}")
+    return result.df
+
+
+STAGE_PIPELINE_SQL = """
+WITH t AS (
+  SELECT
+    l_orderkey AS order_id,
+    l_linenumber AS line_no,
+    l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR AS supply_key,
+    CASE WHEN l_returnflag = 'R' THEN 'RETURNED'
+         WHEN l_returnflag IN ('A','N') THEN 'KEPT'
+         ELSE 'UNKNOWN' END AS status_desc,
+    -- bug-compatible compound Case_with_default: the accumulated
+    -- condition gives every matching row the LAST rule's label
+    CASE WHEN (l_returnflag='R' AND l_linestatus='F')
+           OR (l_returnflag='N' AND l_linestatus='O') THEN 'PENDING'
+         ELSE 'OTHER' END AS combo_flag,
+    strftime(l_shipdate, '%Y%m') AS ship_month,
+    CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+    l_extendedprice * (1 - l_discount) AS net_price,
+    l_shipdate AS ship_ts
+  FROM lineitem
+)
+SELECT * FROM t
+QUALIFY row_number() OVER (
+  PARTITION BY order_id, line_no
+  ORDER BY qty DESC, net_price DESC, ship_ts DESC
+) = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# DSL function coverage queries (magic encodings / flags)
+# --------------------------------------------------------------------------
+
+
+def dsl_magic_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DateMagic / DatetimeMagic / PeriodMagic decode over synthesized
+    BigMagic-encoded columns (derived deterministically from the keys)."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        li.select("l_orderkey", "l_linenumber")
+        .distinct()
+        .withColumn("h", F.col("l_orderkey") * 7 + F.col("l_linenumber"))
+    )
+    src = base.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.when(F.col("l_linenumber") == 7, F.lit("123"))
+        .otherwise((F.lit(700000) + F.pmod(F.col("h"), F.lit(900000))).cast("string"))
+        .alias("day_num"),
+        F.when(F.col("l_linenumber") == 6, F.lit("996100"))
+        .otherwise(
+            F.concat(
+                F.lpad(F.pmod(F.col("h"), F.lit(24)).cast("string"), 2, "0"),
+                F.lpad(F.pmod(F.floor(F.col("h") / 7), F.lit(60)).cast("string"), 2, "0"),
+                F.lpad(F.pmod(F.floor(F.col("h") / 11), F.lit(60)).cast("string"), 2, "0"),
+            )
+        )
+        .alias("time_pack"),
+        F.when(F.col("l_linenumber") == 5, F.lit(None).cast("string"))
+        .otherwise((F.lit(1995) + F.pmod(F.col("h"), F.lit(6))).cast("string"))
+        .alias("period_src"),
+        (F.lit(1) + F.pmod(F.col("h"), F.lit(12))).cast("string").alias("exercise"),
+    )
+    out = (
+        src.withColumn(
+            "magic_date",
+            compile_transformation(
+                "fn_transform_DateMagic(day_num,yyyy-MM-dd,1900-01-01)", "date"
+            ),
+        )
+        .withColumn(
+            "magic_ts",
+            compile_transformation(
+                "fn_transform_DatetimeMagic(day_num,time_pack,yyyy-MM-dd HH:mm:ss,1900-01-01)",
+                "timestamp_ntz",
+            ),
+        )
+        .withColumn(
+            "period",
+            compile_transformation(
+                "fn_transform_PeriodMagic(period_src,exercise)", "string"
+            ),
+        )
+        .select("order_id", "line_no", "magic_date", "magic_ts", "period")
+    )
+    return out
+
+
+DSL_MAGIC_SQL = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS order_id, l_linenumber AS line_no,
+         l_orderkey * 7 + l_linenumber AS h
+  FROM lineitem
+), src AS (
+  SELECT order_id, line_no,
+    CASE WHEN line_no = 7 THEN '123'
+         ELSE (700000 + h % 900000)::VARCHAR END AS day_num,
+    CASE WHEN line_no = 6 THEN '996100'
+         ELSE lpad((h % 24)::VARCHAR, 2, '0')
+           || lpad(((h // 7) % 60)::VARCHAR, 2, '0')
+           || lpad(((h // 11) % 60)::VARCHAR, 2, '0') END AS time_pack,
+    CASE WHEN line_no = 5 THEN NULL
+         ELSE (1995 + h % 6)::VARCHAR END AS period_src,
+    (1 + h % 12)::VARCHAR AS exercise
+  FROM base
+), decoded AS (
+  SELECT order_id, line_no, day_num, time_pack, period_src, exercise,
+    CASE WHEN regexp_matches(day_num, '^([7-9][0-9]{5}|[1-2][0-9]{6}|3[0-5][0-9]{5})$')
+         THEN DATE '1900-01-01' + CAST(CAST(day_num AS INTEGER) - 693596 AS INTEGER)
+         ELSE DATE '1900-01-01' END AS magic_date,
+    regexp_matches(day_num, '^([7-9][0-9]{5}|[1-2][0-9]{6}|3[0-5][0-9]{5})$') AS d_ok,
+    regexp_matches(time_pack, '^([01][0-9]|2[0-3])([0-5][0-9])([0-5][0-9])$') AS t_ok
+  FROM src
+)
+SELECT order_id, line_no, magic_date,
+  CASE WHEN d_ok AND t_ok THEN magic_date::TIMESTAMP
+        + CAST(substr(time_pack,1,2) AS INTEGER) * INTERVAL 1 HOUR
+        + CAST(substr(time_pack,3,2) AS INTEGER) * INTERVAL 1 MINUTE
+        + CAST(substr(time_pack,5,2) AS INTEGER) * INTERVAL 1 SECOND
+       WHEN d_ok THEN magic_date::TIMESTAMP
+       ELSE TIMESTAMP '1900-01-01' END AS magic_ts,
+  CASE WHEN period_src IS NULL THEN '190001'
+       ELSE period_src || lpad(exercise, 2, '0') END AS period
+FROM decoded
+"""
+
+
+def dsl_flags_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ByteMagic ($literal and column defaults), bug-compatible Case,
+    ClearString (1- and 2-arg), Concatenate_ws, Datetime(col)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, "T")
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, "F")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("flag_raw"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(
+            F.pmod("o_orderkey", F.lit(5)) == 0, F.lit(None).cast("string")
+        )
+        .otherwise(F.concat(F.lit("  "), F.col("o_orderpriority"), F.lit(" ")))
+        .alias("padded"),
+        F.col("o_orderdate").cast("string").alias("odate_str"),
+    )
+    cases = {
+        "byte_flag": ("fn_transform_ByteMagic(flag_raw,$U)", "string"),
+        "byte_flag_col": ("fn_transform_ByteMagic(flag_raw,status)", "string"),
+        "status_last": ("fn_transform_Case(status,O->OPEN,F|P->CLOSED)", "string"),
+        "clean_pri": ("fn_transform_ClearString(padded)", "string"),
+        "clean_pri_def": ("fn_transform_ClearString(padded,$NONE)", "string"),
+        "joined": ("fn_transform_Concatenate_ws(status,flag_raw,-)", "string"),
+        "order_ts": ("fn_transform_Datetime(odate_str)", "timestamp_ntz"),
+    }
+    out = src
+    for name, (txt, dtype) in cases.items():
+        out = out.withColumn(name, compile_transformation(txt, dtype))
+    return out.select(
+        "order_id", "flag_raw", "status", *cases.keys()
+    )
+
+
+DSL_FLAGS_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS order_id,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'T'
+         WHEN o_orderkey % 3 = 1 THEN 'F'
+         ELSE o_orderstatus END AS flag_raw,
+    o_orderstatus AS status,
+    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         ELSE '  ' || o_orderpriority || ' ' END AS padded,
+    o_orderdate AS odate
+  FROM orders
+)
+SELECT order_id, flag_raw, status,
+  CASE WHEN flag_raw = 'T' THEN 'T' WHEN flag_raw = 'F' THEN 'F' ELSE 'U' END AS byte_flag,
+  CASE WHEN flag_raw = 'T' THEN 'T' WHEN flag_raw = 'F' THEN 'F' ELSE status END AS byte_flag_col,
+  -- bug-compatible Case: only the LAST rule survives, no default
+  CASE WHEN status IN ('F','P') THEN 'CLOSED' END AS status_last,
+  trim(padded) AS clean_pri,
+  CASE WHEN padded IS NOT NULL THEN trim(padded) ELSE 'NONE' END AS clean_pri_def,
+  status || '-' || flag_raw AS joined,
+  odate AS order_ts
+FROM src
+"""
+
+
+# --------------------------------------------------------------------------
+# Events: dedup / merge / incremental / watermark / rollup
+# --------------------------------------------------------------------------
+
+_EVENT_KEYS = ["user_id", "event_type"]
+_EVENT_ORDER = ["ts_us", "event_id"]
+
+_EVENT_DEDUP_SQL = """
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+  FROM events {where}
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+
+def w1_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = latest_record_dedup(ev, _EVENT_KEYS, _EVENT_ORDER).select(
+        "user_id", "event_type", "event_id", "ts_us", "value"
+    )
+    return out
+
+
+W1_SQL = _EVENT_DEDUP_SQL.format(where="")
+
+
+def merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 upsert as a pure dataflow: stage = latest state before
+    Jan 20; source = latest state after; merged = source overrides."""
+    ev = _events(spark, sf_dir)
+    target = latest_record_dedup(
+        ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select("user_id", "event_type", "event_id", "ts_us", "value")
+    source = latest_record_dedup(
+        ev.filter(F.col("ts_us") >= TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select("user_id", "event_type", "event_id", "ts_us", "value")
+    return merge_dataframes(target, source, _EVENT_KEYS)
+
+
+MERGE_UPSERT_SQL = f"""
+WITH tgt AS ({_EVENT_DEDUP_SQL.format(where="WHERE epoch_us(ts) < 1705708800000000")}),
+     src AS ({_EVENT_DEDUP_SQL.format(where="WHERE epoch_us(ts) >= 1705708800000000")})
+SELECT * FROM src
+UNION ALL
+SELECT t.* FROM tgt t
+WHERE NOT EXISTS (
+  SELECT 1 FROM src s
+  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)
+"""
+
+
+def merge_delete_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: transactional delete-window + merge — stage rows inside the
+    lookback window (period >= 20240115) are deleted, then the source
+    batch (Jan 15+) merges in."""
+    ev = _events(spark, sf_dir).withColumn(
+        "period",
+        F.date_format(F.timestamp_micros(F.col("ts_us")), "yyyyMMdd").cast("int"),
+    )
+    cols = ["user_id", "event_type", "event_id", "ts_us", "value", "period"]
+    target = latest_record_dedup(
+        ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    source = latest_record_dedup(
+        ev.filter(F.col("ts_us") >= TS_JAN15_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    return merge_dataframes(
+        target,
+        source,
+        _EVENT_KEYS,
+        delete_predicate=F.col("period") >= F.lit(20240115),
+    )
+
+
+_EVENT_DEDUP_PERIOD_SQL = """
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+         CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS period
+  FROM events {where}
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+"""
+
+MERGE_DELETE_WINDOW_SQL = f"""
+WITH tgt AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) < 1705708800000000")}),
+     src AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) >= 1705276800000000")}),
+     kept AS (SELECT * FROM tgt WHERE NOT (period >= 20240115))
+SELECT * FROM src
+UNION ALL
+SELECT k.* FROM kept k
+WHERE NOT EXISTS (
+  SELECT 1 FROM src s
+  WHERE s.user_id = k.user_id AND s.event_type = k.event_type)
+"""
+
+
+def incremental_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 range predicate + P11 FILTER_EXP/{0}{1} substitution,
+    pushed down to the parquet scan by Catalyst."""
+    ev = _events(spark, sf_dir)
+    pred = between_filter(["value"], 10.0, 90.0) & filter_expression(
+        filter_exp="ts_us between {0} and {1}",
+        filter_column="event_type in ('click','view','purchase')",
+        start=TS_JAN15_US,
+        end=TS_JAN20_US,
+    )
+    return ev.filter(pred).select(
+        "event_id", "user_id", "event_type", "value", "ts_us"
+    )
+
+
+INCREMENTAL_SQL = f"""
+SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us
+FROM events
+WHERE (value IS NOT NULL AND value BETWEEN 10.0 AND 90.0)
+  AND ((epoch_us(ts) BETWEEN {TS_JAN15_US} AND {TS_JAN20_US})
+       AND (event_type in ('click','view','purchase')))
+"""
+
+
+def watermark_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/I1 watermark advance: per-filter-column MAX with NULL
+    defaults, greatest-of-two; expressed over event time in us."""
+    ev = _events(spark, sf_dir)
+    m_click = F.max(F.when(F.col("event_type") == "click", F.col("ts_us")))
+    m_purchase = F.max(F.when(F.col("event_type") == "purchase", F.col("ts_us")))
+    return ev.agg(
+        F.coalesce(m_click, F.lit(WM_DEFAULT_US)).alias("wm_click"),
+        F.coalesce(m_purchase, F.lit(WM_DEFAULT_US)).alias("wm_purchase"),
+        F.greatest(
+            F.coalesce(m_click, F.lit(WM_DEFAULT_US)),
+            F.coalesce(m_purchase, F.lit(WM_DEFAULT_US)),
+        ).alias("wm_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+WATERMARK_SQL = f"""
+SELECT
+  COALESCE(MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END), {WM_DEFAULT_US}) AS wm_click,
+  COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END), {WM_DEFAULT_US}) AS wm_purchase,
+  GREATEST(
+    COALESCE(MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END), {WM_DEFAULT_US}),
+    COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END), {WM_DEFAULT_US})) AS wm_end,
+  COUNT(*) AS n_events
+FROM events
+"""
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch equivalent of the streaming windowed aggregation
+    (streaming/events.py): hourly per-type counts + exact value sums."""
+    ev = _events(spark, sf_dir)
+    hour = F.date_trunc("hour", F.timestamp_micros(F.col("ts_us"))).cast(
+        "timestamp_ntz"
+    )
+    return (
+        ev.groupBy(hour.alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Documents: dedup family + text analysis
+# --------------------------------------------------------------------------
+
+
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "text", "doc_id")
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+       MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+FROM documents
+GROUP BY 1
+"""
+
+
+def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_tokens"),
+        T.word_count(c).alias("n_words"),
+        T.char_count(c).alias("n_chars_calc"),
+        T.punct_count(c).alias("n_punct"),
+        F.round(T.digit_ratio(c), 6).alias("digit_r"),
+        F.round(T.mean_word_length(c), 6).alias("mean_wl"),
+        F.round(T.stopword_ratio(c, "en"), 6).alias("sw_en"),
+        T.quality_score(c).alias("quality"),
+    )
+
+
+_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SQL_TOKENS = f"string_split({_SQL_NORM}, ' ')"
+_SQL_NTOK = f"CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
+_SQL_EN_LIST = "['the','and','of','to','in','is','that','it','was','for','with','as']"
+_SQL_SW_HITS = (
+    f"len(list_filter({_SQL_TOKENS}, t -> list_contains({_SQL_EN_LIST}, t)))"
+)
+_SQL_SW_RATIO = (
+    f"CASE WHEN {_SQL_NTOK} = 0 THEN 0.0 ELSE {_SQL_SW_HITS}::DOUBLE / {_SQL_NTOK} END"
+)
+_SQL_MWL = (
+    f"CASE WHEN {_SQL_NTOK} = 0 THEN 0.0 ELSE "
+    f"list_sum(list_transform({_SQL_TOKENS}, t -> length(t)))::DOUBLE / {_SQL_NTOK} END"
+)
+_SQL_DIGIT_R = (
+    "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END"
+)
+
+TEXT_METRICS_SQL = f"""
+SELECT doc_id,
+  {_SQL_NTOK} AS n_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+  length(text) AS n_chars_calc,
+  len(regexp_extract_all(text, '[.,!?;:]')) AS n_punct,
+  ROUND({_SQL_DIGIT_R}, 6) AS digit_r,
+  ROUND({_SQL_MWL}, 6) AS mean_wl,
+  ROUND({_SQL_SW_RATIO}, 6) AS sw_en,
+  ROUND(
+    0.3 * LEAST({_SQL_NTOK} / 20.0, 1.0)
+    + 0.2 * (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 THEN 1.0 ELSE 0.3 END)
+    + 0.3 * LEAST({_SQL_SW_RATIO} * 4.0, 1.0)
+    + 0.2 * (1.0 - LEAST({_SQL_DIGIT_R} * 5.0, 1.0)), 6) AS quality
+FROM documents
+"""
+
+
+def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
+    )
+
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return (
+        f"len(list_distinct(list_filter({_SQL_TOKENS}, "
+        f"t -> list_contains([{words}], t))))"
+    )
+
+
+LANG_ID_SQL = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+    {_sql_lang_hits('en')} AS h_en,
+    {_sql_lang_hits('es')} AS h_es,
+    {_sql_lang_hits('fr')} AS h_fr,
+    {_sql_lang_hits('de')} AS h_de
+  FROM documents
+)
+SELECT doc_id, lang,
+  CASE
+    WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+    WHEN h_es > 0 AND h_es > h_en AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+    WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_es AND h_fr >= h_de THEN 'fr'
+    WHEN h_de > 0 AND h_de > h_en AND h_de > h_es AND h_de > h_fr THEN 'de'
+    ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from cdk_datalake_ingest_spark.operators.dedup import word_shingles
+
+    return docs.select(
+        "doc_id",
+        T.doc_fingerprint(F.col("text"), 3).alias("fingerprint"),
+        F.size(word_shingles(F.col("text"), 3)).alias("n_shingles"),
+    )
+
+
+FINGERPRINT_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {_SQL_TOKENS} AS toks,
+         GREATEST(len({_SQL_TOKENS}) - 2, 0) AS n_sh,
+         {_SQL_NORM} AS norm
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN n_sh > 0 THEN
+    list_aggregate(list_transform(range(1, n_sh + 1),
+      i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])), 'min')
+  ELSE md5(norm) END AS fingerprint,
+  n_sh AS n_shingles
+FROM s
+"""
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (the oracle-checkable
+    exactness baseline for MinHash)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, GREATEST(len({_SQL_TOKENS}) - 2, 0) + 1),
+    i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1] || ' ' || {_SQL_TOKENS}[i+2]
+  )) AS shset
+  FROM documents
+  WHERE GREATEST(len({_SQL_TOKENS}) - 2, 0) > 0
+), e AS (
+  SELECT doc_id, unnest(shset) AS sh FROM s
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shset) AS n FROM s
+)
+SELECT id_a, id_b,
+  ROUND(n_inter::DOUBLE / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = id_a
+JOIN sizes nb ON nb.doc_id = id_b
+WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
+"""
+
+
+def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-verified (no SQL oracle — hash
+    permutations are not portably expressible; ngram_jaccard_docs is
+    the exactness reference)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
+
+
+def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit near-dup pairs (no SQL oracle — popcount LSH)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# Embeddings: similarity search
+# --------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors vec_id < 8."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = brute_force_topk(emb, queries, k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+ANN_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+    {_SQL_DOT.format(a='qv', b='cv')}
+      / (sqrt({_SQL_DOT.format(a='qv', b='qv')}) * sqrt({_SQL_DOT.format(a='cv', b='cv')}))
+      AS cosine
+  FROM c CROSS JOIN q
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH-bucketed top-k (scale path; deterministic seeded
+    hyperplanes, no SQL oracle — recall < 1 by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = lsh_topk(emb, queries, k=5, n_planes=8)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "stage_pipeline_lineitem": stage_pipeline_lineitem,
+    "dsl_magic_codes": dsl_magic_codes,
+    "dsl_flags_orders": dsl_flags_orders,
+    "w1_latest_event": w1_latest_event,
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "incremental_between_events": incremental_between_events,
+    "watermark_events": watermark_events,
+    "events_hourly_rollup": events_hourly_rollup,
+    "exact_dedup_docs": exact_dedup_docs,
+    "text_metrics_docs": text_metrics_docs,
+    "lang_id_docs": lang_id_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "minhash_near_dup_docs": minhash_near_dup_docs,
+    "simhash_near_dup_docs": simhash_near_dup_docs,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_top_orders": Q03_SQL,
+    "q05_region_revenue": Q05_SQL,
+    "stage_pipeline_lineitem": STAGE_PIPELINE_SQL,
+    "dsl_magic_codes": DSL_MAGIC_SQL,
+    "dsl_flags_orders": DSL_FLAGS_SQL,
+    "w1_latest_event": W1_SQL,
+    "merge_upsert_events": MERGE_UPSERT_SQL,
+    "merge_delete_window_events": MERGE_DELETE_WINDOW_SQL,
+    "incremental_between_events": INCREMENTAL_SQL,
+    "watermark_events": WATERMARK_SQL,
+    "events_hourly_rollup": ROLLUP_SQL,
+    "exact_dedup_docs": EXACT_DEDUP_SQL,
+    "text_metrics_docs": TEXT_METRICS_SQL,
+    "lang_id_docs": LANG_ID_SQL,
+    "fingerprint_docs": FINGERPRINT_SQL,
+    "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
+    # minhash_near_dup_docs, simhash_near_dup_docs, ann_lsh_topk:
+    # intentionally no oracle (hash/LSH internals not portably
+    # SQL-expressible) -> driver records rows-only checks.
+    "ann_cosine_topk": ANN_SQL,
+}

@@ -1,0 +1,118 @@
+"""SparkSession factory with the engine's default configuration.
+
+Mirrors the session semantics the reference jobs rely on
+(aje-stage-dms-load.py:39-49, load_with_query.py:34-44): legacy
+datetime rebase + LEGACY time parser (old-ERP date fidelity), plus
+modern defaults the reference predates: AQE (runtime re-planning,
+skew-join handling), partition coalescing, and Arrow for any
+pandas-interop path.
+
+Scale notes (100 TB / 1000-executor target):
+- AQE replaces the reference's fixed ``shuffle.partitions=1000``; we
+  still set a sane initial partition count from the advisory size.
+- ``maxPartitionBytes`` keeps scan partitions memory-friendly.
+- Delta Lake is used when importable; otherwise the engine's
+  ManagedTable (versioned parquet, see operators/table.py) supplies
+  atomic overwrite/merge semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+try:  # delta-spark is optional; the engine falls back to ManagedTable.
+    from delta import configure_spark_with_delta_pip  # type: ignore
+
+    HAS_DELTA = True
+except Exception:  # pragma: no cover - environment-dependent
+    configure_spark_with_delta_pip = None
+    HAS_DELTA = False
+
+#: Conf applied to every session the engine creates. Entries that are
+#: runtime-settable are also applied by :func:`apply_runtime_conf` so the
+#: engine behaves identically on an externally provided session.
+ENGINE_CONF: dict[str, str] = {
+    # Runtime re-planning: replaces the reference's static shuffle sizing
+    # (load_with_query.py:43 `spark.sql.shuffle.partitions=1000`).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Old-ERP datetime fidelity (aje-stage-dms-load.py:45-48).
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.int96RebaseModeInWrite": "LEGACY",
+    "spark.sql.legacy.timeParserPolicy": "LEGACY",
+    # The reference ran Spark 3.3 (non-ANSI); the DSL's null-on-bad-cast
+    # semantics depend on this.
+    "spark.sql.ansi.enabled": "false",
+    # Driver fixtures carry TIMESTAMP(NANOS) parquet columns which Spark
+    # otherwise refuses to read; they surface as bigint nanoseconds.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Arrow for the (rare) pandas-interop paths (SimHash, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+#: Keys in ENGINE_CONF that can be set on a live session.
+_RUNTIME_KEYS = tuple(ENGINE_CONF)
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the engine's runtime-settable conf to an existing session.
+
+    Used when the caller (e.g. a verification harness) owns the session.
+    """
+    for k in _RUNTIME_KEYS:
+        try:
+            spark.conf.set(k, ENGINE_CONF[k])
+        except Exception:
+            pass  # static conf on this build; the default is acceptable
+    return spark
+
+
+def get_spark(
+    app_name: str = "cdk-datalake-ingest-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    timezone: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine defaults.
+
+    ``timezone`` intentionally defaults to None (cluster default): the
+    reference bakes America/Lima into its jobs (aje-stage-dms-load.py:29-33);
+    here it is an explicit opt-in so query results are not silently
+    timezone-shifted.
+    """
+    if master is None:
+        master = os.environ.get(
+            "SPARK_GRAFT_MASTER", f"local[{default_parallelism()}]"
+        )
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in ENGINE_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(default_parallelism() * 2, 8)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions)
+    )
+    builder = builder.config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+    if timezone:
+        builder = builder.config("spark.sql.session.timeZone", timezone)
+    if HAS_DELTA and configure_spark_with_delta_pip is not None:
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        builder = configure_spark_with_delta_pip(builder)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

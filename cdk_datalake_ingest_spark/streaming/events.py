@@ -1,0 +1,62 @@
+"""Structured Streaming extension over the events table.
+
+The reference has no streaming — its "incremental" is batch
+watermarking (SURVEY.md §2.9). This module maps that watermark model
+onto Structured Streaming: the I1 watermark (START/END advance)
+becomes ``withWatermark`` + windowed aggregation, and the
+availableNow trigger reproduces the scheduled micro-batch cadence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_events(
+    spark: SparkSession, source_dir: str, schema: StructType
+) -> DataFrame:
+    """File-source stream over parquet event batches (a drop location
+    fed by the raw zone). Schema must be provided (streaming reads do
+    not infer)."""
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """Late-data-tolerant per-type event counts: the streaming
+    equivalent of the I1 batch watermark + A7 lookback semantics."""
+    with_ts = events.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+    return (
+        with_ts.withWatermark("__event_time", watermark)
+        .groupBy(F.window("__event_time", window_size), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain all available input once (the scheduled-batch cadence of
+    the reference's EventBridge triggers) and stop."""
+    q = (
+        result.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

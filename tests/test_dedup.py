@@ -1,0 +1,90 @@
+from pyspark.sql import Row
+
+from cdk_datalake_ingest_spark.operators.dedup import (
+    exact_dedup,
+    latest_record_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    word_shingles,
+)
+from pyspark.sql import functions as F
+
+
+def test_latest_record_dedup_deterministic(spark):
+    rows = [
+        Row(k=1, d="2024-01-02", v="newer"),
+        Row(k=1, d="2024-01-01", v="older"),
+        Row(k=2, d="2024-01-01", v="only"),
+        # tie on d -> tiebreak on v desc
+        Row(k=3, d="2024-01-01", v="a"),
+        Row(k=3, d="2024-01-01", v="b"),
+    ]
+    out = latest_record_dedup(spark.createDataFrame(rows), ["k"], ["d", "v"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "newer", 2: "only", 3: "b"}
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    rows = [
+        Row(doc_id=1, text="Hello   World"),
+        Row(doc_id=2, text="hello world "),
+        Row(doc_id=3, text="different"),
+    ]
+    out = exact_dedup(spark.createDataFrame(rows), "text", "doc_id").collect()
+    by_id = {r.doc_id: r.dup_count for r in out}
+    assert by_id == {1: 2, 3: 1}
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([Row(t="a b c d"), Row(t="a b"), Row(t="")])
+    got = df.select(word_shingles(F.col("t"), 3).alias("s")).collect()
+    assert got[0].s == ["a b c", "b c d"]
+    assert got[1].s == []
+    assert got[2].s == []
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+
+
+def _docs(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE.replace("lazy", "sleepy")),  # near-dup
+        Row(doc_id=3, text="completely different content about spark engines"),
+        Row(doc_id=4, text=BASE),  # exact dup
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup_pairs(
+            _docs(spark), "doc_id", "text", jaccard_threshold=0.5
+        ).collect()
+    }
+    assert (1, 4) in pairs  # exact dup always survives
+    assert (1, 2) in pairs or (2, 4) in pairs  # near-dup found
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact(spark):
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    assert all(3 not in k for k in out)
+
+
+def test_simhash_near_dups(spark):
+    out = simhash_near_dup_pairs(_docs(spark), "doc_id", "text").collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in out}
+    assert pairs[(1, 4)] == 0
+    assert all(3 not in k for k in pairs)

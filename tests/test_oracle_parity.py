@@ -1,0 +1,50 @@
+"""Golden tests: a representative subset of the query registry against
+the DuckDB oracle at sf0.001 (the full set runs via
+tools/check_parity.py and the driver's own sf0.01 gate)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.check_parity import canon, compare, duck_conn
+
+SUBSET = [
+    "q01_pricing_summary",
+    "stage_pipeline_lineitem",
+    "dsl_magic_codes",
+    "w1_latest_event",
+    "merge_delete_window_events",
+    "exact_dedup_docs",
+    "text_metrics_docs",
+    "ann_cosine_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duck_conn(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf_dir, oracle, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    ddf = oracle.execute(sql).df()
+    problems = [p for p in compare(name, sdf, ddf) if not p.startswith("col ") or "WARN" not in p]
+    assert len(sdf) > 0
+    assert problems == [], problems
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert len(df.columns) == 9
+
+
+def test_registry_oracle_keys_subset_of_queries():
+    q = entry_mod.queries()
+    for k in entry_mod.oracle_sql():
+        assert k in q

@@ -1,0 +1,129 @@
+import math
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.functions import text as T
+from cdk_datalake_ingest_spark.functions.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+)
+
+
+def _one(spark, text_value, col_expr):
+    df = spark.createDataFrame([Row(t=text_value)])
+    return df.select(col_expr.alias("out")).first().out
+
+
+def test_token_and_word_counts(spark):
+    assert _one(spark, "a  b c", T.token_count(F.col("t"))) == 3
+    assert _one(spark, "", T.token_count(F.col("t"))) == 0
+    assert _one(spark, "   ", T.token_count(F.col("t"))) == 0
+    assert _one(spark, "don't stop", T.word_count(F.col("t"))) == 3  # don, t, stop
+
+
+def test_ratios_and_quality_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the quick brown fox and the lazy dog in the sun"),
+            Row(t="1234567890 999 000"),
+            Row(t=""),
+        ]
+    )
+    out = df.select(
+        T.quality_score(F.col("t")).alias("q"),
+        F.round(T.digit_ratio(F.col("t")), 3).alias("d"),
+        F.round(T.stopword_ratio(F.col("t"), "en"), 3).alias("s"),
+    ).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in out)
+    assert out[0].q > out[1].q  # prose beats digit soup
+    assert out[1].d > 0.5
+    assert out[0].s > 0.2
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat and the dog went to the market"),
+            Row(t="el perro y la casa de la madre en el pueblo"),
+            Row(t="xyz qqq zzz"),
+        ]
+    )
+    got = [r.l for r in df.select(T.lang_id(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "es", "und"]
+
+
+def test_fingerprint_stable_under_whitespace(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, t="a b c d e"), Row(id=2, t="A  b   c d E"), Row(id=3, t="a b")]
+    )
+    got = [
+        r.f for r in df.select(T.doc_fingerprint(F.col("t")).alias("f")).collect()
+    ]
+    assert got[0] == got[1]  # normalization-invariant
+    assert got[2] != got[0]
+
+
+def _emb_df(spark, n=50, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim).astype("float32")
+    return (
+        spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+            "vec_id bigint, embedding array<float>",
+        ),
+        vecs,
+    )
+
+
+def test_cosine_matches_numpy(spark):
+    df, vecs = _emb_df(spark, n=2)
+    a = df.filter("vec_id = 0").selectExpr("embedding as ea")
+    b = df.filter("vec_id = 1").selectExpr("embedding as eb")
+    got = (
+        a.crossJoin(b)
+        .select(
+            cosine(
+                F.col("ea").cast("array<double>"), F.col("eb").cast("array<double>")
+            ).alias("c")
+        )
+        .first()
+        .c
+    )
+    v0, v1 = vecs[0].astype(float), vecs[1].astype(float)
+    want = float(np.dot(v0, v1) / (np.linalg.norm(v0) * np.linalg.norm(v1)))
+    assert math.isclose(got, want, rel_tol=1e-9)
+
+
+def test_brute_force_topk_exact(spark):
+    df, vecs = _emb_df(spark)
+    queries = df.filter("vec_id < 3")
+    got = brute_force_topk(df, queries, k=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    v = vecs.astype(float)
+    norms = np.linalg.norm(v, axis=1)
+    for q in range(3):
+        sims = v @ v[q] / (norms * norms[q])
+        sims[q] = -np.inf
+        want = list(np.argsort(-sims)[:4])
+        have = [n for _, n in sorted(by_q[q])]
+        assert have == want
+
+
+def test_lsh_topk_is_subset_with_reasonable_recall(spark):
+    df, _ = _emb_df(spark, n=200)
+    queries = df.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = lsh_topk(df, queries, k=5, n_planes=4, dim=8).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    # every approx hit is a real pair, scored identically to exact
+    recall = len(exact & approx_pairs) / len(exact)
+    assert recall >= 0.3  # 4 planes / 16 buckets on random data
+    assert all(r.rank <= 5 for r in approx)
