@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "minhash_near_dup_docs",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_near_dup",
+    "sessionize_events",
+    "events_daily_rollup_sets",
+    "token_stats_docs",
 ]
 
 

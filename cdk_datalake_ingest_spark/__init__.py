@@ -13,9 +13,48 @@ so Catalyst/Tungsten/AQE choose the physical plan; there are no
 row-at-a-time Python UDFs in any hot path.
 """
 
-from cdk_datalake_ingest_spark.session import get_spark
-from cdk_datalake_ingest_spark.specs import ColumnSpec, EndpointSpec, TableSpec
+from cdk_datalake_ingest_spark.dsl.compiler import compile_transformation
+from cdk_datalake_ingest_spark.operators.dedup import (
+    exact_dedup,
+    latest_record_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from cdk_datalake_ingest_spark.operators.merge import merge_dataframes
+from cdk_datalake_ingest_spark.operators.table import ManagedTable
+from cdk_datalake_ingest_spark.operators.watermark import WatermarkStore, max_watermark
+from cdk_datalake_ingest_spark.plans.pipeline import StagePipeline, TransformResult
+from cdk_datalake_ingest_spark.plans.planner import RunLog, RunPlanner
+from cdk_datalake_ingest_spark.session import apply_runtime_conf, get_spark
+from cdk_datalake_ingest_spark.specs import (
+    ColumnSpec,
+    ConfigCatalog,
+    EndpointSpec,
+    TableSpec,
+)
 
-__all__ = ["get_spark", "TableSpec", "ColumnSpec", "EndpointSpec"]
+__all__ = [
+    "get_spark",
+    "apply_runtime_conf",
+    "TableSpec",
+    "ColumnSpec",
+    "EndpointSpec",
+    "ConfigCatalog",
+    "compile_transformation",
+    "StagePipeline",
+    "TransformResult",
+    "ManagedTable",
+    "merge_dataframes",
+    "latest_record_dedup",
+    "exact_dedup",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "WatermarkStore",
+    "max_watermark",
+    "RunLog",
+    "RunPlanner",
+]
 
 __version__ = "0.1.0"

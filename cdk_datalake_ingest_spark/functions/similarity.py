@@ -90,6 +90,116 @@ def rp_lsh_bucket(
     return bucket
 
 
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold).
+
+    ``n_planes=0`` is the exact O(n²) baseline (self cross-join with an
+    id inequality — only viable on small corpora / within blocks).
+    ``n_planes>0`` is the scale path: candidates restricted to equal
+    random-hyperplane LSH buckets, turning the cross join into a
+    shuffle hash join on bucket id; recall < 1 by construction (a pair
+    split across buckets is missed), raise recall with fewer planes or
+    multi-probe.
+    """
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
+    )
+    if n_planes > 0:
+        planes = hyperplanes(dim, n_planes, seed)
+        a = a.withColumn("__bucket", rp_lsh_bucket(F.col("__va"), planes))
+        b = b.withColumn("__bucket", rp_lsh_bucket(F.col("__vb"), planes))
+        pairs = a.join(b, on="__bucket")
+    else:
+        pairs = a.join(b, how="cross")
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into
+    inverted lists by nearest coarse centroid; each query scans only
+    its ``n_probe`` closest lists.
+
+    Centroids are a deterministic corpus sample (the ``n_centroids``
+    smallest ids) — a k-means refinement would drop in here without
+    changing the dataflow. The centroid set is tiny and broadcast; the
+    corpus→list assignment is one narrow projection (no shuffle), and
+    the probe join is a broadcast hash join on list id, so the corpus
+    is scanned exactly once regardless of query count.
+    """
+    cent_rows = (  # TakeOrdered (no global shuffle), n_centroids rows
+        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cent_arr = [(i + 1, r["cv"]) for i, r in enumerate(cent_rows)]
+
+    def _nearest_lists(vec: Column, n: int) -> Column:
+        """array of the n list ids with highest cosine to vec."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("cos"),
+                    F.lit(int(lid)).alias("list_id"),
+                )
+                for lid, cv in cent_arr
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.transform(F.slice(ordered, 1, n), lambda s: s["list_id"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__list", _nearest_lists(F.col("__cv"), 1)[0])
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("__qv"),
+        )
+        .withColumn("__probe", _nearest_lists(F.col("__qv"), n_probe))
+        .withColumn("__list", F.explode("__probe"))
+    )
+    pairs = c.join(F.broadcast(q.select("query_id", "__qv", "__list")), on="__list")
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -15,6 +15,11 @@ from cdk_datalake_ingest_spark.operators.dedup import normalize_text, word_shing
 
 WORD_RE = r"[A-Za-z0-9_]+"
 PUNCT_RE = r"[.,!?;:]"
+# GPT-2-style pre-tokenizer pattern, restricted to syntax shared by
+# Java regex and RE2 (no lookarounds) so the DuckDB oracle can run the
+# identical pattern: contraction suffixes, letter runs, digit runs,
+# other-symbol runs (each optionally preceded by one space), whitespace.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
 
 # Tiny built-in stopword lists for the n-gram/stopword language-ID
 # heuristic. Order fixes the argmax tie-break (first wins).
@@ -43,6 +48,15 @@ def token_count(col: Column) -> Column:
 def word_count(col: Column) -> Column:
     """Regex word count (BPE-ish sub-token proxy: \\w+ runs)."""
     return F.size(F.regexp_extract_all(col, F.lit(WORD_RE), 0))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Token count under a BPE-ish pre-tokenizer regex (contraction
+    suffixes / letter runs / digit runs / symbol runs / whitespace) —
+    the standard proxy for LLM token budgeting when the real tokenizer
+    isn't on the cluster. Whitespace-only matches are not counted."""
+    pieces = F.regexp_extract_all(col, F.lit(BPE_RE), 0)
+    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
 
 
 def char_count(col: Column) -> Column:

@@ -23,7 +23,12 @@ from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_spark.dsl.compiler import compile_transformation
 from cdk_datalake_ingest_spark.functions import text as T
-from cdk_datalake_ingest_spark.functions.similarity import brute_force_topk, lsh_topk
+from cdk_datalake_ingest_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
 from cdk_datalake_ingest_spark.operators.dedup import (
     exact_dedup,
     latest_record_dedup,
@@ -36,6 +41,7 @@ from cdk_datalake_ingest_spark.operators.incremental import (
     filter_expression,
 )
 from cdk_datalake_ingest_spark.operators.merge import merge_dataframes
+from cdk_datalake_ingest_spark.operators.sessionize import sessionize
 from cdk_datalake_ingest_spark.plans.pipeline import StagePipeline
 from cdk_datalake_ingest_spark.session import apply_runtime_conf
 from cdk_datalake_ingest_spark.specs import ColumnSpec, TableSpec
@@ -865,6 +871,131 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scale path #2; deterministic
+    sampled centroids, no SQL oracle — recall < 1 by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.42)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+EMB_NEAR_DUP_SQL = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  ROUND({_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+    / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+    / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
+       * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.42
+"""
+
+
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH bucket blocking (scale path; no SQL
+    oracle — bucket recall < 1; embedding_near_dup is the exactness
+    reference)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs(emb, threshold=0.42, n_planes=4)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — batch reference
+    semantics for the streaming stateful sessionizer."""
+    ev = _events(spark, sf_dir)
+    return sessionize(ev, gap_minutes=30)
+
+
+SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT *, CAST(SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM t
+)
+SELECT user_id, session_seq,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  MAX(ts_us) - MIN(ts_us) AS duration_us,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def events_daily_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (day, event_type) with grouping_id — the
+    multi-granularity aggregate Spark inherits from Catalyst."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))).cast(
+        "timestamp_ntz"
+    )
+    return (
+        ev.withColumn("day", day)
+        .rollup("day", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+    )
+
+
+ROLLUP_SETS_SQL = """
+SELECT date_trunc('day', ts) AS day, event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+  CAST(GROUPING(date_trunc('day', ts), event_type) AS BIGINT) AS gid
+FROM events
+GROUP BY ROLLUP(date_trunc('day', ts), event_type)
+"""
+
+_SQL_BPE_RE = (
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+).replace("'", "''")
+
+
+def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budgeting: whitespace tokens vs BPE-ish pre-tokenizer
+    pieces vs regex words."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        T.token_count(c).alias("n_ws_tokens"),
+        T.bpe_token_count(c).alias("n_bpe_tokens"),
+        T.word_count(c).alias("n_words"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+  {_SQL_NTOK} AS n_ws_tokens,
+  len(list_filter(regexp_extract_all(text, '{_SQL_BPE_RE}'),
+      p -> trim(p) != '')) AS n_bpe_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -891,6 +1022,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dup_docs": simhash_near_dup_docs,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "sessionize_events": sessionize_events,
+    "events_daily_rollup_sets": events_daily_rollup_sets,
+    "token_stats_docs": token_stats_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -915,4 +1052,11 @@ ORACLES: dict[str, str] = {
     # intentionally no oracle (hash/LSH internals not portably
     # SQL-expressible) -> driver records rows-only checks.
     "ann_cosine_topk": ANN_SQL,
+    # ann_ivf_topk, embedding_near_dup_lsh: no oracle (approximate by
+    # construction; ann_cosine_topk / embedding_near_dup are the exact
+    # references).
+    "embedding_near_dup": EMB_NEAR_DUP_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "events_daily_rollup_sets": ROLLUP_SETS_SQL,
+    "token_stats_docs": TOKEN_STATS_SQL,
 }

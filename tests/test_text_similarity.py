@@ -127,3 +127,70 @@ def test_lsh_topk_is_subset_with_reasonable_recall(spark):
     recall = len(exact & approx_pairs) / len(exact)
     assert recall >= 0.3  # 4 planes / 16 buckets on random data
     assert all(r.rank <= 5 for r in approx)
+
+
+def test_bpe_token_count(spark):
+    # "don't stop now" -> don | 't | stop | now (spaces not counted)
+    assert _one(spark, "don't stop now", T.bpe_token_count(F.col("t"))) == 4
+    # letters/digits/symbols split into separate runs
+    assert _one(spark, "abc123!?", T.bpe_token_count(F.col("t"))) == 3
+    assert _one(spark, "", T.bpe_token_count(F.col("t"))) == 0
+    assert _one(spark, "   ", T.bpe_token_count(F.col("t"))) == 0
+
+
+def test_embedding_near_dup_exact_vs_numpy(spark):
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df, vecs = _emb_df(spark, n=40)
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.5).collect()
+    }
+    v = vecs.astype(float)
+    norms = np.linalg.norm(v, axis=1)
+    sims = (v @ v.T) / np.outer(norms, norms)
+    want = {
+        (i, j)
+        for i in range(len(v))
+        for j in range(i + 1, len(v))
+        if sims[i, j] >= 0.5
+    }
+    assert got == want
+
+
+def test_embedding_near_dup_lsh_is_subset(spark):
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df, _ = _emb_df(spark, n=80)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(df, threshold=0.3).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.3, n_planes=2, dim=8
+        ).collect()
+    }
+    assert approx <= exact
+    assert len(approx) > 0
+
+
+def test_ivf_topk_subset_and_recall(spark):
+    from cdk_datalake_ingest_spark.functions.similarity import ivf_topk
+
+    df, _ = _emb_df(spark, n=200)
+    queries = df.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = ivf_topk(df, queries, k=5, n_centroids=8, n_probe=4).collect()
+    approx_pairs = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact & approx_pairs) / len(exact)
+    assert recall >= 0.5  # probing half the lists
+    assert all(r.rank <= 5 for r in approx)
