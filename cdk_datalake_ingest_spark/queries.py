@@ -21,7 +21,11 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cdk_datalake_ingest_spark.dsl.compiler import compile_transformation
+from cdk_datalake_ingest_spark.dsl.compiler import (
+    SALESFORCE,
+    compile_transformation,
+    utc_to_lima_shift,
+)
 from cdk_datalake_ingest_spark.functions import text as T
 from cdk_datalake_ingest_spark.functions.similarity import (
     brute_force_topk,
@@ -871,6 +875,81 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def salesforce_stage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salesforce landing path (entry point B): D14 timezone shift on
+    landing timestamps plus the transform_light dialect divergences —
+    ByteMagic matching b'T'/b'F' byte-string renderings (TL:161-166)
+    and Concatenate joining with '-' (TL:152-154)."""
+    _prep(spark)
+    o = _t(spark, sf_dir, "orders")
+    src = o.select(
+        F.col("o_orderkey").alias("sf_id"),
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit("b'T'"))
+        .when(F.pmod("o_orderkey", F.lit(3)) == 1, F.lit("b'F'"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("flag_sf"),
+        F.col("o_orderstatus").alias("status"),
+        utc_to_lima_shift(F.col("o_orderdate")).alias("modified_ts"),
+    )
+    return src.select(
+        "sf_id",
+        "flag_sf",
+        "status",
+        "modified_ts",
+        compile_transformation(
+            "fn_transform_ByteMagic(flag_sf,$U)", "string", SALESFORCE
+        ).alias("byte_flag"),
+        compile_transformation(
+            "fn_transform_Concatenate(status,flag_sf)", "string", SALESFORCE
+        ).alias("key_status"),
+    )
+
+
+SALESFORCE_STAGE_SQL = """
+WITH src AS (
+  SELECT o_orderkey AS sf_id,
+    CASE WHEN o_orderkey % 3 = 0 THEN 'b''T'''
+         WHEN o_orderkey % 3 = 1 THEN 'b''F'''
+         ELSE o_orderstatus END AS flag_sf,
+    o_orderstatus AS status,
+    o_orderdate - INTERVAL 5 HOUR AS modified_ts
+  FROM orders
+)
+SELECT sf_id, flag_sf, status, modified_ts,
+  CASE WHEN flag_sf IN ('T', 'b''T''') THEN 'T'
+       WHEN flag_sf IN ('F', 'b''F''') THEN 'F'
+       ELSE 'U' END AS byte_flag,
+  status || '-' || flag_sf AS key_status
+FROM src
+"""
+
+
+def raw_csv_roundtrip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full raw-zone file path: lineitem written as gzip CSV with
+    header (S7), re-read schema-less so every column is a string (S1 —
+    exactly how DMS/Glue landed data enters the reference), then the
+    flagship stage pipeline. Oracle = the same stage SQL: the CSV hop
+    must be lossless."""
+    _prep(spark)
+    import tempfile
+
+    from cdk_datalake_ingest_spark.sources.csv import read_raw_csv, write_raw_csv
+
+    li = _t(spark, sf_dir, "lineitem")
+    raw_dir = tempfile.mkdtemp(prefix="cdk_rawcsv_") + "/lineitem"
+    write_raw_csv(
+        li.select([F.col(c).cast("string").alias(c) for c in li.columns]),
+        raw_dir,
+        mode="overwrite",
+    )
+    raw = read_raw_csv(spark, raw_dir)
+    pipe = StagePipeline(spark, _STAGE_TABLE, _STAGE_COLUMNS, strict=True)
+    result = pipe.transform(raw)
+    if result.failed_columns:
+        raise RuntimeError(f"transform failures: {result.failed_columns}")
+    return result.df
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed approximate top-k (scale path #2; deterministic
     sampled centroids, no SQL oracle — recall < 1 by construction)."""
@@ -1005,6 +1084,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
+    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
+    "salesforce_stage_orders": salesforce_stage_orders,
     "dsl_magic_codes": dsl_magic_codes,
     "dsl_flags_orders": dsl_flags_orders,
     "w1_latest_event": w1_latest_event,
@@ -1035,6 +1116,8 @@ ORACLES: dict[str, str] = {
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
     "stage_pipeline_lineitem": STAGE_PIPELINE_SQL,
+    "raw_csv_roundtrip_stage": STAGE_PIPELINE_SQL,
+    "salesforce_stage_orders": SALESFORCE_STAGE_SQL,
     "dsl_magic_codes": DSL_MAGIC_SQL,
     "dsl_flags_orders": DSL_FLAGS_SQL,
     "w1_latest_event": W1_SQL,

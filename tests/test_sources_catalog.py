@@ -1,0 +1,58 @@
+"""S6 empty relation, S7 multi-slice append union-at-storage, S12
+single-file compaction, C1/C2 catalog registration."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from cdk_datalake_ingest_spark.operators.table import ManagedTable
+from cdk_datalake_ingest_spark.sources.csv import (
+    empty_relation,
+    read_raw_csv,
+    write_raw_csv,
+)
+
+
+def test_empty_relation_with_schema(spark):
+    df = empty_relation(spark, "id bigint, name string")
+    assert df.count() == 0
+    assert [f.name for f in df.schema] == ["id", "name"]
+
+
+def test_empty_relation_schemaless(spark):
+    assert empty_relation(spark).isEmpty()
+
+
+def test_multi_slice_append_is_union_at_storage(spark, tmp_path):
+    """The reference's threaded extraction appends per-slice CSV files
+    into one prefix (S7); readers see the implicit union-all."""
+    path = str(tmp_path / "raw")
+    write_raw_csv(spark.createDataFrame([Row(id="1", v="a")]), path)
+    write_raw_csv(spark.createDataFrame([Row(id="2", v="b")]), path, mode="append")
+    write_raw_csv(spark.createDataFrame([Row(id="3", v="c")]), path, mode="append")
+    got = {r.id for r in read_raw_csv(spark, path).collect()}
+    assert got == {"1", "2", "3"}
+
+
+def test_single_file_compaction(spark, tmp_path):
+    path = tmp_path / "tbl"
+    t = ManagedTable(spark, path)
+    t.write(spark.createDataFrame([Row(id=i) for i in range(10)]),
+            coalesce_single_file=True)
+    m = (path / "_manifest.json").read_text()
+    import json
+
+    data_dir = path / json.loads(m)["data_dir"]
+    parts = [p for p in data_dir.iterdir() if p.name.endswith(".parquet")]
+    assert len(parts) == 1
+
+
+def test_catalog_registration(spark, tmp_path):
+    """C1/C2: the writer registers its own table — replacing the
+    reference's Glue crawler jobs (crawlers_job.py:173-258)."""
+    t = ManagedTable(spark, tmp_path / "cat_tbl")
+    t.write(spark.createDataFrame([Row(id=1, v="x"), Row(id=2, v="y")]))
+    t.register("stage_cat_tbl")
+    got = spark.sql("SELECT count(*) AS n FROM stage_cat_tbl").first().n
+    assert got == 2
+    spark.catalog.dropTempView("stage_cat_tbl")
