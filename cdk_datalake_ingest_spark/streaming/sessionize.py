@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+The arbitrary-state counterpart of ``operators/sessionize.py`` (which
+is the oracle-checked batch reference for these semantics): per-user
+session state is kept in the state store across micro-batches, a
+session closes when a later event arrives more than ``gap`` after its
+last event (emitted immediately) or when the event-time watermark
+passes ``last + gap`` with no newer data (emitted via EventTimeTimeout).
+Sessions still open when the stream stops stay in the state store —
+they are not final yet, by definition.
+
+Scale shape: state is partitioned by the group key (one shuffle), each
+micro-batch touches only keys with new data plus timed-out keys, and
+the per-key payload is four scalars — constant memory per user
+regardless of history length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MICROS_PER_MIN = 60_000_000
+
+OUT_SCHEMA = (
+    "user_id bigint, session_start_us bigint, session_end_us bigint, "
+    "n_events bigint, total_value double"
+)
+STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+_OUT_COLS = [
+    "user_id",
+    "session_start_us",
+    "session_end_us",
+    "n_events",
+    "total_value",
+]
+
+
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """``events`` is a streaming DataFrame with an event-time timestamp
+    column ``ts_col``. Returns the append-mode stream of CLOSED
+    sessions (same row shape as the batch ``sessionize`` rollup)."""
+    gap_us = gap_minutes * MICROS_PER_MIN
+    gap_ms = gap_us // 1000
+
+    def close_row(uid: int, s: tuple) -> dict:
+        start, last, n, total = s
+        return {
+            "user_id": uid,
+            "session_start_us": start,
+            "session_end_us": last,
+            "n_events": n,
+            "total_value": total,
+        }
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+        if state.hasTimedOut:
+            # watermark passed last+gap with no new events: final.
+            closed = [close_row(uid, tuple(state.get))]
+            state.remove()
+            yield pd.DataFrame(closed, columns=_OUT_COLS)
+            return
+        ts_list: list[int] = []
+        val_list: list[float] = []
+        for pdf in pdfs:
+            ts_list.extend(int(t) for t in pdf["__ts_us"])
+            val_list.extend(
+                0.0 if pd.isna(v) else float(v) for v in pdf[value_col]
+            )
+        order = sorted(range(len(ts_list)), key=ts_list.__getitem__)
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None  # type: ignore[assignment]
+            n, total = 0, 0.0
+        closed = []
+        for i in order:
+            t, v = ts_list[i], val_list[i]
+            if start is None:
+                start, last, n, total = t, t, 1, v
+            elif t - last > gap_us:
+                closed.append(close_row(uid, (start, last, n, total)))
+                start, last, n, total = t, t, 1, v
+            else:
+                last, n, total = max(last, t), n + 1, total + v
+        state.update((start, last, n, total))
+        # EventTimeTimeout requires a timestamp strictly beyond the
+        # current watermark.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last // 1000 + gap_ms, wm + 1))
+        if closed:
+            yield pd.DataFrame(closed, columns=_OUT_COLS)
+
+    tagged = events.withColumn(
+        "__ts_us", F.unix_micros(F.col(ts_col).cast("timestamp"))
+    )
+    return (
+        tagged.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(F.col(user_col).cast("bigint").alias("user_id"))
+        .applyInPandasWithState(
+            fn,
+            OUT_SCHEMA,
+            STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,110 @@
+"""Stateful streaming sessionizer vs the batch reference semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.streaming.sessionize import sessionize_stream
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(uid: int, minutes: float, eid: int, value: float = 1.0) -> Row:
+    return Row(
+        event_id=eid,
+        user_id=uid,
+        ts=T0 + dt.timedelta(minutes=minutes),
+        value=value,
+    )
+
+
+def _run(spark, tmp_path, batches):
+    """Write each batch as one file; drain with maxFilesPerTrigger=1 so
+    state crosses real micro-batch boundaries."""
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = None
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows)
+        schema = df.schema
+        df.coalesce(1).write.parquet(str(src / f"batch{i}"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch*"))
+    )
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sessions_out").collect()
+    spark.catalog.dropTempView("sessions_out")
+    return rows
+
+
+def _us(minutes: float) -> int:
+    return int(
+        (T0 + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000
+    )
+
+
+def test_within_batch_gap_closes_session(spark, tmp_path):
+    rows = _run(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, 0, 1), _ev(1, 10, 2), _ev(1, 60, 3), _ev(1, 65, 4)],
+            # second batch far in the future: watermark passes 65min+gap
+            # so the second session times out and is emitted too.
+            [_ev(2, 600, 5)],
+        ],
+    )
+    u1 = sorted(
+        [r for r in rows if r.user_id == 1], key=lambda r: r.session_start_us
+    )
+    assert len(u1) == 2
+    assert (u1[0].session_start_us, u1[0].session_end_us, u1[0].n_events) == (
+        _us(0),
+        _us(10),
+        2,
+    )
+    assert (u1[1].session_start_us, u1[1].session_end_us, u1[1].n_events) == (
+        _us(60),
+        _us(65),
+        2,
+    )
+
+
+def test_session_merges_across_micro_batches(spark, tmp_path):
+    rows = _run(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, 0, 1, 2.0), _ev(1, 20, 2, 3.0)],
+            [_ev(1, 40, 3, 4.0)],  # 20 min after last -> same session
+            [_ev(1, 600, 4)],  # far future closes it via gap
+        ],
+    )
+    u1 = sorted(
+        [r for r in rows if r.user_id == 1], key=lambda r: r.session_start_us
+    )
+    assert len(u1) >= 1
+    first = u1[0]
+    assert first.session_start_us == _us(0)
+    assert first.session_end_us == _us(40)
+    assert first.n_events == 3
+    assert first.total_value == 9.0
+
+
+def test_open_trailing_session_not_emitted(spark, tmp_path):
+    rows = _run(spark, tmp_path, [[_ev(1, 0, 1), _ev(1, 5, 2)]])
+    # only session is still open (watermark never passed last+gap)
+    assert rows == []
