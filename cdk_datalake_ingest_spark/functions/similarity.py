@@ -13,6 +13,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from cdk_datalake_ingest_spark.session import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right fold — deterministic, and reproducible
@@ -54,7 +56,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
     )
     pairs = c.join(F.broadcast(q), how="cross")
@@ -110,6 +112,7 @@ def embedding_near_dup_pairs(
     split across buckets is missed), raise recall with fewer planes or
     multi-probe.
     """
+    corpus = ensure_parallelism(corpus)
     a = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
     )
@@ -158,23 +161,24 @@ def ivf_topk(
         .limit(n_centroids)
         .collect()
     )
-    cent_arr = [(i + 1, r["cv"]) for i, r in enumerate(cent_rows)]
+    # ONE nested-array literal — compact codegen; the per-row centroid
+    # ranking is a narrow expression, so corpus→list assignment needs
+    # no shuffle (the property that matters at 100 TB).
+    cents = F.lit([list(r["cv"]) for r in cent_rows])
 
     def _nearest_lists(vec: Column, n: int) -> Column:
-        """array of the n list ids with highest cosine to vec."""
-        scored = F.array(
-            *[
-                F.struct(
-                    cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("cos"),
-                    F.lit(int(lid)).alias("list_id"),
-                )
-                for lid, cv in cent_arr
-            ]
+        """array of the n list ids (1-based) with highest cosine."""
+        scored = F.transform(
+            cents,
+            lambda cv, i: F.struct(
+                cosine(vec, cv).alias("cos"),
+                (i + 1).cast("integer").alias("list_id"),
+            ),
         )
         ordered = F.reverse(F.array_sort(scored))
         return F.transform(F.slice(ordered, 1, n), lambda s: s["list_id"])
 
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__list", _nearest_lists(F.col("__cv"), 1)[0])
@@ -221,7 +225,7 @@ def lsh_topk(
         _as_double(F.col(vec_col)).alias("__qv"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     )
-    c = corpus.select(
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),

@@ -19,6 +19,8 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.session import ensure_parallelism
 from pyspark.sql.functions import pandas_udf
 
 
@@ -90,11 +92,21 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.when(count > 0, shingle).otherwise(F.array().cast("array<string>"))
 
 
-def _minhash_signature(shingles: Column, num_hashes: int, prime: int, seed: int) -> Column:
+def shingle_hashes(shingles: Column, seed: int) -> Column:
+    """64-bit hash per shingle (xxhash64). Materialize this ONCE before
+    building the signature: hashing the strings is the expensive part,
+    the per-permutation work is then pure integer arithmetic."""
+    return F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+
+
+def _minhash_signature(hashes: Column, num_hashes: int, prime: int, seed: int) -> Column:
     """MinHash signature as array<bigint>: for each of ``num_hashes``
     affine permutations h_i(x) = (a_i * x + b_i) mod p over the 64-bit
-    shingle hash, take the min across the document's shingles."""
-    base = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
+    shingle hash, take the min across the document's shingles.
+
+    ``hashes`` is the pre-hashed array from ``shingle_hashes`` — do not
+    pass raw shingle strings here, or every permutation re-hashes every
+    string (a 32× regression measured at sf0.1)."""
     sig = []
     # Deterministic (a_i, b_i) derived from a splitmix-style recurrence;
     # no RNG state so the plan is reproducible.
@@ -105,7 +117,7 @@ def _minhash_signature(shingles: Column, num_hashes: int, prime: int, seed: int)
         sig.append(
             F.array_min(
                 F.transform(
-                    base,
+                    hashes,
                     lambda h: (
                         (F.pmod(h, F.lit(prime)) * F.lit(a) + F.lit(b))
                         % F.lit(prime)
@@ -140,20 +152,26 @@ def minhash_near_dup_pairs(
     num_hashes/bands tunes the candidate recall/precision.
     """
     rows_per_band = num_hashes // bands
+    df = ensure_parallelism(df)
     shingled = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("__sh")
     ).filter(F.size("__sh") > 0)
+    # Pre-hash every shingle once inside the cached projection: the
+    # signature's 32 permutations then cost integer arithmetic only.
+    shingled = shingled.withColumn(
+        "__h", shingle_hashes(F.col("__sh"), seed)
+    )
     if cache:
         # the plan scans the shingle sets from four branches (band
-        # self-join left/right + verify left/right); shingling is the
-        # expensive narrow stage, so materialize it once. At cluster
-        # scale prefer a checkpoint/persisted table for very large
-        # corpora.
+        # self-join left/right + verify left/right); shingling+hashing
+        # is the expensive narrow stage, so materialize it once. At
+        # cluster scale prefer a checkpoint/persisted table for very
+        # large corpora.
         shingled = shingled.persist()
     sig = shingled.select(
         F.col(id_col),
         F.col("__sh"),
-        _minhash_signature(F.col("__sh"), num_hashes, prime, seed).alias("__sig"),
+        _minhash_signature(F.col("__h"), num_hashes, prime, seed).alias("__sig"),
     )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -224,7 +242,7 @@ def simhash_signatures(
     """64-bit SimHash per document (Arrow-vectorized pandas_udf for the
     bit-bucket accumulation; token hashing stays JVM-side via xxhash64).
     """
-    tokens = df.select(
+    tokens = ensure_parallelism(df).select(
         F.col(id_col),
         F.transform(
             F.split(normalize_text(F.col(text_col)), " "),
@@ -318,7 +336,7 @@ def ngram_jaccard_pairs(
     Scale note: cost is bounded by shingle-bucket sizes; for 100 TB use
     :func:`minhash_near_dup_pairs` (this operator is the exactness
     oracle for it)."""
-    sets = df.select(
+    sets = ensure_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__set"),
     ).filter(F.size("__set") > 0)

@@ -59,6 +59,23 @@ ENGINE_CONF: dict[str, str] = {
 _RUNTIME_KEYS = tuple(ENGINE_CONF)
 
 
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition when the input has fewer partitions than
+    the cluster has slots.
+
+    Small-file inputs (one parquet file → one partition) serialize
+    expression-heavy narrow stages onto a single core; a 100 TB table
+    never hits this, but per-table pipelines over modest dimension/
+    document sets do. The shuffle this adds is proportional to the
+    (small) input, the win is full-width execution of everything
+    downstream."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
