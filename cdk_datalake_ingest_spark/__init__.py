@@ -22,6 +22,8 @@ from cdk_datalake_ingest_spark.operators.dedup import (
     simhash_near_dup_pairs,
 )
 from cdk_datalake_ingest_spark.operators.merge import merge_dataframes
+from cdk_datalake_ingest_spark.operators.sessionize import sessionize
+from cdk_datalake_ingest_spark.operators.skew import salted_join
 from cdk_datalake_ingest_spark.operators.table import ManagedTable
 from cdk_datalake_ingest_spark.operators.watermark import WatermarkStore, max_watermark
 from cdk_datalake_ingest_spark.plans.pipeline import StagePipeline, TransformResult
@@ -55,6 +57,8 @@ __all__ = [
     "max_watermark",
     "RunLog",
     "RunPlanner",
+    "sessionize",
+    "salted_join",
 ]
 
 __version__ = "0.1.0"

@@ -214,6 +214,83 @@ GROUP BY n_name
 """
 
 
+def orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): orders with no shipped lineitem after a
+    date — Catalyst plans a broadcast/shuffled anti join."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-01-01").cast("timestamp_ntz")
+    )
+    return orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+ANTI_JOIN_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > TIMESTAMP '1997-01-01')
+"""
+
+
+def customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (EXISTS) + grouped distinct-count per nation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY c_nationkey
+"""
+
+
+def returned_vs_finished_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (absent from the reference, inherited from Spark):
+    orderkeys with returned items EXCEPT finished orders, UNION ALL
+    orderkeys that are in both (INTERSECT), tagged by source."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    returned = (
+        li.filter(F.col("l_returnflag") == "R").select(
+            F.col("l_orderkey").alias("okey")
+        )
+    )
+    finished = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("okey")
+    )
+    only_returned = returned.distinct().subtract(finished.distinct())
+    both = returned.distinct().intersect(finished.distinct())
+    return only_returned.withColumn("src", F.lit("returned_only")).unionByName(
+        both.withColumn("src", F.lit("both"))
+    )
+
+
+SETOPS_SQL = """
+WITH returned AS (SELECT DISTINCT l_orderkey AS okey FROM lineitem WHERE l_returnflag = 'R'),
+     finished AS (SELECT DISTINCT o_orderkey AS okey FROM orders WHERE o_orderstatus = 'F')
+SELECT okey, 'returned_only' AS src FROM (SELECT okey FROM returned EXCEPT SELECT okey FROM finished)
+UNION ALL
+SELECT okey, 'both' AS src FROM (SELECT okey FROM returned INTERSECT SELECT okey FROM finished)
+"""
+
+
 # --------------------------------------------------------------------------
 # Stage pipeline (DSL transforms + W1 dedup + projection) — the flagship
 # --------------------------------------------------------------------------
@@ -1083,6 +1160,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "customers_with_open_orders": customers_with_open_orders,
+    "returned_vs_finished_setops": returned_vs_finished_setops,
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
     "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
     "salesforce_stage_orders": salesforce_stage_orders,
@@ -1115,6 +1195,9 @@ ORACLES: dict[str, str] = {
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
+    "orders_without_lineitems": ANTI_JOIN_SQL,
+    "customers_with_open_orders": SEMI_JOIN_SQL,
+    "returned_vs_finished_setops": SETOPS_SQL,
     "stage_pipeline_lineitem": STAGE_PIPELINE_SQL,
     "raw_csv_roundtrip_stage": STAGE_PIPELINE_SQL,
     "salesforce_stage_orders": SALESFORCE_STAGE_SQL,
