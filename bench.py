@@ -17,29 +17,16 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-BENCH_QUERIES = [
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "q05_region_revenue",
-    "stage_pipeline_lineitem",
-    "dsl_magic_codes",
-    "w1_latest_event",
-    "merge_upsert_events",
-    "merge_delete_window_events",
-    "incremental_between_events",
-    "events_hourly_rollup",
-    "exact_dedup_docs",
-    "text_metrics_docs",
-    "fingerprint_docs",
-    "minhash_near_dup_docs",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "embedding_near_dup",
-    "sessionize_events",
-    "events_daily_rollup_sets",
-    "token_stats_docs",
-]
+# Every registered query except the quadratic exact-Jaccard oracle
+# (ngram_jaccard_docs exists as the exactness reference for MinHash,
+# not as a scale path).
+EXCLUDE = {"ngram_jaccard_docs"}
+
+
+def bench_queries() -> list[str]:
+    from cdk_datalake_ingest_spark.queries import QUERIES
+
+    return [q for q in QUERIES if q not in EXCLUDE]
 
 
 def main() -> None:
@@ -59,7 +46,7 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries():
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -281,7 +281,9 @@ def simhash_near_dup_pairs(
     """SimHash near-dup pairs by 4x16-bit block LSH (any pair within
     hamming distance <= 3 shares at least one of 4 blocks), verified by
     exact popcount of the XOR."""
-    sigs = simhash_signatures(df, id_col, text_col, seed)
+    # persist: the block self-join reads the signatures from two
+    # branches; without this the tokenize+Arrow-UDF stage runs twice.
+    sigs = simhash_signatures(df, id_col, text_col, seed).persist()
     blocks = sigs.select(
         id_col,
         "simhash",

@@ -11,10 +11,30 @@ their metadata by renaming keys to snake_case (or not at all:
 
 from __future__ import annotations
 
+import csv
+import io
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Iterable
+
+
+def _read_model_csv(path: str | Path) -> list[dict[str, str]]:
+    """Rows of an authoring-model CSV as dicts.
+
+    Handles both plain CSV and the reference models' wrapped form
+    (each physical line is a single quoted field holding the actual
+    row, inner quotes doubled)."""
+    rows: list[list[str]] = []
+    with open(path, newline="") as f:
+        for rec in csv.reader(f):
+            if len(rec) == 1 and ("," in rec[0]):
+                rec = next(csv.reader(io.StringIO(rec[0])))
+            rows.append([c.strip() for c in rec])
+    if not rows:
+        return []
+    header = rows[0]
+    return [dict(zip(header, r)) for r in rows[1:] if any(r)]
 
 
 def _norm_key(k: str) -> str:
@@ -146,6 +166,7 @@ class EndpointSpec:
         aliases = {
             "endpoint_name": ("endpoint_name", "endpoint"),
             "server": ("server", "src_server_name"),
+            "port": ("port", "db_port_number"),
             "db_name": ("db_name", "src_db_name"),
             "username": ("username", "src_db_username"),
             "password": ("password", "src_db_secret"),
@@ -192,6 +213,34 @@ class ConfigCatalog:
             for k, v in doc.get("columns", {}).items()
         }
         endpoints = [EndpointSpec.from_dict(e) for e in doc.get("endpoints", [])]
+        return cls(tables, columns, endpoints)
+
+    @classmethod
+    def from_csv(
+        cls,
+        config_csv: str | Path,
+        credentials_csv: str | Path | None = None,
+        columns_csv: str | Path | None = None,
+    ) -> "ConfigCatalog":
+        """Load from the reference's authoring-model CSVs (entry point C:
+        upload-data-to-dynamo.py reads these shapes into DynamoDB items;
+        models/config_model.csv, models/credentials_model.csv).
+
+        Tolerates the models' wrapped encoding, where each physical line
+        is one quoted field containing the real CSV row with doubled
+        quotes."""
+        tables = [TableSpec.from_dict(r) for r in _read_model_csv(config_csv)]
+        endpoints = (
+            [EndpointSpec.from_dict(r) for r in _read_model_csv(credentials_csv)]
+            if credentials_csv
+            else []
+        )
+        columns: dict[str, list[ColumnSpec]] = {}
+        if columns_csv:
+            for r in _read_model_csv(columns_csv):
+                nd = {_norm_key(k): v for k, v in r.items()}
+                tname = str(nd["target_table_name"]).strip()
+                columns.setdefault(tname, []).append(ColumnSpec.from_dict(r))
         return cls(tables, columns, endpoints)
 
     def add_table(
