@@ -86,13 +86,37 @@ class ManagedTable:
             return True
         return self._read_manifest() is not None
 
-    def read(self) -> DataFrame:
+    def read(self, version: int | None = None) -> DataFrame:
+        """Current snapshot, or time travel to ``version`` (Delta
+        ``versionAsOf``; ManagedTable keeps superseded snapshot dirs
+        until ``vacuum``)."""
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
-            return self.spark.read.format("delta").load(str(self.path))
+            reader = self.spark.read.format("delta")
+            if version is not None:
+                reader = reader.option("versionAsOf", version)
+            return reader.load(str(self.path))
         m = self._read_manifest()
         if m is None:
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
-        return self.spark.read.parquet(str(self.path / m["data_dir"]))
+        if version is None:
+            return self.spark.read.parquet(str(self.path / m["data_dir"]))
+        snap = self.path / f"v{version:05d}"
+        if not snap.is_dir():
+            raise FileNotFoundError(
+                f"version {version} of {self.path} does not exist "
+                "(never written, or removed by vacuum)"
+            )
+        return self.spark.read.parquet(str(snap))
+
+    def versions(self) -> list[int]:
+        """Snapshot versions still on disk (newest last)."""
+        if not self.path.is_dir():
+            return []
+        return sorted(
+            int(c.name[1:])
+            for c in self.path.iterdir()
+            if c.is_dir() and c.name.startswith("v") and c.name[1:].isdigit()
+        )
 
     def write(
         self,

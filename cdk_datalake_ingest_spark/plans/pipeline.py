@@ -98,7 +98,13 @@ class StagePipeline:
     def transform(self, raw_df: DataFrame) -> TransformResult:
         """Apply every declared column with per-column error isolation
         (D15, SJ:427-441): a failing transform is recorded and skipped,
-        the rest of the table proceeds."""
+        the rest of the table proceeds.
+
+        withColumn (not a batched select) is deliberate: a stage column
+        may REPLACE a same-named raw column, and later transformations
+        may reference earlier stage outputs (the reference applies
+        columns sequentially, SJ:418-424); Catalyst collapses the
+        projection chain, so only driver-side analysis repeats."""
         failed: list[str] = []
         out = raw_df
         applied: list[ColumnSpec] = []

@@ -773,6 +773,12 @@ _SQL_DIGIT_R = (
     "len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text) END"
 )
 
+_SQL_QUALITY = f"""ROUND(
+    0.3 * LEAST({_SQL_NTOK} / 20.0, 1.0)
+    + 0.2 * (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 THEN 1.0 ELSE 0.3 END)
+    + 0.3 * LEAST({_SQL_SW_RATIO} * 4.0, 1.0)
+    + 0.2 * (1.0 - LEAST({_SQL_DIGIT_R} * 5.0, 1.0)), 6)"""
+
 TEXT_METRICS_SQL = f"""
 SELECT doc_id,
   {_SQL_NTOK} AS n_tokens,
@@ -782,11 +788,7 @@ SELECT doc_id,
   ROUND({_SQL_DIGIT_R}, 6) AS digit_r,
   ROUND({_SQL_MWL}, 6) AS mean_wl,
   ROUND({_SQL_SW_RATIO}, 6) AS sw_en,
-  ROUND(
-    0.3 * LEAST({_SQL_NTOK} / 20.0, 1.0)
-    + 0.2 * (CASE WHEN {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 THEN 1.0 ELSE 0.3 END)
-    + 0.3 * LEAST({_SQL_SW_RATIO} * 4.0, 1.0)
-    + 0.2 * (1.0 - LEAST({_SQL_DIGIT_R} * 5.0, 1.0)), 6) AS quality
+  {_SQL_QUALITY} AS quality
 FROM documents
 """
 
@@ -901,6 +903,59 @@ def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 64-bit near-dup pairs (no SQL oracle — popcount LSH)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data curation pipeline: enrich (lang ID,
+    quality, token count, content hash) -> exact-dedup survivor (min
+    doc_id per hash) -> keep English docs above the quality bar. One
+    narrow enrich stage + one shuffle on content hash."""
+    from cdk_datalake_ingest_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    enriched = docs.select(
+        "doc_id",
+        T.lang_id(c).alias("lang_pred"),
+        T.quality_score(c).alias("quality"),
+        T.token_count(c).alias("n_tokens"),
+        F.md5(normalize_text(c)).alias("content_hash"),
+    )
+    surv = latest_record_dedup(
+        enriched, ["content_hash"], [F.col("doc_id").asc()]
+    )
+    return surv.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    ).select("doc_id", "lang_pred", "quality", "n_tokens")
+
+
+CURATE_SQL = f"""
+WITH h AS (
+  SELECT doc_id, text,
+    {_sql_lang_hits('en')} AS h_en,
+    {_sql_lang_hits('es')} AS h_es,
+    {_sql_lang_hits('fr')} AS h_fr,
+    {_sql_lang_hits('de')} AS h_de
+  FROM documents
+), e AS (
+  SELECT doc_id,
+    CASE
+      WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+      WHEN h_es > 0 AND h_es > h_en AND h_es >= h_fr AND h_es >= h_de THEN 'es'
+      WHEN h_fr > 0 AND h_fr > h_en AND h_fr > h_es AND h_fr >= h_de THEN 'fr'
+      WHEN h_de > 0 AND h_de > h_en AND h_de > h_es AND h_de > h_fr THEN 'de'
+      ELSE 'und' END AS lang_pred,
+    {_SQL_QUALITY} AS quality,
+    {_SQL_NTOK} AS n_tokens,
+    md5({_SQL_NORM}) AS content_hash
+  FROM h
+), s AS (
+  SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+  FROM e
+)
+SELECT doc_id, lang_pred, quality, n_tokens
+FROM s WHERE rn = 1 AND lang_pred = 'en' AND quality >= 0.5
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1179,6 +1234,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
+    "curate_documents": curate_documents,
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -1214,6 +1270,7 @@ ORACLES: dict[str, str] = {
     "lang_id_docs": LANG_ID_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
+    "curate_documents": CURATE_SQL,
     # minhash_near_dup_docs, simhash_near_dup_docs, ann_lsh_topk:
     # intentionally no oracle (hash/LSH internals not portably
     # SQL-expressible) -> driver records rows-only checks.

@@ -105,3 +105,20 @@ def test_empty_batch_preserves_existing(spark, tmp_path):
         pipe.write(df.limit(0), path)
     # deliberate divergence from the reference: existing data survives
     assert {r.k for r in t.read().collect()} == {1}
+
+
+def test_time_travel_and_versions(spark, tmp_path):
+    from pyspark.sql import Row
+
+    t = ManagedTable(spark, tmp_path / "tt")
+    t.write(spark.createDataFrame([Row(id=1, v="old")]))
+    t.write(spark.createDataFrame([Row(id=1, v="new"), Row(id=2, v="x")]))
+    assert t.versions() == [1, 2]
+    assert {r.v for r in t.read().collect()} == {"new", "x"}
+    assert [r.v for r in t.read(version=1).collect()] == ["old"]
+    t.vacuum()
+    assert t.versions() == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(version=1)
