@@ -1150,6 +1150,57 @@ FROM s GROUP BY 1, 2
 """
 
 
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched with the user's latest click
+    at or before it (clicks pre-deduped to one per (user, ts) so the
+    match is unambiguous in both engines)."""
+    from cdk_datalake_ingest_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts_us", "value"
+    )
+    clicks = latest_record_dedup(
+        ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts_us", "event_id", "value"
+        ),
+        ["user_id", "ts_us"],
+        ["event_id"],
+    ).select(
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts_us",
+        right_cols=["click_id", "click_value"],
+    )
+
+
+ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         event_id AS click_id, value AS click_value
+  FROM events WHERE event_type = 'click'
+  QUALIFY row_number() OVER (
+    PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) = 1
+)
+SELECT p.user_id, p.event_id, p.ts_us, p.value,
+       c.ts_us AS ts_us_right,
+       c.click_id AS click_id_right,
+       c.click_value AS click_value_right
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+"""
+
+
 def events_daily_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP grouping sets (day, event_type) with grouping_id — the
     multi-granularity aggregate Spark inherits from Catalyst."""
@@ -1243,6 +1294,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "sessionize_events": sessionize_events,
+    "asof_purchase_click": asof_purchase_click,
     "events_daily_rollup_sets": events_daily_rollup_sets,
     "token_stats_docs": token_stats_docs,
 }
@@ -1280,6 +1332,7 @@ ORACLES: dict[str, str] = {
     # references).
     "embedding_near_dup": EMB_NEAR_DUP_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "asof_purchase_click": ASOF_SQL,
     "events_daily_rollup_sets": ROLLUP_SETS_SQL,
     "token_stats_docs": TOKEN_STATS_SQL,
 }
