@@ -50,6 +50,51 @@ IMAGE_FEATURES_SCHEMA = StructType(
 )
 
 
+# (magic-byte prefix, mime) — checked in order; longest prefixes first
+# where one is a prefix of another.
+_MAGIC: list[tuple[bytes, str]] = [
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"BM", "image/bmp"),
+    (b"ID3", "audio/mpeg"),
+    (b"OggS", "audio/ogg"),
+    (b"fLaC", "audio/flac"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+]
+
+
+def sniff_mime(col) -> "F.Column":
+    """Content-type detection from magic bytes — native binary
+    comparisons (JVM-side, codec-free): the real part of media
+    ingestion that does not need a decoder. Handles the offset-based
+    RIFF (WAV/AVI) and ISO-BMFF (MP4) containers too."""
+    import pyspark.sql.functions as _F
+
+    def prefix(n: int) -> "F.Column":
+        return _F.substring(col, 1, n)
+
+    expr = _F.lit("application/octet-stream")
+    # ISO base media: bytes 5-8 == 'ftyp'
+    expr = _F.when(
+        _F.substring(col, 5, 4) == _F.lit(b"ftyp"), "video/mp4"
+    ).otherwise(expr)
+    # RIFF container: discriminate by format tag at offset 9
+    expr = _F.when(
+        (prefix(4) == _F.lit(b"RIFF"))
+        & (_F.substring(col, 9, 4) == _F.lit(b"WAVE")),
+        "audio/wav",
+    ).when(
+        (prefix(4) == _F.lit(b"RIFF"))
+        & (_F.substring(col, 9, 4) == _F.lit(b"AVI ")),
+        "video/avi",
+    ).otherwise(expr)
+    for magic, mime in _MAGIC:
+        expr = _F.when(prefix(len(magic)) == _F.lit(magic), mime).otherwise(expr)
+    return expr
+
+
 def _fake_decode(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for pixel decoding."""
     h = hashlib.sha1(content or b"").digest()

@@ -1150,6 +1150,20 @@ FROM s GROUP BY 1, 2
 """
 
 
+def user_engagement_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event type (no SQL oracle — approximate by
+    construction; exact columns included so the error is visible):
+    HLL++ distinct users, approximate value percentiles."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_value"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched with the user's latest click
     at or before it (clicks pre-deduped to one per (user, ts) so the
@@ -1294,6 +1308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "sessionize_events": sessionize_events,
+    "user_engagement_approx": user_engagement_approx,
     "asof_purchase_click": asof_purchase_click,
     "events_daily_rollup_sets": events_daily_rollup_sets,
     "token_stats_docs": token_stats_docs,

@@ -90,3 +90,40 @@ def test_sample_frames(spark):
         by_media.setdefault(r.media_id, []).append(r.frame_ms)
     assert by_media[1] == [0, 1000, 2000]
     assert 0 not in by_media  # images excluded
+
+
+def test_sniff_mime_magic_bytes(spark):
+    from cdk_datalake_ingest_spark.functions.multimodal import sniff_mime
+
+    samples = [
+        (1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "image/png"),
+        (2, b"\xff\xd8\xff\xe0rest", "image/jpeg"),
+        (3, b"GIF89a....", "image/gif"),
+        (4, b"RIFF\x00\x00\x00\x00WAVEfmt ", "audio/wav"),
+        (5, b"RIFF\x00\x00\x00\x00AVI LIST", "video/avi"),
+        (6, b"\x00\x00\x00\x18ftypmp42", "video/mp4"),
+        (7, b"OggS\x00\x02", "audio/ogg"),
+        (8, b"fLaC\x00\x00", "audio/flac"),
+        (9, b"ID3\x04tag", "audio/mpeg"),
+        (10, b"\x1aE\xdf\xa3webm", "video/webm"),
+        (11, b"plain text here", "application/octet-stream"),
+        (12, b"", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c, _ in samples], "id int, content binary"
+    )
+    got = {
+        r.id: r.mime
+        for r in df.select("id", sniff_mime(F.col("content")).alias("mime")).collect()
+    }
+    assert got == {i: m for i, _, m in samples}
+
+
+def test_approx_sketches_close_to_exact(spark, sf_dir):
+    from cdk_datalake_ingest_spark.queries import user_engagement_approx
+
+    rows = user_engagement_approx(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) < 0.05
+        assert r.p50_value is not None and r.p50_value <= r.p95_value
