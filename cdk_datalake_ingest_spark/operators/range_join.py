@@ -1,0 +1,97 @@
+"""Range (interval containment) join — points matched to intervals.
+
+The reference never joins in Spark at all (SURVEY.md §2.3: its only join
+forms are source-side ``JOIN_EXPR`` passthrough, LQ:310, and the Delta
+MERGE outer-join apply) — this operator is part of the time-series
+extension surface alongside :mod:`.asof`.
+
+Why not ``points.join(intervals, point.between(start, end))`` directly:
+an inequality-only (or equi + inequality with a low-cardinality equi
+key) join degenerates to BroadcastNestedLoopJoin / a skewed sort-merge —
+O(|points| x |intervals|) comparisons per matching key group. At 100 TB
+that plan never finishes.
+
+Strategy here (the standard "bucketed interval join", same idea as
+Spark's session windows and DuckDB/KDB interval indexes): quantize time
+into fixed-width buckets, explode each interval into the bucket ids it
+overlaps (``F.sequence`` — native, no Python), tag each point with its
+single bucket id, then **equi-join** on (keys..., bucket) and re-check
+the exact containment predicate. Each (point, interval) pair meets in
+exactly one bucket (the point's), so no post-join dedup is needed.
+Catalyst executes the equi-join as a shuffled hash / sort-merge join
+that scales linearly and AQE can re-plan; the exploded side grows by
+``ceil(span / bucket_width) + 1`` per interval, so pick ``bucket_width``
+on the order of the typical interval span.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKET = "__rj_bucket"
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    on: Sequence[str] = (),
+    bucket_width: int = 3_600_000_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to every interval row with
+    ``start_col <= point_col <= end_col`` (closed on both ends) and equal
+    values on the ``on`` key columns.
+
+    ``point_col`` / ``start_col`` / ``end_col`` must be integral (e.g.
+    microsecond timestamps); ``bucket_width`` is in the same unit.
+    ``how`` is ``inner`` or ``left`` (left keeps unmatched points with
+    NULL interval columns). Output columns: all point columns, then the
+    interval columns not in ``on`` (name collisions suffixed ``_right``).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    on = list(on)
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    # floor(), not an integer cast: cast truncates toward zero, which is
+    # wrong for pre-epoch (negative) timestamps.
+    pt = points.withColumn(_BUCKET, F.floor(F.col(point_col) / F.lit(w)))
+    iv = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / F.lit(w)),
+                F.floor(F.col(end_col) / F.lit(w)),
+            )
+        ),
+    )
+
+    # disambiguate interval columns that collide with point columns
+    collide = (set(points.columns) & set(iv.columns)) - set(on) - {_BUCKET}
+    for c in collide:
+        iv = iv.withColumnRenamed(c, f"{c}_right")
+    start = start_col if start_col not in collide else f"{start_col}_right"
+    end = end_col if end_col not in collide else f"{end_col}_right"
+
+    cond = F.col(point_col).between(F.col(start), F.col(end))
+    joined = pt.join(iv, on=[*on, _BUCKET], how="inner").filter(cond)
+    out_cols = [c for c in joined.columns if c != _BUCKET]
+    if how == "inner":
+        return joined.select(*out_cols)
+    # left: restore unmatched points (anti-join back against the matches)
+    matched = joined.select(*out_cols)
+    iv_cols = [c for c in matched.columns if c not in points.columns]
+    unmatched = points.join(
+        matched.select(*points.columns), on=list(points.columns), how="left_anti"
+    )
+    for c in iv_cols:
+        unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
+    return matched.unionByName(unmatched)

@@ -1277,6 +1277,130 @@ FROM documents
 """
 
 
+RANGE_WIN_US = 21_600_000_000  # 6 hours
+
+
+def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join via the bucketed equi-join strategy
+    (operators/range_join.py): clicks landing inside each purchase's
+    6-hour follow-up window, aggregated per purchase."""
+    from cdk_datalake_ingest_spark.operators.range_join import range_join
+
+    ev = _events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + F.lit(RANGE_WIN_US)).alias("end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "value"
+    )
+    joined = range_join(
+        clicks,
+        intervals,
+        point_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        on=["user_id"],
+        bucket_width=RANGE_WIN_US,
+    )
+    return joined.groupBy("purchase_id", "user_id", "start_us").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("click_value"),
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS start_us
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.purchase_id, p.user_id, p.start_us,
+  COUNT(*) AS n_clicks,
+  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+FROM p JOIN c
+  ON p.user_id = c.user_id
+ AND c.ts_us BETWEEN p.start_us AND p.start_us + {RANGE_WIN_US}
+GROUP BY p.purchase_id, p.user_id, p.start_us
+"""
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull ``k`` out of the JSON ``props``
+    column (JVM-native get_json_object, no UDF) and aggregate per
+    (event_type, decile-of-k)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        ev.withColumn("k", k)
+        .withColumn("k_decile", F.floor(F.col("k") / F.lit(10)))
+        .groupBy("event_type", "k_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_distinct(F.col("k")).alias("distinct_k"),
+        )
+    )
+
+
+PROPS_JSON_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
+  COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k,
+  COUNT(DISTINCT k) AS distinct_k
+FROM e GROUP BY event_type, k_decile
+"""
+
+
+def user_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows over the event stream (lag + running frame +
+    sliding frame) — the per-row window surface beyond W1's row_number:
+    inter-event gap, running value total, 3-row moving average."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    vdec = F.col("value").cast("decimal(18,6)")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap_us"),
+        F.sum(vdec).over(run).cast("double").alias("running_value"),
+        F.round(
+            F.sum(vdec).over(last3).cast("double")
+            / F.count(F.lit(1)).over(last3),
+            6,
+        ).alias("moving_avg_3"),
+    )
+
+
+USER_ANALYTICS_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+    w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    AS running_value,
+  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+      w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+    AS moving_avg_3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1317,6 +1441,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": asof_purchase_click,
     "events_daily_rollup_sets": events_daily_rollup_sets,
     "token_stats_docs": token_stats_docs,
+    "range_join_purchase_clicks": range_join_purchase_clicks,
+    "events_props_json": events_props_json,
+    "user_value_analytics": user_value_analytics,
 }
 
 ORACLES: dict[str, str] = {
@@ -1355,4 +1482,7 @@ ORACLES: dict[str, str] = {
     "asof_purchase_click": ASOF_SQL,
     "events_daily_rollup_sets": ROLLUP_SETS_SQL,
     "token_stats_docs": TOKEN_STATS_SQL,
+    "range_join_purchase_clicks": RANGE_JOIN_SQL,
+    "events_props_json": PROPS_JSON_SQL,
+    "user_value_analytics": USER_ANALYTICS_SQL,
 }

@@ -1,0 +1,106 @@
+"""Range (interval containment) join operator (operators/range_join.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.range_join import range_join
+
+
+def _frames(spark):
+    points = spark.createDataFrame(
+        [
+            Row(k=1, ts=100, pv="a"),
+            Row(k=1, ts=250, pv="b"),
+            Row(k=1, ts=999, pv="c"),  # inside no interval
+            Row(k=2, ts=100, pv="d"),  # key with no intervals
+            Row(k=1, ts=300, pv="e"),  # exactly on an interval end
+        ]
+    )
+    intervals = spark.createDataFrame(
+        [
+            Row(k=1, lo=50, hi=150, iv="w1"),
+            Row(k=1, lo=90, hi=300, iv="w2"),  # overlaps w1 -> ts=100 in both
+            Row(k=3, lo=0, hi=1000, iv="w3"),  # key absent from points
+        ]
+    )
+    return points, intervals
+
+
+def _pairs(df):
+    return {(r.k, r.ts, r.iv) for r in df.collect()}
+
+
+def test_matches_naive_inequality_join(spark):
+    points, intervals = _frames(spark)
+    naive = points.join(
+        intervals,
+        (points.k == intervals.k)
+        & points.ts.between(intervals.lo, intervals.hi),
+    ).select(points.k, points.ts, intervals.iv)
+    for width in (10, 100, 1000, 10_000):  # invariant across bucket widths
+        got = range_join(
+            points, intervals, "ts", "lo", "hi", on=["k"], bucket_width=width
+        )
+        assert _pairs(got) == _pairs(naive), f"width={width}"
+
+
+def test_closed_bounds_and_multi_overlap(spark):
+    points, intervals = _frames(spark)
+    got = _pairs(range_join(points, intervals, "ts", "lo", "hi", on=["k"]))
+    assert (1, 100, "w1") in got and (1, 100, "w2") in got  # point in 2 windows
+    assert (1, 300, "w2") in got  # hi bound inclusive
+    assert not any(ts == 999 for (_, ts, _) in got)
+    assert not any(k == 2 for (k, _, _) in got)
+
+
+def test_left_join_keeps_unmatched_points(spark):
+    points, intervals = _frames(spark)
+    got = range_join(points, intervals, "ts", "lo", "hi", on=["k"], how="left")
+    rows = {(r.k, r.ts, r.iv) for r in got.collect()}
+    assert (1, 999, None) in rows and (2, 100, None) in rows
+    assert (1, 100, "w1") in rows
+    # every point appears at least once
+    assert {(r.k, r.ts) for r in got.collect()} == {
+        (r.k, r.ts) for r in points.collect()
+    }
+
+
+def test_no_nested_loop_in_plan(spark):
+    """The whole point of the operator: the physical plan must be an
+    equi-join on (keys, bucket), never BroadcastNestedLoop/Cartesian."""
+    points, intervals = _frames(spark)
+    plan = (
+        range_join(points, intervals, "ts", "lo", "hi", on=["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_column_collision_suffix(spark):
+    points = spark.createDataFrame([Row(k=1, ts=5, tag="p")])
+    intervals = spark.createDataFrame([Row(k=1, lo=0, hi=10, tag="i")])
+    r = range_join(points, intervals, "ts", "lo", "hi", on=["k"]).first()
+    assert r.tag == "p" and r.tag_right == "i"
+
+
+def test_rejects_bad_args(spark):
+    points, intervals = _frames(spark)
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "ts", "lo", "hi", how="full")
+    with pytest.raises(ValueError):
+        range_join(points, intervals, "ts", "lo", "hi", bucket_width=0)
+
+
+def test_negative_timestamps(spark):
+    """floor() bucketing must be correct across zero (cast-truncation
+    would put -5 and +5 in the same bucket at width 10)."""
+    points = spark.createDataFrame([Row(ts=-5), Row(ts=5), Row(ts=-15)])
+    intervals = spark.createDataFrame([Row(lo=-10, hi=0, iv="neg")])
+    got = {(r.ts, r.iv) for r in range_join(points, intervals, "ts", "lo", "hi", bucket_width=10).collect()}
+    assert got == {(-5, "neg")}
