@@ -641,9 +641,18 @@ WHERE NOT EXISTS (
 
 
 def incremental_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10 range predicate + P11 FILTER_EXP/{0}{1} substitution,
-    pushed down to the parquet scan by Catalyst."""
-    ev = _events(spark, sf_dir)
+    """P10 range predicate + P11 FILTER_EXP/{0}{1} substitution.
+
+    The P11 predicate is on the derived ``ts_us`` column, which Catalyst
+    cannot push through the projection — so a scan-level guard on the
+    raw ``ts`` (ns) column states the same bounds in storage units
+    (``ts_us ∈ [lo, hi]`` ⇔ ``ts ∈ [lo*1000, hi*1000+999]``). At 100 TB
+    this is the difference between reading 5 days and reading the whole
+    table; `tests/test_plans.py` pins the PushedFilters."""
+    raw = _t(spark, sf_dir, "events").filter(
+        F.col("ts").between(TS_JAN15_US * 1000, TS_JAN20_US * 1000 + 999)
+    )
+    ev = raw.withColumn("ts_us", F.expr("ts div 1000"))
     pred = between_filter(["value"], 10.0, 90.0) & filter_expression(
         filter_exp="ts_us between {0} and {1}",
         filter_column="event_type in ('click','view','purchase')",
@@ -1277,6 +1286,63 @@ FROM documents
 """
 
 
+_MEDIA_HEADERS: list[tuple[str, bytes]] = [
+    ("image/png", b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", b"\xff\xd8\xff"),
+    ("audio/wav", b"RIFF\x00\x00\x00\x00WAVE"),
+    ("video/mp4", b"\x00\x00\x00\x18ftyp"),
+]
+
+
+def multimodal_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing, end-to-end and oracle-checked: build
+    deterministic media blobs (real container magic bytes + document
+    payload) as a ``binary`` column, sniff the MIME type from magic
+    bytes natively (functions/multimodal.py:sniff_mime, JVM-side), and
+    run the Arrow-batched mapInPandas decode stage for byte length.
+    The oracle recomputes mime/byte_len from the construction rule —
+    so the sniffer and the mapInPandas batch plumbing are both value-
+    checked, not just rows-counted."""
+    from cdk_datalake_ingest_spark.functions.multimodal import (
+        decode_image_features,
+        sniff_mime,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hdr = F.when(
+        F.col("doc_id") % 4 == 0, F.lit(_MEDIA_HEADERS[0][1])
+    )
+    for i, (_, magic) in enumerate(_MEDIA_HEADERS[1:], start=1):
+        hdr = hdr.when(F.col("doc_id") % 4 == i, F.lit(magic))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(hdr, F.encode(F.col("text"), "UTF-8")).alias("content"),
+    )
+    feats = decode_image_features(media, fake=True).select(
+        "media_id", F.col("byte_len").cast("bigint").alias("byte_len")
+    )
+    mimes = media.select(
+        "media_id", sniff_mime(F.col("content")).alias("mime")
+    )
+    return feats.join(mimes, "media_id")
+
+
+_SQL_HDR_LEN = " ".join(
+    f"WHEN {i} THEN {len(magic)}" for i, (_, magic) in enumerate(_MEDIA_HEADERS)
+)
+_SQL_HDR_MIME = " ".join(
+    f"WHEN {i} THEN '{mime}'" for i, (mime, _) in enumerate(_MEDIA_HEADERS)
+)
+
+MULTIMODAL_SQL = f"""
+SELECT doc_id AS media_id,
+  (CASE doc_id % 4 {_SQL_HDR_LEN} END) + octet_length(encode(text))
+    AS byte_len,
+  CASE doc_id % 4 {_SQL_HDR_MIME} END AS mime
+FROM documents
+"""
+
+
 RANGE_WIN_US = 21_600_000_000  # 6 hours
 
 
@@ -1444,6 +1510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_purchase_clicks": range_join_purchase_clicks,
     "events_props_json": events_props_json,
     "user_value_analytics": user_value_analytics,
+    "multimodal_media_pipeline": multimodal_media_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1485,4 +1552,5 @@ ORACLES: dict[str, str] = {
     "range_join_purchase_clicks": RANGE_JOIN_SQL,
     "events_props_json": PROPS_JSON_SQL,
     "user_value_analytics": USER_ANALYTICS_SQL,
+    "multimodal_media_pipeline": MULTIMODAL_SQL,
 }

@@ -1,0 +1,72 @@
+"""Physical-plan hygiene: the scale properties the engine is designed
+around must be visible in the executed plans, not just intended.
+
+Pinned here so a refactor that silently drops a broadcast, a pushdown,
+or column pruning fails CI — at sf0.001 these cost nothing, at 100 TB
+they are the whole ballgame.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from cdk_datalake_ingest_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    # formatted explain: the only mode that prints scan PushedFilters
+    # untruncated (executedPlan().toString() elides long filter lists)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, SF).explain("formatted")
+    return buf.getvalue()
+
+
+def _pushed(plan: str) -> list[str]:
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+
+
+def test_dim_joins_broadcast(spark):
+    """Small dimension sides must broadcast — no shuffle of the fact
+    table for q03 (customer dim) or q05 (region/nation/supplier star)."""
+    for q in ("q03_top_orders", "q05_region_revenue"):
+        plan = _plan(spark, q)
+        assert "BroadcastHashJoin" in plan, q
+        assert "CartesianProduct" not in plan, q
+
+
+def test_scan_filter_pushdown(spark):
+    """Predicates must reach the parquet scan. incremental_between_events
+    filters in microseconds over a derived column; the scan-level guard
+    restates the bounds on the stored ns column so the reader can skip
+    row groups."""
+    plan = _plan(spark, "q01_pricing_summary")
+    assert any("LessThanOrEqual(l_shipdate" in p for p in _pushed(plan))
+
+    plan = _plan(spark, "incremental_between_events")
+    pushed = " ".join(_pushed(plan))
+    assert "GreaterThanOrEqual(ts" in pushed and "LessThanOrEqual(ts" in pushed
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read the whole documents table."""
+    plan = _plan(spark, "token_stats_docs")
+    m = re.search(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert m, "no ReadSchema in plan"
+    assert set(re.findall(r"(\w+):", m.group(1))) == {"doc_id", "text"}
+
+
+def test_no_nested_loop_anywhere_in_headline_joins(spark):
+    for q in (
+        "orders_without_lineitems",
+        "customers_with_open_orders",
+        "range_join_purchase_clicks",
+        "asof_purchase_click",
+    ):
+        plan = _plan(spark, q)
+        assert "BroadcastNestedLoopJoin" not in plan, q
+        assert "CartesianProduct" not in plan, q
