@@ -1076,10 +1076,18 @@ def raw_csv_roundtrip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdk_datalake_ingest_spark.sources.csv import read_raw_csv, write_raw_csv
 
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
+
     li = _t(spark, sf_dir, "lineitem")
     raw_dir = tempfile.mkdtemp(prefix="cdk_rawcsv_") + "/lineitem"
+    # gzip is unsplittable: one output file would serialize the re-read
+    # and everything after it onto one core. Fan out before the write —
+    # many .gz slices is also exactly what the reference's threaded
+    # extraction produces (SURVEY §2.1 S7).
     write_raw_csv(
-        li.select([F.col(c).cast("string").alias(c) for c in li.columns]),
+        ensure_parallelism(
+            li.select([F.col(c).cast("string").alias(c) for c in li.columns])
+        ),
         raw_dir,
         mode="overwrite",
     )
@@ -1163,10 +1171,11 @@ def user_engagement_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event type (no SQL oracle — approximate by
     construction; exact columns included so the error is visible):
     HLL++ distinct users, approximate value percentiles."""
-    from cdk_datalake_ingest_spark.session import ensure_parallelism
-
-    # single-file input would run the sketch build on one core
-    ev = ensure_parallelism(_events(spark, sf_dir))
+    # NO repartition here: sketches partial-aggregate map-side, so the
+    # shuffle a fan-out adds costs more than it saves (measured 4.5s vs
+    # 1.8s at sf0.1); at scale the input arrives in many partitions
+    # anyway and the same partial-agg keeps the shuffle tiny.
+    ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
