@@ -1476,6 +1476,102 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join through the correctness gate: events (fact)
+    joined to a per-user dimension with hot keys spread across 16
+    salts; the oracle is the plain join — salting must be purely a
+    physical rewrite."""
+    from cdk_datalake_ingest_spark.operators.skew import salted_join
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "value")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 150)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    joined = salted_join(ev, dim, on=["user_id"], num_salts=16)
+    return joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+SKEW_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE c.c_custkey < 150
+GROUP BY segment, e.event_type
+"""
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + conditional aggregation (TPC-H q12 shape): per return
+    flag, how many line items belong to urgent/high- vs lower-priority
+    orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-subquery self-join (TPC-H q17 shape): revenue from
+    line items under 20% of their part's average quantity. The per-part
+    averages aggregate to one small relation that Catalyst broadcasts
+    back against the fact scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.p_key)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT
+  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+    AS avg_yearly,
+  COUNT(*) AS n_small
+FROM lineitem l
+JOIN (
+  SELECT l_partkey AS p_key, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+) a ON l.l_partkey = a.p_key
+WHERE l.l_quantity < 0.2 * a.avg_qty
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1520,6 +1616,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_json": events_props_json,
     "user_value_analytics": user_value_analytics,
     "multimodal_media_pipeline": multimodal_media_pipeline,
+    "skew_salted_join_events": skew_salted_join_events,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
 }
 
 ORACLES: dict[str, str] = {
@@ -1562,4 +1661,7 @@ ORACLES: dict[str, str] = {
     "events_props_json": PROPS_JSON_SQL,
     "user_value_analytics": USER_ANALYTICS_SQL,
     "multimodal_media_pipeline": MULTIMODAL_SQL,
+    "skew_salted_join_events": SKEW_JOIN_SQL,
+    "q12_priority_shipping": Q12_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
 }
