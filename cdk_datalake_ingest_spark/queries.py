@@ -1476,6 +1476,37 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+def continuous_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate (operators/rollup.py):
+    build the hourly rollup from the pre-Jan-20 slice, then refresh
+    with the full table — the incrementally-maintained result must
+    equal the oracle's one-shot full recompute."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.rollup import ContinuousRollup
+    from cdk_datalake_ingest_spark.operators.watermark import WatermarkStore
+
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdk_rollup_")
+    roll = ContinuousRollup(
+        spark,
+        f"{tmp}/events_hourly",
+        WatermarkStore(f"{tmp}/wm.json"),
+        name="events_hourly",
+    )
+    roll.refresh(ev.filter(F.col("ts_us") < TS_JAN20_US))
+    roll.refresh(ev)
+    return roll.read()
+
+
+CONTINUOUS_ROLLUP_SQL = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
+  event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY bucket_us, event_type
+"""
+
+
 def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Salted skew join through the correctness gate: events (fact)
     joined to a per-user dimension with hot keys spread across 16
@@ -1619,6 +1650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join_events": skew_salted_join_events,
     "q12_priority_shipping": q12_priority_shipping,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "continuous_rollup_events": continuous_rollup_events,
 }
 
 ORACLES: dict[str, str] = {
@@ -1664,4 +1696,5 @@ ORACLES: dict[str, str] = {
     "skew_salted_join_events": SKEW_JOIN_SQL,
     "q12_priority_shipping": Q12_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
+    "continuous_rollup_events": CONTINUOUS_ROLLUP_SQL,
 }
