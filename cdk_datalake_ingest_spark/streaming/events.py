@@ -46,6 +46,31 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dedup-on-ingest: drop repeats of ``keys`` arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``), so state is
+    bounded — the streaming counterpart of the batch W1 dedup, and the
+    first stage of a training-data ingest (exact-dup suppression before
+    anything expensive runs).
+
+    Unlike plain ``dropDuplicates`` on a stream (whose state grows
+    without bound), entries older than the watermark are evicted; a
+    duplicate separated by more than the horizon is deduped downstream
+    by the batch pass (operators/dedup.py:exact_dedup) — same bounded-
+    lateness contract as the continuous rollup."""
+    with_ts = events.withColumn("__event_time", F.col(ts_col).cast("timestamp"))
+    return (
+        with_ts.withWatermark("__event_time", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .drop("__event_time")
+    )
+
+
 def run_available_now(
     result: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

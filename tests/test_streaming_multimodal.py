@@ -127,3 +127,29 @@ def test_approx_sketches_close_to_exact(spark, sf_dir):
     for r in rows:
         assert abs(r.approx_users - r.exact_users) / max(r.exact_users, 1) < 0.05
         assert r.p50_value is not None and r.p50_value <= r.p95_value
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from cdk_datalake_ingest_spark.streaming.events import stream_dedup
+
+    rows = [
+        Row(k=1, ts="2024-01-01 10:00:00", v="first-1"),
+        Row(k=2, ts="2024-01-01 10:00:30", v="first-2"),
+        Row(k=1, ts="2024-01-01 10:02:00", v="dup-1"),
+        Row(k=3, ts="2024-01-01 10:03:00", v="first-3"),
+        Row(k=2, ts="2024-01-01 10:04:00", v="dup-2"),
+        Row(k=1, ts="2024-01-01 10:05:00", v="dup-1b"),
+    ]
+    src = str(tmp_path / "dedup_src")
+    static = spark.createDataFrame(rows).withColumn("ts", F.col("ts").cast("timestamp"))
+    static.write.parquet(src)
+
+    stream = stream_events(spark, src, spark.read.parquet(src).schema)
+    result = stream_dedup(stream, keys=["k"], watermark="10 minutes")
+    out_dir, ckpt = str(tmp_path / "dedup_out"), str(tmp_path / "dedup_ckpt")
+    run_available_now(result, out_dir, ckpt)
+
+    got = spark.read.parquet(out_dir)
+    # one survivor per key; repeats within the watermark horizon dropped
+    assert got.count() == 3
+    assert {r.k for r in got.collect()} == {1, 2, 3}
