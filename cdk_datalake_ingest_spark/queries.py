@@ -1476,6 +1476,72 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
 """
 
 
+def q10_returned_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + group + deterministic top-k (TPC-H q10 shape):
+    revenue lost to returned items per customer, top 20."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+        "decimal(24,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+    * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(24,4))) AS DOUBLE)
+    AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per day, one count column per event type. The
+    explicit value list keeps the plan a single-pass pivot aggregate
+    (no extra distinct-values job) — required at scale."""
+    ev = _events(spark, sf_dir)
+    day = F.date_trunc("day", F.timestamp_micros(F.col("ts_us"))).cast(
+        "timestamp_ntz"
+    )
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("day", day)
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+  COUNT(*) FILTER (event_type = 'click')    AS click,
+  COUNT(*) FILTER (event_type = 'view')     AS view,
+  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (event_type = 'signup')   AS signup,
+  COUNT(*) FILTER (event_type = 'error')    AS error
+FROM events GROUP BY day
+"""
+
+
 def continuous_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate (operators/rollup.py):
     build the hourly rollup from the pre-Jan-20 slice, then refresh
@@ -1651,6 +1717,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_priority_shipping": q12_priority_shipping,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "continuous_rollup_events": continuous_rollup_events,
+    "q10_returned_customers": q10_returned_customers,
+    "events_pivot_by_type": events_pivot_by_type,
 }
 
 ORACLES: dict[str, str] = {
@@ -1697,4 +1765,6 @@ ORACLES: dict[str, str] = {
     "q12_priority_shipping": Q12_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "continuous_rollup_events": CONTINUOUS_ROLLUP_SQL,
+    "q10_returned_customers": Q10_SQL,
+    "events_pivot_by_type": PIVOT_SQL,
 }
