@@ -231,6 +231,48 @@ class ManagedTable:
                 removed.append(child.name)
         return removed
 
+    def compact(self, num_files: int | None = None,
+                target_file_bytes: int = 128 * 1024 * 1024) -> None:
+        """Small-files maintenance (Delta OPTIMIZE's bin-packing role):
+        rewrite the current snapshot into ``num_files`` files, or into
+        ``ceil(current_bytes / target_file_bytes)`` when not given.
+
+        At scale the small-files problem is the #1 operational failure
+        of merge-heavy tables (every merge writes a sliver); compaction
+        restores scan efficiency without changing data. Time travel to
+        pre-compaction versions still works until ``vacuum``."""
+        if num_files is None:
+            m = self._read_manifest()
+            if m is None:
+                raise FileNotFoundError(f"no ManagedTable at {self.path}")
+            data = self.path / m["data_dir"]
+            total = sum(
+                f.stat().st_size for f in data.rglob("*.parquet")
+            )
+            num_files = max(1, -(-total // target_file_bytes))
+        df = self.read().coalesce(int(num_files))
+        m = self._read_manifest() or {}
+        self.write(df, partition_by=m.get("partition_by") or None)
+
+    def optimize(self, cluster_by: list[str], num_files: int | None = None) -> None:
+        """Clustered rewrite for min/max data skipping (the OPTIMIZE
+        ZORDER role, with linear range clustering): range-repartition on
+        ``cluster_by`` then sort within partitions, so each output file
+        covers a narrow, disjoint slice of the key space and parquet
+        footer min/max statistics prune whole files for range
+        predicates. Linear order is optimal for one key and a good
+        approximation for a leading-key workload; true Z-order only
+        wins for multi-key box queries."""
+        df = self.read()
+        cols = [F.col(c) for c in cluster_by]
+        if num_files:
+            df = df.repartitionByRange(int(num_files), *cols)
+        else:
+            df = df.repartitionByRange(*cols)
+        df = df.sortWithinPartitions(*cols)
+        m = self._read_manifest() or {}
+        self.write(df, partition_by=m.get("partition_by") or None)
+
     def register(self, name: str) -> None:
         """Catalog registration replacing the reference's Glue crawlers
         (crawlers_job.py:173-258): the writer registers its own table."""

@@ -1,0 +1,77 @@
+"""ManagedTable maintenance: compaction (bin-packing) and clustered
+rewrite (min/max data skipping)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+
+def _fill(spark, path, n=5000, files=20):
+    t = ManagedTable(spark, path)
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            # write in key-shuffled order so clustering has work to do
+            F.xxhash64("id").alias("noise"),
+        )
+        .orderBy("noise")
+        .repartition(files)
+    )
+    t.write(df)
+    return t
+
+
+def _files_of(t):
+    return (
+        t.read()
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(F.min("k").alias("lo"), F.max("k").alias("hi"))
+        .collect()
+    )
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    t = _fill(spark, tmp_path / "t")
+    assert len(_files_of(t)) == 20
+    before = sorted(r.k for r in t.read().collect())
+    t.compact(num_files=2)
+    assert len(_files_of(t)) == 2
+    assert sorted(r.k for r in t.read().collect()) == before
+    # pre-compaction snapshot still readable (time travel until vacuum)
+    versions = t.versions()
+    assert len(versions) >= 2
+    assert t.read(version=versions[-2]).count() == len(before)
+
+
+def test_compact_auto_sizing(spark, tmp_path):
+    t = _fill(spark, tmp_path / "t2")
+    t.compact(target_file_bytes=10**9)  # everything fits one file
+    assert len(_files_of(t)) == 1
+
+
+def test_optimize_clusters_key_ranges_disjoint(spark, tmp_path):
+    t = _fill(spark, tmp_path / "t3")
+    # before: shuffled write -> every file spans ~the whole key range
+    spans = _files_of(t)
+    assert any(r.hi - r.lo > 4000 for r in spans)
+    t.optimize(cluster_by=["k"], num_files=8)
+    spans = sorted(_files_of(t), key=lambda r: r.lo)
+    assert len(spans) == 8
+    for a, b in zip(spans, spans[1:]):  # pairwise-disjoint min/max
+        assert a.hi < b.lo
+    # data unchanged
+    assert t.read().count() == 5000
+
+
+def test_optimize_enables_file_pruning_shape(spark, tmp_path):
+    """After clustering, a narrow range predicate overlaps few files'
+    [min,max] — the static stand-in for footer-stats pruning."""
+    t = _fill(spark, tmp_path / "t4")
+    t.optimize(cluster_by=["k"], num_files=10)
+    spans = _files_of(t)
+    lo, hi = 100, 200
+    overlapping = [r for r in spans if r.lo <= hi and r.hi >= lo]
+    assert len(overlapping) <= 2
