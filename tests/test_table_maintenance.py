@@ -75,3 +75,28 @@ def test_optimize_enables_file_pruning_shape(spark, tmp_path):
     lo, hi = 100, 200
     overlapping = [r for r in spans if r.lo <= hi and r.hi >= lo]
     assert len(overlapping) <= 2
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partition pruning on a partitioned ManagedTable: a
+    filter on the partition column must reach the scan as a partition
+    filter (scanning one directory, not the table)."""
+    import contextlib
+    import io
+
+    t = ManagedTable(spark, tmp_path / "part")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("day"),
+    )
+    t.write(df, partition_by=["day"])
+    got = t.read().filter(F.col("day") == "3")
+    assert got.count() == len([i for i in range(1000) if i % 7 == 3])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    # exactly one of the seven partition dirs is read
+    files = got.select(F.input_file_name().alias("f")).distinct().collect()
+    assert all("day=3" in r.f for r in files)
