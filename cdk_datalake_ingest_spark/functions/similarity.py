@@ -55,14 +55,18 @@ def brute_force_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     pairs = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    # per-row norms precomputed before the join (see embedding_near_dup_pairs)
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -113,12 +117,15 @@ def embedding_near_dup_pairs(
     multi-probe.
     """
     corpus = ensure_parallelism(corpus)
+    # norms precomputed per ROW, not per pair: inside the join each
+    # candidate pair would otherwise re-run two 64-element folds —
+    # O(n) fold work instead of O(candidate-pairs).
     a = corpus.select(
         F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
-    )
+    ).withColumn("__na", norm(F.col("__va")))
     b = corpus.select(
         F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
-    )
+    ).withColumn("__nb", norm(F.col("__vb")))
     if n_planes > 0:
         planes = hyperplanes(dim, n_planes, seed)
         a = a.withColumn("__bucket", rp_lsh_bucket(F.col("__va"), planes))
@@ -126,9 +133,10 @@ def embedding_near_dup_pairs(
         pairs = a.join(b, on="__bucket")
     else:
         pairs = a.join(b, how="cross")
+    score = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine(F.col("__va"), F.col("__vb")))
+        .withColumn("cosine", score)
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
