@@ -324,11 +324,14 @@ _STAGE_COLUMNS = [
         "ship_month", 6, "string", "fn_transform_Date_to_String(l_shipdate,yyyyMM)"
     ),
     ColumnSpec("qty", 7, "decimal(12,2)", "l_quantity", is_filter_date=True),
+    # money math in decimal (exact), landed as double — raw double
+    # arithmetic differs from DuckDB's in the last ulp and breaks the
+    # value-hash parity gate (VERDICT r1 "What's wrong" #2)
     ColumnSpec(
         "net_price",
         8,
         "double",
-        "l_extendedprice * (1 - l_discount)",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))",
         is_filter_date=True,
     ),
     ColumnSpec(
@@ -352,7 +355,14 @@ def stage_pipeline_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = pipe.transform(raw)
     if result.failed_columns:
         raise RuntimeError(f"transform failures: {result.failed_columns}")
-    return result.df
+    return _stage_hashstable(result.df)
+
+
+def _stage_hashstable(df: DataFrame) -> DataFrame:
+    """Spark DECIMAL reaches pandas as decimal.Decimal('25.00') while
+    DuckDB's DECIMAL lands as float64 — a pure textualization mismatch
+    under the driver's value-hash. Emit doubles from both engines."""
+    return df.withColumn("qty", F.col("qty").cast("double"))
 
 
 STAGE_PIPELINE_SQL = """
@@ -371,15 +381,21 @@ WITH t AS (
          ELSE 'OTHER' END AS combo_flag,
     strftime(l_shipdate, '%Y%m') AS ship_month,
     CAST(l_quantity AS DECIMAL(12,2)) AS qty,
-    l_extendedprice * (1 - l_discount) AS net_price,
+    CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+         * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net_price,
     l_shipdate AS ship_ts
   FROM lineitem
+),
+d AS (
+  SELECT * FROM t
+  QUALIFY row_number() OVER (
+    PARTITION BY order_id, line_no
+    ORDER BY qty DESC, net_price DESC, ship_ts DESC
+  ) = 1
 )
-SELECT * FROM t
-QUALIFY row_number() OVER (
-  PARTITION BY order_id, line_no
-  ORDER BY qty DESC, net_price DESC, ship_ts DESC
-) = 1
+SELECT order_id, line_no, supply_key, status_desc, combo_flag, ship_month,
+       CAST(qty AS DOUBLE) AS qty, net_price, ship_ts
+FROM d
 """
 
 
@@ -1096,7 +1112,7 @@ def raw_csv_roundtrip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = pipe.transform(raw)
     if result.failed_columns:
         raise RuntimeError(f"transform failures: {result.failed_columns}")
-    return result.df
+    return _stage_hashstable(result.df)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1625,10 +1641,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l_returnflag,
-  SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-    AS low_line_count
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+    AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_returnflag
 """
