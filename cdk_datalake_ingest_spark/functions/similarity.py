@@ -186,22 +186,35 @@ def ivf_topk(
         ordered = F.reverse(F.array_sort(scored))
         return F.transform(F.slice(ordered, 1, n), lambda s: s["list_id"])
 
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"),
-    ).withColumn("__list", _nearest_lists(F.col("__cv"), 1)[0])
+    c = (
+        ensure_parallelism(corpus)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("__cv"),
+        )
+        .withColumn("__cn", norm(F.col("__cv")))
+        .withColumn("__list", _nearest_lists(F.col("__cv"), 1)[0])
+    )
     q = (
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("__qv"),
         )
+        .withColumn("__qn", norm(F.col("__qv")))
         .withColumn("__probe", _nearest_lists(F.col("__qv"), n_probe))
         .withColumn("__list", F.explode("__probe"))
     )
-    pairs = c.join(F.broadcast(q.select("query_id", "__qv", "__list")), on="__list")
+    pairs = c.join(
+        F.broadcast(q.select("query_id", "__qv", "__qn", "__list")), on="__list"
+    )
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    # per-row norms precomputed before the join: scoring a candidate
+    # pair is one dot product, not three O(dim) folds
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -232,16 +245,20 @@ def lsh_topk(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
+    ).withColumn("__qn", norm(F.col("__qv")))
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    )
+    ).withColumn("__cn", norm(F.col("__cv")))
     pairs = c.join(F.broadcast(q), on="__bucket")
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    # per-row norms precomputed before the join (same as brute_force_topk)
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _BUCKET = "__rj_bucket"
+_PID = "__rj_pid"
 
 
 def range_join(
@@ -61,9 +62,16 @@ def range_join(
     if w <= 0:
         raise ValueError("bucket_width must be positive")
 
+    # Row id so the left-join recovery can anti-join on identity rather
+    # than on all point columns: plain-equality anti-join never matches a
+    # row containing a NULL (it would be emitted twice — matched AND
+    # null-padded) and collapses duplicate point rows. The id is stable
+    # across the two uses below because both branches share one lineage
+    # (same source partitioning → same partition_id/offset packing).
+    pts = points.withColumn(_PID, F.monotonically_increasing_id())
     # floor(), not an integer cast: cast truncates toward zero, which is
     # wrong for pre-epoch (negative) timestamps.
-    pt = points.withColumn(_BUCKET, F.floor(F.col(point_col) / F.lit(w)))
+    pt = pts.withColumn(_BUCKET, F.floor(F.col(point_col) / F.lit(w)))
     iv = intervals.withColumn(
         _BUCKET,
         F.explode(
@@ -83,15 +91,13 @@ def range_join(
 
     cond = F.col(point_col).between(F.col(start), F.col(end))
     joined = pt.join(iv, on=[*on, _BUCKET], how="inner").filter(cond)
-    out_cols = [c for c in joined.columns if c != _BUCKET]
+    out_cols = [c for c in joined.columns if c not in (_BUCKET, _PID)]
     if how == "inner":
         return joined.select(*out_cols)
-    # left: restore unmatched points (anti-join back against the matches)
-    matched = joined.select(*out_cols)
-    iv_cols = [c for c in matched.columns if c not in points.columns]
-    unmatched = points.join(
-        matched.select(*points.columns), on=list(points.columns), how="left_anti"
-    )
+    # left: restore unmatched points (anti-join on the row id)
+    matched = joined.select(_PID, *out_cols)
+    iv_cols = [c for c in matched.columns if c not in points.columns and c != _PID]
+    unmatched = pts.join(matched.select(_PID), on=_PID, how="left_anti")
     for c in iv_cols:
         unmatched = unmatched.withColumn(c, F.lit(None).cast(matched.schema[c].dataType))
-    return matched.unionByName(unmatched)
+    return matched.unionByName(unmatched).drop(_PID)

@@ -13,6 +13,11 @@ transaction log:
 Readers always resolve the manifest first, so concurrent readers never
 observe a half-written snapshot; ``vacuum`` drops superseded snapshot
 dirs (Delta ``vacuum(100)`` role, aje-stage-dms-load.py:516-522).
+Writers use optimistic concurrency: each claims a unique snapshot dir
+(mkdir O_EXCL) and commits via a manifest compare-and-swap under a lock
+file — exactly one of two racing writers wins, the loser raises
+``ConcurrentWriteError`` and retries from a fresh read
+(tests/test_concurrency.py).
 
 Scale note: on a real cluster the manifest swap would use the
 FileSystem rename of the cluster's storage layer; the snapshot-dir
@@ -43,6 +48,15 @@ except Exception:
     HAS_DELTA = False
 
 MANIFEST = "_manifest.json"
+COMMIT_LOCK = "_manifest.lock"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this writer's snapshot read and
+    its manifest swap (optimistic concurrency, Delta-style). The write
+    is aborted with its orphan snapshot left for ``vacuum``; callers
+    retry the whole read→transform→write cycle (the stage pipeline's
+    3×retry does exactly this, plans/pipeline.py)."""
 
 
 class NoDataToMigrateException(Exception):
@@ -78,6 +92,55 @@ class ManagedTable:
         tmp = self._manifest_path().with_suffix(".json.tmp")
         tmp.write_text(json.dumps(manifest))
         os.replace(tmp, self._manifest_path())  # atomic on POSIX
+
+    def _claim_snapshot(self, base_version: int) -> tuple[int, str]:
+        """Reserve a unique snapshot dir: mkdir(exist_ok=False) is the
+        mutual exclusion, so two concurrent writers can never target the
+        same v{N:05d} directory — they get consecutive versions and the
+        manifest CAS below picks exactly one winner."""
+        version = base_version + 1
+        while True:
+            data_dir = f"v{version:05d}"
+            try:
+                (self.path / data_dir).mkdir(parents=True, exist_ok=False)
+                return version, data_dir
+            except FileExistsError:
+                version += 1
+
+    def _commit(self, manifest: dict, expected_version: int) -> None:
+        """Compare-and-swap the manifest under an O_EXCL lock file.
+
+        On a shared POSIX filesystem this is a real critical section; on
+        an object store the equivalent is a conditional put / commit
+        service (what Delta's LogStore provides) — the snapshot-dir
+        layout transfers unchanged.
+        """
+        import time as _time
+
+        lock = self.path / COMMIT_LOCK
+        deadline = _time.monotonic() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if _time.monotonic() > deadline:
+                    raise ConcurrentWriteError(
+                        f"commit lock {lock} held for >10s (crashed writer? "
+                        "remove the lock file to recover)"
+                    )
+                _time.sleep(0.05)
+        try:
+            cur = self._read_manifest() or {"version": 0}
+            if int(cur["version"]) != expected_version:
+                raise ConcurrentWriteError(
+                    f"manifest advanced v{expected_version}→v{cur['version']} "
+                    "during write; retry from a fresh read"
+                )
+            self._swap_manifest(manifest)
+        finally:
+            os.close(fd)
+            lock.unlink(missing_ok=True)
 
     # -- public API --------------------------------------------------------
     @property
@@ -134,21 +197,21 @@ class ManagedTable:
             w.save(str(self.path))
             return
         m = self._read_manifest() or {"version": 0}
-        version = int(m["version"]) + 1
-        data_dir = f"v{version:05d}"
+        base_version = int(m["version"])
+        version, data_dir = self._claim_snapshot(base_version)
         if coalesce_single_file:  # S12 single-file compaction
             df = df.repartition(1)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
-        self.path.mkdir(parents=True, exist_ok=True)
         w.parquet(str(self.path / data_dir))
-        self._swap_manifest(
+        self._commit(
             {
                 "version": version,
                 "data_dir": data_dir,
                 "partition_by": partition_by or [],
-            }
+            },
+            expected_version=base_version,
         )
 
     def merge_upsert(

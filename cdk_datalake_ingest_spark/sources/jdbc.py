@@ -7,14 +7,22 @@ driver threads issuing overlapping BETWEEN slices
 (``partitionColumn/lowerBound/upperBound`` or explicit half-open
 ``predicates``) lets Spark schedule the parallelism with no overlap.
 
-No live RDBMS exists in the test environment, so ``read_jdbc`` is
-exercised only for option/SQL synthesis in unit tests; the synthesis
-functions are pure.
+``read_jdbc`` is exercised end-to-end against embedded Apache Derby
+(bundled with Spark's JVM — tests/test_jdbc_derby.py); the dialect URL
+templates for oracle/mysql/mssql are synthesis-only, as in round 1.
+
+Trust model: query synthesis interpolates catalog-config values
+(FILTER_COLUMN, FILTER_EXP, watermarks) into SQL text, exactly as the
+reference does (load_with_query.py:178-195). The config store is
+trusted; defensively, identifier-shaped fields are validated against an
+allowlist regex and date literals escape embedded quotes, so a
+malformed config row fails fast instead of reaching the source RDBMS.
 """
 
 from __future__ import annotations
 
 import datetime as dt
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -49,13 +57,39 @@ DIALECTS: dict[str, JdbcDialect] = {
         "com.microsoft.sqlserver.jdbc.SQLServerDriver",
         "jdbc:sqlserver://{server}:{port};databaseName={db}",
     ),
+    # Embedded Derby ships in Spark's JVM (derby*.jar) — not a reference
+    # dialect, but the only way to e2e-test the partitioned/predicate
+    # read paths without a network database. {db} is a filesystem path.
+    "derby": JdbcDialect(
+        "derby",
+        "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "jdbc:derby:{db}",
+    ),
 }
+
+
+#: SQL identifier allowlist: bare or schema-qualified column names only
+#: (covers Oracle's $/# identifier chars). Anything else in an
+#: identifier-position config field is a config error, not SQL.
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*(\.[A-Za-z_][A-Za-z0-9_$#]*)?$")
+
+
+def validate_identifier(name: str, field: str = "identifier") -> str:
+    """Fail fast on non-identifier text in an identifier-position config
+    field (defense against a compromised/typo'd catalog row)."""
+    name = name.strip()
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"{field} is not a valid SQL identifier: {name!r}")
+    return name
 
 
 def render_date_literal(value: str, filter_type: str) -> str:
     """P12 dialect date-literal rendering (load_with_query.py:198-222):
     wraps a 'YYYY-MM-DD HH:MM:SS[.ffffff]' string in the source
-    dialect's conversion function; BIGINT renders as unix seconds."""
+    dialect's conversion function; BIGINT renders as unix seconds.
+    Embedded single quotes are doubled so the value cannot terminate
+    the SQL literal."""
+    value = value.replace("'", "''")
     ft = filter_type.strip()
     if ft == "smalldatetime":
         return f"CONVERT(smalldatetime, '{value}', 120)"
@@ -81,13 +115,16 @@ def build_incremental_query(
         start = render_date_literal(start, table.filter_type)
         end = render_date_literal(end, table.filter_type)
     if "," in table.filter_column:
-        c1, c2 = [c.strip() for c in table.filter_column.split(",")[:2]]
+        c1, c2 = [
+            validate_identifier(c, "filter_column")
+            for c in table.filter_column.split(",")[:2]
+        ]
         query += (
             f" WHERE ({c1} IS NOT NULL and {c1} BETWEEN {start} AND {end})"
             f" OR ({c2} IS NOT NULL and {c2} BETWEEN {start} AND {end})"
         )
     else:
-        c = table.filter_column
+        c = validate_identifier(table.filter_column, "filter_column")
         query += f" WHERE {c} is not null and {c} BETWEEN {start} AND {end}"
     return query
 
@@ -134,29 +171,43 @@ def read_jdbc(
     inclusive slice edges.
     """
     dialect = DIALECTS[endpoint.bd_type.strip().lower().replace("sqlserver", "mssql")]
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", dialect.url(endpoint.server, endpoint.port, endpoint.db_name))
-        .option("user", endpoint.username)
-        .option("password", endpoint.password)
-        .option("driver", dialect.driver)
-        .option("fetchsize", fetchsize)
-    )
+    url = dialect.url(endpoint.server, endpoint.port, endpoint.db_name)
+    props = {
+        "user": endpoint.username,
+        "password": endpoint.password,
+        "driver": dialect.driver,
+        "fetchsize": str(fetchsize),
+    }
     if dialect.name == "oracle":  # S4 session init
-        reader = reader.option(
-            "sessionInitStatement",
-            "ALTER SESSION SET NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SS.FF'",
-        ).option("oracle.jdbc.mapDateToTimestamp", "true")
+        props["sessionInitStatement"] = (
+            "ALTER SESSION SET NLS_TIMESTAMP_FORMAT = 'YYYY-MM-DD HH24:MI:SS.FF'"
+        )
+        props["oracle.jdbc.mapDateToTimestamp"] = "true"
+    # `(query) src` subquery alias works on every dialect here (Oracle
+    # forbids AS on FROM-clause aliases, so no AS).
+    table = f"({query}) src"
     if predicates:
-        return reader.option("dbtable", f"({query}) src").load()
-    reader = reader.option("query", query)
+        # One partition per predicate. Only DataFrameReader.jdbc() takes
+        # predicates — there is no `predicates` DataSource option; round
+        # 1 silently dropped the list and did a single-connection read.
+        return spark.read.jdbc(
+            url=url, table=table, predicates=list(predicates), properties=props
+        )
+    reader = spark.read.format("jdbc").option("url", url)
+    for k, v in props.items():
+        reader = reader.option(k, v)
     if partition_column:
+        # partitionColumn is incompatible with the `query` option; the
+        # subquery-alias dbtable form is required for a partitioned read.
         reader = (
-            reader.option("partitionColumn", partition_column)
+            reader.option("dbtable", table)
+            .option("partitionColumn", partition_column)
             .option("lowerBound", lower_bound)
             .option("upperBound", upper_bound)
             .option("numPartitions", num_partitions)
         )
     else:
-        reader = reader.option("numPartitions", num_partitions)
+        reader = reader.option("query", query).option(
+            "numPartitions", num_partitions
+        )
     return reader.load()
