@@ -236,17 +236,45 @@ def minhash_near_dup_pairs(
     return verified
 
 
+#: SimHash fingerprint width. 60 bits, not 64: the token hash is the
+#: first 15 hex chars of md5, which BOTH Spark (conv(substr(md5,1,15),
+#: 16,10)) and DuckDB (('0x'||substr(md5,1,15))::BIGINT) compute to the
+#: identical bigint — so the SQL oracle can rebuild fingerprints from
+#: raw text and the gate is a full value check, not rows-only.
+SIMHASH_BITS = 60
+SIMHASH_BLOCKS = 4
+_BLOCK_BITS = SIMHASH_BITS // SIMHASH_BLOCKS  # 15
+_BLOCK_MASK = (1 << _BLOCK_BITS) - 1
+
+
+def portable_hash60(col: Column, seed: int) -> Column:
+    """Portable 60-bit token hash: md5 over 'seed:token', upper 15 hex
+    chars as a bigint. ~2× slower than xxhash64 per token, but exactly
+    reproducible outside the JVM (DuckDB, Python) — the property the
+    correctness gate needs. For a 100 TB run where no cross-engine
+    replay is required, xxhash64 drops in (hash choice only shifts which
+    pairs are LSH candidates, never the verified hamming distance)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), col)), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, seed: int = 42
 ) -> DataFrame:
-    """64-bit SimHash per document (Arrow-vectorized pandas_udf for the
-    bit-bucket accumulation; token hashing stays JVM-side via xxhash64).
+    """60-bit SimHash per document (Arrow-vectorized pandas_udf for the
+    bit-vote accumulation; token hashing stays JVM-side, md5-based for
+    cross-engine reproducibility — see ``portable_hash60``).
     """
     tokens = ensure_parallelism(df).select(
         F.col(id_col),
         F.transform(
             F.split(normalize_text(F.col(text_col)), " "),
-            lambda t: F.xxhash64(t, F.lit(seed)),
+            lambda t: portable_hash60(t, seed),
         ).alias("__th"),
     )
 
@@ -259,10 +287,10 @@ def simhash_signatures(
             if hs is None or len(hs) == 0:
                 continue
             arr = np.asarray(hs, dtype=np.uint64)
-            bits = (arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1
+            bits = (arr[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64)) & 1
             votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
             sig = np.uint64(0)
-            for j in range(64):
+            for j in range(SIMHASH_BITS):
                 if votes[j] > 0:
                     sig |= np.uint64(1) << np.uint64(j)
             out[i] = np.int64(sig)
@@ -278,9 +306,19 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """SimHash near-dup pairs by 4x16-bit block LSH (any pair within
-    hamming distance <= 3 shares at least one of 4 blocks), verified by
-    exact popcount of the XOR."""
+    """SimHash near-dup pairs by 4×15-bit block LSH, verified by exact
+    popcount of the XOR.
+
+    Pigeonhole exactness: ``max_hamming`` (3) < number of blocks (4), so
+    any qualifying pair has at least one untouched block and is always a
+    candidate — recall 1. The hamming verify gives precision 1. The
+    output therefore EQUALS the exact all-pairs hamming result, which is
+    what the DuckDB oracle (SIMHASH_SQL) computes from raw text."""
+    if max_hamming >= SIMHASH_BLOCKS:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee with {SIMHASH_BLOCKS} blocks (must be < blocks)"
+        )
     # persist: the block self-join reads the signatures from two
     # branches; without this the tokenize+Arrow-UDF stage runs twice.
     sigs = simhash_signatures(df, id_col, text_col, seed).persist()
@@ -292,11 +330,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), _BLOCK_BITS * i)
+                        .bitwiseAND(F.lit(_BLOCK_MASK))
                         .alias("blk_val"),
                     )
-                    for i in range(4)
+                    for i in range(SIMHASH_BLOCKS)
                 ]
             )
         ).alias("b"),
