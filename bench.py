@@ -17,10 +17,12 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-# Every registered query except the quadratic exact-Jaccard oracle
-# (ngram_jaccard_docs exists as the exactness reference for MinHash,
-# not as a scale path).
-EXCLUDE = {"ngram_jaccard_docs"}
+# Every registered query except the quadratic exactness oracles:
+# ngram_jaccard_docs is the exact reference for MinHash, and
+# embedding_near_dup is the exact O(n^2) cross-join reference for
+# embedding_near_dup_lsh (the gated scale path). Both stay in the
+# correctness gate; neither is a scale path to benchmark.
+EXCLUDE = {"ngram_jaccard_docs", "embedding_near_dup"}
 
 
 def bench_queries() -> list[str]:

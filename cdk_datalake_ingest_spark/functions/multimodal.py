@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -46,6 +47,13 @@ IMAGE_FEATURES_SCHEMA = StructType(
         StructField("sha1", StringType()),
         StructField("feat_0", IntegerType()),
         StructField("feat_1", IntegerType()),
+        # Codec-free byte-level features — real signal (not stubbed):
+        # distinct byte values and Shannon entropy of the byte
+        # histogram, the standard cheap screens for corrupt/ truncated
+        # media (entropy far from the codec's norm) and for compressed-
+        # vs-plaintext payload classification.
+        StructField("n_distinct_bytes", IntegerType()),
+        StructField("entropy_bits", DoubleType()),
     ]
 )
 
@@ -114,9 +122,21 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
             "for the deterministic stub decoder"
         )
 
+    import numpy as np
+
+    def _byte_stats(content: bytes) -> tuple[int, float]:
+        if not content:
+            return 0, 0.0
+        counts = np.bincount(
+            np.frombuffer(content, dtype=np.uint8), minlength=256
+        )
+        p = counts[counts > 0] / float(len(content))
+        return int(len(p)), float(-(p * np.log2(p)).sum())
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [_fake_decode(c) for c in pdf["content"]]
+            stats = [_byte_stats(c or b"") for c in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -126,6 +146,8 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
                     ],
                     "feat_0": [f[0] for f in feats],
                     "feat_1": [f[1] for f in feats],
+                    "n_distinct_bytes": [s[0] for s in stats],
+                    "entropy_bits": [s[1] for s in stats],
                 }
             )
 

@@ -368,6 +368,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """EXACT n-gram Jaccard similarity pairs >= threshold (no LSH
     approximation): explode distinct shingles, self-join on shingle,
@@ -375,7 +376,20 @@ def ngram_jaccard_pairs(
 
     Scale note: cost is bounded by shingle-bucket sizes; for 100 TB use
     :func:`minhash_near_dup_pairs` (this operator is the exactness
-    oracle for it)."""
+    oracle for it). ``max_rows`` is the guardrail for that role: the
+    corpus size is checked up front (a cheap count) and a corpus larger
+    than the cap raises instead of launching a job whose worst case is
+    quadratic. Pass ``max_rows=None`` to explicitly opt out.
+    """
+    if max_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs is the exact (worst-case quadratic) "
+                f"oracle, not a scale path: corpus has {n_rows} rows > "
+                f"max_rows={max_rows}. Use minhash_near_dup_pairs, or "
+                f"pass max_rows=None to override."
+            )
     sets = ensure_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("__set"),

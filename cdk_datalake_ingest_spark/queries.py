@@ -657,6 +657,46 @@ WHERE NOT EXISTS (
 """
 
 
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution during MERGE: the source batch carries a column
+    the stage table has never seen (`quality_tier`); the merge unions by
+    name with missing columns allowed, so pre-existing target rows get
+    NULL for it — pinning the reference's
+    `spark.databricks.delta.schema.autoMerge.enabled=true` sink
+    behavior (aje-stage-dms-load.py:44, merge at :492-495) in the
+    pure-DataFrame rewrite (operators/merge.py:57).
+
+    Scale note: schema evolution is metadata-only — the plan is the
+    same single key-shuffle merge; no rewrite of historical files.
+    """
+    ev = _events(spark, sf_dir)
+    cols = ["user_id", "event_type", "event_id", "ts_us", "value"]
+    target = latest_record_dedup(
+        ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    source = latest_record_dedup(
+        ev.filter(F.col("ts_us") >= TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols).withColumn(
+        "quality_tier",
+        F.when(F.col("value") >= 50.0, F.lit("high")).otherwise(F.lit("low")),
+    )
+    return merge_dataframes(target, source, _EVENT_KEYS, broadcast_source=True)
+
+
+SCHEMA_EVOLUTION_SQL = f"""
+WITH tgt AS ({_EVENT_DEDUP_SQL.format(where="WHERE epoch_us(ts) < 1705708800000000")}),
+     src AS ({_EVENT_DEDUP_SQL.format(where="WHERE epoch_us(ts) >= 1705708800000000")})
+SELECT user_id, event_type, event_id, ts_us, value,
+  CASE WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS quality_tier
+FROM src
+UNION ALL
+SELECT t.*, CAST(NULL AS VARCHAR) AS quality_tier FROM tgt t
+WHERE NOT EXISTS (
+  SELECT 1 FROM src s
+  WHERE s.user_id = t.user_id AND s.event_type = t.event_type)
+"""
+
+
 def incremental_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 range predicate + P11 FILTER_EXP/{0}{1} substitution.
 
@@ -1233,6 +1273,117 @@ FROM src
 """
 
 
+def salesforce_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salesforce UPSERT_LOAD path end to end: full-load snapshot →
+    flow converts to incremental on LastModifiedDate
+    (StartSalesforceLanding.py:334-348 `convert_to_incremental`,
+    :162-219 `incrementalPullConfig.datetimeTypeFieldName`) → the
+    incremental batch lands, is D14-shifted, deduped latest-per-Id, and
+    MERGEd into the existing stage table
+    (transform_light.py:394-400: orderBy Id desc → dropDuplicates(Id) →
+    whenMatchedUpdateAll/whenNotMatchedInsertAll) → the watermark
+    advances START←prev END, END←max(modified_ts).
+
+    Scale notes: the incremental batch is small by construction (only
+    rows modified since the last pull) so it is broadcast into the
+    anti-join — the 100 TB stage table never shuffles; the watermark is
+    a single max() aggregation over the batch, not the table.
+    """
+    _prep(spark)
+    import datetime as _dt
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.watermark import (
+        WatermarkStore,
+        max_watermark,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    _now = _dt.datetime(2026, 1, 1)  # fixed clock: clamp_future never fires
+
+    def _tl(df: DataFrame, src_tag: str) -> DataFrame:
+        src = df.select(
+            F.col("o_orderkey").alias("sf_id"),
+            F.col("o_orderstatus").alias("status"),
+            utc_to_lima_shift(F.col("o_orderdate")).alias("modified_ts"),
+            F.lit(src_tag).alias("load_src"),
+        )
+        return src.withColumn(
+            "key_status",
+            compile_transformation(
+                "fn_transform_Concatenate(status,load_src)", "string", SALESFORCE
+            ),
+        )
+
+    # 1. Full load (dataPullMode=Complete): everything before the cutover.
+    full = _tl(o.filter(F.col("o_orderdate") < F.lit("1997-01-01")), "full")
+    store = WatermarkStore(tempfile.mkdtemp(prefix="cdk_sf_wm_") + "/wm.json")
+    full_wm = max_watermark(full, ["modified_ts"], now=_now)
+    store.advance("orders_sf", full_wm)
+
+    # 2. Incremental pull: rows with LastModifiedDate >= the stored END
+    #    watermark (>= so the boundary instant re-extracts — updates).
+    start_from = store.get("orders_sf")[1]
+    batch = _tl(
+        o.filter(
+            utc_to_lima_shift(F.col("o_orderdate"))
+            >= F.lit(start_from).cast("timestamp")
+        ),
+        "incr",
+    )
+    incr_wm = max_watermark(batch, ["modified_ts"], now=_now)
+    wm_start, wm_end = store.advance("orders_sf", incr_wm)
+
+    # 3. MERGE the batch into the stage snapshot (TL:394-400 made
+    #    deterministic: latest-per-key instead of bare dropDuplicates).
+    merged = merge_dataframes(
+        full,
+        batch,
+        keys=["sf_id"],
+        order_by=["modified_ts", "sf_id"],
+        broadcast_source=True,
+    )
+    return merged.select(
+        "sf_id",
+        "status",
+        "modified_ts",
+        "load_src",
+        "key_status",
+        F.lit(wm_start).alias("wm_start"),
+        F.lit(wm_end).alias("wm_end"),
+    )
+
+
+SALESFORCE_INCR_SQL = """
+WITH full_ AS (
+  SELECT o_orderkey AS sf_id, o_orderstatus AS status,
+         o_orderdate - INTERVAL 5 HOUR AS modified_ts,
+         'full' AS load_src
+  FROM orders WHERE o_orderdate < DATE '1997-01-01'
+), wm1 AS (
+  SELECT strftime(max(modified_ts), '%Y-%m-%d %H:%M:%S') AS v FROM full_
+), incr AS (
+  SELECT o_orderkey AS sf_id, o_orderstatus AS status,
+         o_orderdate - INTERVAL 5 HOUR AS modified_ts,
+         'incr' AS load_src
+  FROM orders
+  WHERE o_orderdate - INTERVAL 5 HOUR >= (SELECT v FROM wm1)::TIMESTAMP
+), wm2 AS (
+  SELECT strftime(max(modified_ts), '%Y-%m-%d %H:%M:%S') AS v FROM incr
+), merged AS (
+  SELECT * FROM incr
+  UNION ALL
+  SELECT f.* FROM full_ f
+  WHERE NOT EXISTS (SELECT 1 FROM incr i WHERE i.sf_id = f.sf_id)
+)
+SELECT sf_id, status, modified_ts, load_src,
+  status || '-' || load_src AS key_status,
+  (SELECT v FROM wm1) AS wm_start,
+  (SELECT v FROM wm2) AS wm_end
+FROM merged
+"""
+
+
 def raw_csv_roundtrip_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full raw-zone file path: lineitem written as gzip CSV with
     header (S7), re-read schema-less so every column is a string (S1 —
@@ -1547,7 +1698,10 @@ def multimodal_media_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(hdr, F.encode(F.col("text"), "UTF-8")).alias("content"),
     )
     feats = decode_image_features(media, fake=True).select(
-        "media_id", F.col("byte_len").cast("bigint").alias("byte_len")
+        "media_id",
+        F.col("byte_len").cast("bigint").alias("byte_len"),
+        F.col("n_distinct_bytes").cast("bigint").alias("n_distinct_bytes"),
+        F.round("entropy_bits", 6).alias("entropy_bits"),
     )
     mimes = media.select(
         "media_id", sniff_mime(F.col("content")).alias("mime")
@@ -1561,13 +1715,37 @@ _SQL_HDR_LEN = " ".join(
 _SQL_HDR_MIME = " ".join(
     f"WHEN {i} THEN '{mime}'" for i, (mime, _) in enumerate(_MEDIA_HEADERS)
 )
+_SQL_HDR_HEX = " ".join(
+    f"WHEN {i} THEN '{magic.hex()}'" for i, (_, magic) in enumerate(_MEDIA_HEADERS)
+)
 
+# The byte-level features are recomputed from the construction rule:
+# content = header || utf8(text), exploded one row per byte via the hex
+# textualization (DuckDB blobs don't slice, hex strings do), then
+# histogram -> distinct count + Shannon entropy. This checks the
+# mapInPandas numpy path value-for-value.
 MULTIMODAL_SQL = f"""
-SELECT doc_id AS media_id,
-  (CASE doc_id % 4 {_SQL_HDR_LEN} END) + octet_length(encode(text))
-    AS byte_len,
-  CASE doc_id % 4 {_SQL_HDR_MIME} END AS mime
-FROM documents
+WITH m AS (
+  SELECT doc_id AS media_id,
+    (CASE doc_id % 4 {_SQL_HDR_HEX} END) || hex(encode(text)) AS hx,
+    CASE doc_id % 4 {_SQL_HDR_MIME} END AS mime
+  FROM documents
+), b AS (
+  SELECT media_id, ('0x' || substr(hx, 2*i + 1, 2))::INT AS byte
+  FROM m, LATERAL unnest(generate_series(0, length(hx)//2 - 1)) AS u(i)
+), freq AS (
+  SELECT media_id, byte, COUNT(*)::DOUBLE AS c FROM b GROUP BY media_id, byte
+), tot AS (
+  SELECT media_id, SUM(c) AS n, COUNT(*) AS nd FROM freq GROUP BY media_id
+), stats AS (
+  SELECT f.media_id,
+    MAX(t.n)::BIGINT AS byte_len,
+    MAX(t.nd)::BIGINT AS n_distinct_bytes,
+    ROUND(-SUM((f.c/t.n) * log2(f.c/t.n)), 6) AS entropy_bits
+  FROM freq f JOIN tot t USING (media_id) GROUP BY f.media_id
+)
+SELECT s.media_id, s.byte_len, s.n_distinct_bytes, s.entropy_bits, m.mime
+FROM stats s JOIN m USING (media_id)
 """
 
 
@@ -1902,6 +2080,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
     "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
     "salesforce_stage_orders": salesforce_stage_orders,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "schema_evolution_merge": schema_evolution_merge,
     "dsl_magic_codes": dsl_magic_codes,
     "dsl_flags_orders": dsl_flags_orders,
     "w1_latest_event": w1_latest_event,
@@ -1950,6 +2130,8 @@ ORACLES: dict[str, str] = {
     "stage_pipeline_lineitem": STAGE_PIPELINE_SQL,
     "raw_csv_roundtrip_stage": STAGE_PIPELINE_SQL,
     "salesforce_stage_orders": SALESFORCE_STAGE_SQL,
+    "salesforce_incremental_upsert": SALESFORCE_INCR_SQL,
+    "schema_evolution_merge": SCHEMA_EVOLUTION_SQL,
     "dsl_magic_codes": DSL_MAGIC_SQL,
     "dsl_flags_orders": DSL_FLAGS_SQL,
     "w1_latest_event": W1_SQL,
