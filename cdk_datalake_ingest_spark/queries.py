@@ -1032,6 +1032,181 @@ FROM s WHERE rn = 1 AND lang_pred = 'en' AND quality >= 0.5
 """
 
 
+# PII patterns — deliberately conservative so the Java-regex (Spark)
+# and RE2 (DuckDB) dialects agree: no lookaround, no backrefs.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over the documents table — the
+    pre-training scrub step (emails, phone numbers, IPv4 addresses).
+    The synthetic corpus carries no natural PII, so the gate injects it
+    deterministically by rule (the multimodal gate's construction-rule
+    pattern), then detects with native ``regexp_count`` and redacts
+    with chained ``regexp_replace`` — all JVM-side, no Python.
+
+    Scale note: a pure map stage — no shuffle, no UDF; at 100 TB this
+    is scan-bound and pipelines with any downstream filter."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit(" reach user"), d.cast("string"), F.lit("@example.com ok")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit(" call 415-555-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" now"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit(" host 10.0."), (d % 256).cast("string"), F.lit(".77 up"))
+        ),
+    )
+    t = injected
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        _PII_IPV4_RE,
+        "[IP]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_PHONE_RE)).alias("n_phones"),
+        F.regexp_count(t, F.lit(_PII_IPV4_RE)).alias("n_ipv4"),
+        redacted.alias("redacted"),
+    )
+
+
+PII_SCRUB_SQL = rf"""
+WITH m AS (
+  SELECT doc_id,
+    text || CASE doc_id % 3
+      WHEN 0 THEN ' reach user' || doc_id || '@example.com ok'
+      WHEN 1 THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' now'
+      ELSE ' host 10.0.' || (doc_id % 256) || '.77 up' END AS t
+  FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS n_phones,
+  len(regexp_extract_all(t, '{_PII_IPV4_RE}')) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(t, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+      '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+    '{_PII_IPV4_RE}', '[IP]', 'g') AS redacted
+FROM m
+"""
+
+
+def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition / boilerplate quality metrics — the standard screens
+    for low-quality or machine-generated training text: most-frequent-
+    token share and duplicate word-bigram ratio.
+
+    The bigram metrics are array-native per row (word_shingles zip_with
+    — a pure map, no shuffle); the top-token share is the distributed
+    path: explode → two map-side-combining aggregations keyed on
+    doc_id, so at 100 TB each doc's token counts combine locally before
+    one shuffle on doc_id."""
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        normalize_text,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", word_shingles(F.col("text"), 2).alias("__g")
+    ).select(
+        "doc_id",
+        F.size("__g").alias("n_2grams"),
+        (F.size("__g") - F.size(F.array_distinct("__g"))).alias("n_dup_2grams"),
+    ).withColumn(
+        "dup_2gram_ratio",
+        F.round(
+            F.col("n_dup_2grams")
+            / F.nullif(F.col("n_2grams"), F.lit(0)).cast("double"),
+            6,
+        ),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok")
+    )
+    top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_tok_n"),
+        )
+        .withColumn(
+            "top_token_ratio",
+            F.round(F.col("top_tok_n") / F.col("n_tokens").cast("double"), 6),
+        )
+    )
+    return grams.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "top_tok_n",
+        "top_token_ratio",
+        "n_2grams",
+        "n_dup_2grams",
+        "dup_2gram_ratio",
+    )
+
+
+REPETITION_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_SQL_NORM}, ' ') AS lst FROM documents
+), grams AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(lst) - 1),
+                   i -> lst[i] || ' ' || lst[i + 1]) AS g
+  FROM norm
+), gm AS (
+  SELECT doc_id, len(g) AS n_2grams,
+    len(g) - len(list_distinct(g)) AS n_dup_2grams
+  FROM grams
+), toks AS (
+  SELECT doc_id, unnest(lst) AS tok FROM norm
+), cnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+), top AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_n FROM cnt GROUP BY doc_id
+)
+SELECT g.doc_id, t.n_tokens, t.top_tok_n,
+  ROUND(t.top_tok_n / t.n_tokens::DOUBLE, 6) AS top_token_ratio,
+  g.n_2grams, g.n_dup_2grams,
+  ROUND(g.n_dup_2grams / nullif(g.n_2grams, 0)::DOUBLE, 6) AS dup_2gram_ratio
+FROM gm g JOIN top t USING (doc_id)
+"""
+
+
+def distinct_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 full-row DISTINCT (the reference's Spark-native range split
+    dedupes whole extracted rows, aje-raw-jdbc-load.py pattern): one
+    shuffle on all projected columns, map-side pre-aggregated."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus", "l_quantity").distinct()
+
+
+DISTINCT_ROWS_SQL = """
+SELECT DISTINCT l_returnflag, l_linestatus, l_quantity FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------------
 # Embeddings: similarity search
 # --------------------------------------------------------------------------
@@ -2096,6 +2271,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fingerprint_docs": fingerprint_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "curate_documents": curate_documents,
+    "pii_scrub_docs": pii_scrub_docs,
+    "repetition_docs": repetition_docs,
+    "distinct_rows_lineitem": distinct_rows_lineitem,
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -2146,6 +2324,9 @@ ORACLES: dict[str, str] = {
     "fingerprint_docs": FINGERPRINT_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "curate_documents": CURATE_SQL,
+    "pii_scrub_docs": PII_SCRUB_SQL,
+    "repetition_docs": REPETITION_SQL,
+    "distinct_rows_lineitem": DISTINCT_ROWS_SQL,
     # Approximate queries are still exactly checkable: the oracle either
     # re-runs the same deterministic algorithm in DuckDB (LSH/IVF with
     # embedded hyperplane constants, md5-based SimHash) or checks exact

@@ -83,6 +83,22 @@ def test_ngram_jaccard_exact(spark):
     assert all(3 not in k for k in out)
 
 
+def test_ngram_jaccard_guardrail(spark):
+    """The exact-quadratic oracle refuses large corpora unless the cap
+    is explicitly lifted — a careless caller can't launch it at scale."""
+    import pytest
+
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(_docs(spark), "doc_id", "text", max_rows=2)
+    # explicit opt-out still works
+    assert (
+        ngram_jaccard_pairs(
+            _docs(spark), "doc_id", "text", threshold=0.5, max_rows=None
+        ).count()
+        > 0
+    )
+
+
 def test_simhash_near_dups(spark):
     out = simhash_near_dup_pairs(_docs(spark), "doc_id", "text").collect()
     pairs = {(r.id_a, r.id_b): r.hamming for r in out}

@@ -60,6 +60,23 @@ def test_column_pruning(spark):
     assert set(re.findall(r"(\w+):", m.group(1))) == {"doc_id", "text"}
 
 
+def test_pii_scrub_is_shuffle_free_map_stage(spark):
+    """PII scrub must stay a pure map over the scan: no Exchange, no
+    Python evaluation — at 100 TB it pipelines with the read."""
+    plan = _plan(spark, "pii_scrub_docs")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salesforce_incremental_broadcasts_the_batch(spark):
+    """The incremental batch (small by construction) must broadcast
+    into the merge anti-join — the full stage table never shuffles
+    for the merge."""
+    plan = _plan(spark, "salesforce_incremental_upsert")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_nested_loop_anywhere_in_headline_joins(spark):
     for q in (
         "orders_without_lineitems",
