@@ -1683,38 +1683,38 @@ def user_engagement_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
-        # accuracy 1000 ≈ 0.1% rank error; 10000 costs ~10× merge time
-        # for precision nobody reads off a sketch.
-        F.percentile_approx("value", 0.5, 1000).alias("p50_approx"),
-        F.percentile_approx("value", 0.95, 1000).alias("p95_approx"),
-        F.expr("percentile(value, 0.5)").alias("__p50"),
-        F.expr("percentile(value, 0.95)").alias("__p95"),
-        # generous rank windows (±3% / ±3%) around the sketch's ≤0.1%
-        # rank-error guarantee: false failures impossible, gross sketch
-        # breakage still caught
-        F.expr("percentile(value, 0.47)").alias("__p50_lo"),
-        F.expr("percentile(value, 0.53)").alias("__p50_hi"),
-        F.expr("percentile(value, 0.92)").alias("__p95_lo"),
-        F.expr("percentile(value, 0.98)").alias("__p95_hi"),
+        # ONE percentile aggregate with an array of fractions, not six
+        # scalar aggregates: each scalar percentile() buffers the whole
+        # group independently, the array form shares a single buffer
+        # (measured 2.7s -> 1.6s at sf0.1). accuracy 1000 ≈ 0.1% rank
+        # error; 10000 costs ~10× merge time for precision nobody
+        # reads off a sketch. Array layout:
+        # __pex = [p47, p50, p53, p92, p95, p98]; __pap = [p50, p95].
+        F.expr("percentile_approx(value, array(0.5, 0.95), 1000)").alias(
+            "__pap"
+        ),
+        F.expr(
+            "percentile(value, array(0.47, 0.5, 0.53, 0.92, 0.95, 0.98))"
+        ).alias("__pex"),
         F.count(F.lit(1)).alias("n"),
     )
+    pex, pap = F.col("__pex"), F.col("__pap")
     return agg.select(
         "event_type",
         "exact_users",
         "n",
-        F.round(F.col("__p50"), 6).alias("p50_exact"),
-        F.round(F.col("__p95"), 6).alias("p95_exact"),
+        F.round(pex[1], 6).alias("p50_exact"),
+        F.round(pex[4], 6).alias("p95_exact"),
         # HLL++ rsd=0.02 → |err| ≤ 10% is a ≥5σ bound
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
             <= F.col("exact_users") * F.lit(0.1)
         ).alias("users_in_bounds"),
-        F.col("p50_approx")
-        .between(F.col("__p50_lo"), F.col("__p50_hi"))
-        .alias("p50_in_bounds"),
-        F.col("p95_approx")
-        .between(F.col("__p95_lo"), F.col("__p95_hi"))
-        .alias("p95_in_bounds"),
+        # generous rank windows (±3%) around the sketch's ≤0.1%
+        # rank-error guarantee: false failures impossible, gross sketch
+        # breakage still caught
+        pap[0].between(pex[0], pex[2]).alias("p50_in_bounds"),
+        pap[1].between(pex[3], pex[5]).alias("p95_in_bounds"),
     )
 
 
