@@ -1194,6 +1194,278 @@ FROM gm g JOIN top t USING (doc_id)
 """
 
 
+def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split — the reproducibility
+    primitive of every training-data pipeline: bucket = md5(doc_id)
+    mod 100 (engine-portable, unlike Spark's hash()/DuckDB's hash()),
+    80/10/10 split, per-split summary stats.
+
+    Scale note: the split assignment is a stateless map (no shuffle,
+    no RNG state to coordinate across 1000 executors — rerunning any
+    subset of partitions yields identical assignments); only the tiny
+    per-split rollup shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), T.token_count(F.col("text")).alias("__nt"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").alias("n_tokens"),
+        )
+    )
+
+
+DATASET_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+    {_SQL_NTOK} AS nt
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'valid'
+            ELSE 'test' END AS split,
+  COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+FROM b GROUP BY 1
+"""
+
+
+PACK_BUDGET_TOKENS = 256
+
+
+def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — concatenate documents into fixed token-budget
+    packs for training: running token count per shard (here: language)
+    in deterministic doc_id order, pack index = floor(exclusive-cumsum
+    / budget), then per-pack fill stats.
+
+    Scale note: packing is per-shard (window PARTITION BY lang), so the
+    cumsum parallelizes across shards instead of serializing the corpus
+    through one global window — at 100 TB shard by (lang, hash-range)
+    to bound each window's partition size; the pack assignment itself
+    adds exactly one shuffle on the shard key."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    sized = docs.select(
+        "doc_id", "lang", T.token_count(F.col("text")).alias("nt")
+    ).withColumn(
+        "pack_idx",
+        F.floor(
+            (F.sum("nt").over(w) - F.col("nt")) / F.lit(PACK_BUDGET_TOKENS)
+        ),
+    )
+    return (
+        sized.groupBy("lang", "pack_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("tok_total"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+PACK_SEQUENCES_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, {_SQL_NTOK} AS nt FROM documents
+), packed AS (
+  SELECT doc_id, lang, nt,
+    (SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - nt)
+      // {PACK_BUDGET_TOKENS} AS pack_idx
+  FROM sized
+)
+SELECT lang, pack_idx, COUNT(*) AS n_docs, SUM(nt) AS tok_total,
+  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY lang, pack_idx
+"""
+
+
+def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4/S5 through a LIVE database: a one-month orders slice is
+    written into embedded Apache Derby (bundled in Spark's JVM), read
+    back through ``read_jdbc`` with partitionColumn-strided bounds
+    (the reference's DMS/JDBC ingestion path,
+    load_with_query.py:155-168), then aggregated per status. The
+    oracle computes the same aggregate from the parquet slice — so a
+    wrong JDBC option, stride duplication, or dropped row breaks the
+    hash, not just a unit test.
+
+    Scale note: the strided read opens num_partitions parallel
+    connections each scanning a half-open key range — the same plan
+    Spark uses against a production RDBMS; Derby only stands in for
+    the server."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.sources.jdbc import read_jdbc
+    from cdk_datalake_ingest_spark.specs import EndpointSpec
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-01-01", "1995-01-31")
+    )
+    src = o.select(
+        F.col("o_orderkey").alias("O_ORDERKEY"),
+        F.col("o_custkey").alias("O_CUSTKEY"),
+        F.col("o_orderstatus").alias("O_ORDERSTATUS"),
+        F.col("o_totalprice").alias("O_TOTALPRICE"),
+    )
+    db_path = tempfile.mkdtemp(prefix="cdk_derby_") + "/gatedb"
+    src.write.jdbc(
+        url=f"jdbc:derby:{db_path};create=true",
+        table="APP.ORDERS_SLICE",
+        mode="overwrite",
+        properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+    )
+    ep = EndpointSpec(endpoint_name="derby-gate", bd_type="derby", db_name=db_path)
+    # bounded driver-side lookup (2 scalars) to form the stride bounds —
+    # the same min/max probe a production ingest issues before a
+    # partitioned read
+    lo, hi = src.agg(F.min("O_ORDERKEY"), F.max("O_ORDERKEY")).first()
+    back = read_jdbc(
+        spark,
+        ep,
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice "
+        "FROM APP.ORDERS_SLICE",
+        num_partitions=4,
+        partition_column="o_orderkey",
+        lower_bound=str(lo),
+        upper_bound=str(int(hi) + 1),
+    )
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+JDBC_ROUNDTRIP_SQL = """
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-01-31'
+GROUP BY o_orderstatus
+"""
+
+
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the driver gate: events staged as a
+    time-ordered multi-file drop → file-source stream (one file per
+    micro-batch) → watermarked hourly windowed counts
+    (streaming/events.py:windowed_event_counts) → availableNow drain
+    into parquet → read the sink back.
+
+    Determinism: append mode only emits windows the watermark has
+    closed, so a far-future sentinel row rides in the last drop file —
+    after it, every real window is closed and emitted, and the
+    sentinel's own window (never closed) stays withheld. The oracle is
+    then simply the batch hourly rollup of all real events. The
+    decimal-cast of the measure BEFORE the streaming agg makes the sum
+    exact (a double sum depends on partition order).
+
+    Scale note: state is bounded by the watermark horizon; the same
+    topology runs unchanged on a live file drop or Kafka source with a
+    real trigger cadence."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.streaming.events import (
+        run_available_now,
+        stream_events,
+        windowed_event_counts,
+    )
+
+    _prep(spark)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.timestamp_micros(F.expr("ts div 1000")).alias("et"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdk_stream_gate_")
+    drop = f"{tmp}/drop"
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+
+    _os.makedirs(drop)
+    # Three time-ordered drop files (the scheduled-landing cadence),
+    # the last carrying the sentinel (bounded 1-row max probe): once it
+    # is processed the watermark passes every real window's end. The
+    # file source takes files in modification-time order, so the
+    # sequential writes below replay in landing order.
+    max_et = ev.agg(F.max("et")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(max_et + _dt.timedelta(days=1), "__sentinel__", None)],
+        schema=ev.schema,
+    )
+    slices = [
+        ev.filter(F.dayofmonth("et") <= 10),
+        ev.filter((F.dayofmonth("et") > 10) & (F.dayofmonth("et") <= 20)),
+        ev.filter(F.dayofmonth("et") > 20).unionByName(sentinel),
+    ]
+    _FILES_PER_DROP = 4  # parallel staging write; one drop = one batch
+    for i, part in enumerate(slices):
+        stage_dir = f"{tmp}/slice{i}"
+        part.repartition(_FILES_PER_DROP).write.parquet(stage_dir)
+        for j, src_file in enumerate(
+            sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
+        ):
+            dst = f"{drop}/{i:03d}_{j}.parquet"
+            _os.rename(src_file, dst)
+            # pin strictly increasing mtimes per slice — landing order
+            # must not depend on filesystem timestamp granularity (all
+            # of a slice's files share one mtime, so each micro-batch
+            # takes exactly one slice)
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    src = stream_events(
+        spark, drop, ev.schema, max_files_per_trigger=_FILES_PER_DROP
+    )
+    counts = windowed_event_counts(src, ts_col="et")
+    # State-store layout: streaming state is hash-partitioned by
+    # shuffle.partitions at first checkpoint and AQE cannot coalesce it
+    # (AQE is disabled in stateful streaming) — for a few thousand
+    # window×type states, 8 partitions beats the batch default's
+    # per-task overhead ×4 micro-batches (with the parallel staging
+    # write: 17s → ~4s steady-state at sf0.1). At 100 TB size this to
+    # the real key cardinality instead.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(counts, f"{tmp}/out", f"{tmp}/cp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    out = spark.read.parquet(f"{tmp}/out")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+        "event_type",
+        "n",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+STREAMING_WINDOWED_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY window_start, window_end, event_type
+"""
+
+
 def distinct_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 full-row DISTINCT (the reference's Spark-native range split
     dedupes whole extracted rows, aje-raw-jdbc-load.py pattern): one
@@ -2273,7 +2545,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "curate_documents": curate_documents,
     "pii_scrub_docs": pii_scrub_docs,
     "repetition_docs": repetition_docs,
+    "dataset_split_docs": dataset_split_docs,
+    "pack_sequences_docs": pack_sequences_docs,
     "distinct_rows_lineitem": distinct_rows_lineitem,
+    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
+    "streaming_windowed_counts": streaming_windowed_counts,
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -2326,7 +2602,11 @@ ORACLES: dict[str, str] = {
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,
     "repetition_docs": REPETITION_SQL,
+    "dataset_split_docs": DATASET_SPLIT_SQL,
+    "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "distinct_rows_lineitem": DISTINCT_ROWS_SQL,
+    "jdbc_roundtrip_orders": JDBC_ROUNDTRIP_SQL,
+    "streaming_windowed_counts": STREAMING_WINDOWED_SQL,
     # Approximate queries are still exactly checkable: the oracle either
     # re-runs the same deterministic algorithm in DuckDB (LSH/IVF with
     # embedded hyperplane constants, md5-based SimHash) or checks exact

@@ -15,12 +15,22 @@ from pyspark.sql.types import StructType
 
 
 def stream_events(
-    spark: SparkSession, source_dir: str, schema: StructType
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source stream over parquet event batches (a drop location
     fed by the raw zone). Schema must be provided (streaming reads do
-    not infer)."""
-    return spark.readStream.schema(schema).parquet(source_dir)
+    not infer). ``max_files_per_trigger`` rate-limits each micro-batch
+    (files are taken in modification-time order, i.e. landing order) —
+    without it an availableNow drain swallows the whole backlog in one
+    batch, so watermarks never advance mid-run and append-mode windows
+    aren't emitted until a later trigger."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(source_dir)
 
 
 def windowed_event_counts(
