@@ -1466,6 +1466,84 @@ GROUP BY window_start, window_end, event_type
 """
 
 
+def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2/R4/R5 through the gate: a 3-table catalog planned and
+    executed by RunPlanner with bounded concurrency — two real per-table
+    dataflows (orders flag count, events W1-dedup count) and one table
+    whose source is missing, which must FAIL in isolation (retried
+    3×, logged, not propagated — StartWorkFlow Map semantics). Output =
+    the run-report (table, status, n_rows); the oracle recomputes each
+    table's count in SQL and pins the statuses.
+
+    Scale note: the planner is control-plane (threads dispatching Spark
+    jobs); each runner's count is a distributed action, and concurrent
+    job submission overlaps their scheduling — same shape as the
+    reference's 5-way Glue Map."""
+    from cdk_datalake_ingest_spark.plans.planner import RunLog, RunPlanner
+    from cdk_datalake_ingest_spark.specs import ConfigCatalog, EndpointSpec
+
+    import tempfile
+
+    _prep(spark)
+    catalog = ConfigCatalog(
+        tables=[
+            TableSpec(target_table_name="orders_flags", endpoint="fs-a"),
+            TableSpec(target_table_name="events_latest", endpoint="fs-a"),
+            TableSpec(target_table_name="missing_src", endpoint="fs-b"),
+            TableSpec(
+                target_table_name="inactive_tbl", endpoint="fs-a", active_flag="N"
+            ),
+        ],
+        endpoints=[
+            EndpointSpec(endpoint_name="fs-a", bd_type="file"),
+            EndpointSpec(endpoint_name="fs-b", bd_type="file"),
+        ],
+    )
+    counts: dict[str, int] = {}
+
+    def runner(t: TableSpec) -> None:
+        if t.target_table_name == "orders_flags":
+            n = (
+                _t(spark, sf_dir, "orders")
+                .filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+                .count()
+            )
+        elif t.target_table_name == "events_latest":
+            n = latest_record_dedup(
+                _events(spark, sf_dir), _EVENT_KEYS, _EVENT_ORDER
+            ).count()
+        else:
+            raise FileNotFoundError(f"no source for {t.target_table_name}")
+        counts[t.target_table_name] = n
+
+    log = RunLog(tempfile.mkdtemp(prefix="cdk_runlog_") + "/log.jsonl")
+    planner = RunPlanner(catalog, run_log=log, base_sleep=0.0)
+    results = planner.run(runner)
+    assert log.failed_count() == 1  # R5: failure logged, run continued
+    rows = [
+        (r.table, r.status, counts.get(r.table, 0))
+        for r in results
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, status string, n_rows bigint"
+    )
+
+
+PLANNER_RUN_SQL = """
+SELECT 'orders_flags' AS table_name, 'SUCCEEDED' AS status,
+  (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_rows
+UNION ALL
+SELECT 'events_latest', 'SUCCEEDED',
+  (SELECT COUNT(*) FROM (
+     SELECT user_id, event_type FROM events
+     QUALIFY row_number() OVER (
+       PARTITION BY user_id, event_type
+       ORDER BY epoch_us(ts) DESC, event_id DESC) = 1))
+UNION ALL
+SELECT 'missing_src', 'FAILED', 0
+"""
+
+
 def distinct_rows_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 full-row DISTINCT (the reference's Spark-native range split
     dedupes whole extracted rows, aje-raw-jdbc-load.py pattern): one
@@ -2550,6 +2628,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "streaming_windowed_counts": streaming_windowed_counts,
+    "planner_multi_table_run": planner_multi_table_run,
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
     "ann_cosine_topk": ann_cosine_topk,
@@ -2607,6 +2686,7 @@ ORACLES: dict[str, str] = {
     "distinct_rows_lineitem": DISTINCT_ROWS_SQL,
     "jdbc_roundtrip_orders": JDBC_ROUNDTRIP_SQL,
     "streaming_windowed_counts": STREAMING_WINDOWED_SQL,
+    "planner_multi_table_run": PLANNER_RUN_SQL,
     # Approximate queries are still exactly checkable: the oracle either
     # re-runs the same deterministic algorithm in DuckDB (LSH/IVF with
     # embedded hyperplane constants, md5-based SimHash) or checks exact
