@@ -1239,6 +1239,52 @@ FROM b GROUP BY 1
 """
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling + interleave
+    order — the data-mixing step of a training pipeline: each language
+    gets its own md5-bucket sampling rate (down-sample the dominant
+    stratum, keep the tail), and the surviving docs get a deterministic
+    global interleave position (hash order, so a re-run — or a resumed
+    1000-executor job — produces byte-identical epochs with strata
+    evenly spread, no RNG state anywhere).
+
+    Scale note: sampling is a stateless map; the interleave rank is one
+    window over the sample — at 100 TB assign position by hash sort
+    within shards instead of one global window (same hash, sharded)."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(50))  # dominant stratum: half
+        .when(F.col("lang") == "zh", F.lit(80))
+        .otherwise(F.lit(100))  # keep the tail languages whole
+    )
+    sampled = docs.filter(bucket < rate).select(
+        "doc_id", "lang", h.alias("__h")
+    )
+    w = Window.orderBy("__h")
+    return sampled.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).alias("interleave_pos"),
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+WITH b AS (
+  SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h,
+    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+  FROM documents
+), s AS (
+  SELECT doc_id, lang, h FROM b
+  WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 80 ELSE 100 END
+)
+SELECT doc_id, lang,
+  row_number() OVER (ORDER BY h) AS interleave_pos
+FROM s
+"""
+
+
 PACK_BUDGET_TOKENS = 256
 
 
@@ -2625,6 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_docs": repetition_docs,
     "dataset_split_docs": dataset_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
+    "stratified_sample_docs": stratified_sample_docs,
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "streaming_windowed_counts": streaming_windowed_counts,
@@ -2683,6 +2730,7 @@ ORACLES: dict[str, str] = {
     "repetition_docs": REPETITION_SQL,
     "dataset_split_docs": DATASET_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
+    "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "distinct_rows_lineitem": DISTINCT_ROWS_SQL,
     "jdbc_roundtrip_orders": JDBC_ROUNDTRIP_SQL,
     "streaming_windowed_counts": STREAMING_WINDOWED_SQL,
