@@ -382,11 +382,13 @@ def ngram_jaccard_pairs(
     quadratic. Pass ``max_rows=None`` to explicitly opt out.
     """
     if max_rows is not None:
-        n_rows = df.count()
-        if n_rows > max_rows:
+        # limit(n+1).count() short-circuits after max_rows+1 rows — the
+        # guardrail must not itself pay a full scan of the corpus it is
+        # refusing to process.
+        if df.limit(max_rows + 1).count() > max_rows:
             raise ValueError(
                 f"ngram_jaccard_pairs is the exact (worst-case quadratic) "
-                f"oracle, not a scale path: corpus has {n_rows} rows > "
+                f"oracle, not a scale path: corpus exceeds "
                 f"max_rows={max_rows}. Use minhash_near_dup_pairs, or "
                 f"pass max_rows=None to override."
             )

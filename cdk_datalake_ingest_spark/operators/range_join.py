@@ -65,10 +65,16 @@ def range_join(
     # Row id so the left-join recovery can anti-join on identity rather
     # than on all point columns: plain-equality anti-join never matches a
     # row containing a NULL (it would be emitted twice — matched AND
-    # null-padded) and collapses duplicate point rows. The id is stable
-    # across the two uses below because both branches share one lineage
-    # (same source partitioning → same partition_id/offset packing).
+    # null-padded) and collapses duplicate point rows.
     pts = points.withColumn(_PID, F.monotonically_increasing_id())
+    if how == "left":
+        # The id is only stable across the matched and anti-join
+        # branches if the rows are NOT recomputed between them: a
+        # shuffle in `points`' lineage makes within-partition order
+        # (hence id packing) nondeterministic per evaluation, which
+        # would duplicate or drop rows. Materialize once; Spark's
+        # ContextCleaner unpersists when the plan is released.
+        pts = pts.persist()
     # floor(), not an integer cast: cast truncates toward zero, which is
     # wrong for pre-epoch (negative) timestamps.
     pt = pts.withColumn(_BUCKET, F.floor(F.col(point_col) / F.lit(w)))

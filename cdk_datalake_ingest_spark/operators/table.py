@@ -17,7 +17,13 @@ Writers use optimistic concurrency: each claims a unique snapshot dir
 (mkdir O_EXCL) and commits via a manifest compare-and-swap under a lock
 file — exactly one of two racing writers wins, the loser raises
 ``ConcurrentWriteError`` and retries from a fresh read
-(tests/test_concurrency.py).
+(tests/test_concurrency.py). Read-modify-write flows (merge, delete,
+compact, optimize) anchor the CAS on the version their input snapshot
+was READ at (``_pinned_snapshot``), so a commit landing anywhere
+between their read and their write is detected — not just one racing
+the final swap. Abandoned locks from crashed writers are broken after
+a staleness horizon (the critical section is a millisecond manifest
+swap), so the table self-heals.
 
 Scale note: on a real cluster the manifest swap would use the
 FileSystem rename of the cluster's storage layer; the snapshot-dir
@@ -119,15 +125,28 @@ class ManagedTable:
 
         lock = self.path / COMMIT_LOCK
         deadline = _time.monotonic() + 10.0
+        stale_after = 30.0  # a live commit holds the lock for ~ms
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 break
             except FileExistsError:
+                # Self-heal a crashed writer's abandoned lock: the
+                # critical section is a manifest swap (milliseconds), so
+                # a lock tens of seconds old is dead. Re-check age right
+                # before unlinking to avoid breaking a fresh lock; on an
+                # object store this whole path is a conditional put.
+                try:
+                    age = _time.time() - lock.stat().st_mtime
+                    if age > stale_after:
+                        lock.unlink(missing_ok=True)
+                        continue
+                except OSError:
+                    continue  # lock vanished — retry acquire
                 if _time.monotonic() > deadline:
                     raise ConcurrentWriteError(
-                        f"commit lock {lock} held for >10s (crashed writer? "
-                        "remove the lock file to recover)"
+                        f"commit lock {lock} held for >10s by a live "
+                        "writer; retry from a fresh read"
                     )
                 _time.sleep(0.05)
         try:
@@ -181,13 +200,32 @@ class ManagedTable:
             if c.is_dir() and c.name.startswith("v") and c.name[1:].isdigit()
         )
 
+    def _pinned_snapshot(self) -> tuple[dict, DataFrame]:
+        """Manifest + a DataFrame pinned to THAT manifest's snapshot
+        dir, read atomically (one manifest read). Read-modify-write
+        flows must pass the returned version to ``write(...,
+        expected_base_version=...)`` so a commit landing between their
+        read and their write fails the CAS instead of being silently
+        overwritten (lost update)."""
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no ManagedTable at {self.path}")
+        return m, self.spark.read.parquet(str(self.path / m["data_dir"]))
+
     def write(
         self,
         df: DataFrame,
         partition_by: list[str] | None = None,
         coalesce_single_file: bool = False,
+        expected_base_version: int | None = None,
     ) -> None:
-        """Full overwrite (S9): new immutable snapshot + manifest swap."""
+        """Full overwrite (S9): new immutable snapshot + manifest swap.
+
+        ``expected_base_version``: for read-modify-write callers — the
+        manifest version their input snapshot came from. The commit CAS
+        then rejects the write if any other commit landed after that
+        read (without it, only commits racing *this* write's own
+        manifest read are detected)."""
         if HAS_DELTA:
             w = df.write.format("delta").mode("overwrite").option(
                 "overwriteSchema", "true"
@@ -196,8 +234,11 @@ class ManagedTable:
                 w = w.partitionBy(*partition_by)
             w.save(str(self.path))
             return
-        m = self._read_manifest() or {"version": 0}
-        base_version = int(m["version"])
+        if expected_base_version is not None:
+            base_version = int(expected_base_version)
+        else:
+            m = self._read_manifest() or {"version": 0}
+            base_version = int(m["version"])
         version, data_dir = self._claim_snapshot(base_version)
         if coalesce_single_file:  # S12 single-file compaction
             df = df.repartition(1)
@@ -251,7 +292,7 @@ class ManagedTable:
                 .execute()
             )
             return
-        target = self.read()
+        m, target = self._pinned_snapshot()
         merged = merge_dataframes(
             target,
             source,
@@ -260,8 +301,11 @@ class ManagedTable:
             delete_predicate=delete_predicate,
             broadcast_source=broadcast_source,
         )
-        m = self._read_manifest() or {}
-        self.write(merged, partition_by=m.get("partition_by") or None)
+        self.write(
+            merged,
+            partition_by=m.get("partition_by") or None,
+            expected_base_version=int(m["version"]),
+        )
 
     def delete_where(self, predicate: Column) -> None:
         """Delta DELETE equivalent: drop rows where predicate is TRUE
@@ -269,9 +313,13 @@ class ManagedTable:
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
             DeltaTable.forPath(self.spark, str(self.path)).delete(predicate)
             return
-        kept = self.read().filter(~F.coalesce(predicate, F.lit(False)))
-        m = self._read_manifest() or {}
-        self.write(kept, partition_by=m.get("partition_by") or None)
+        m, target = self._pinned_snapshot()
+        kept = target.filter(~F.coalesce(predicate, F.lit(False)))
+        self.write(
+            kept,
+            partition_by=m.get("partition_by") or None,
+            expected_base_version=int(m["version"]),
+        )
 
     def vacuum(self, keep_snapshots: int = 1) -> list[str]:
         """Drop superseded snapshot directories (S11)."""
@@ -304,18 +352,19 @@ class ManagedTable:
         of merge-heavy tables (every merge writes a sliver); compaction
         restores scan efficiency without changing data. Time travel to
         pre-compaction versions still works until ``vacuum``."""
+        m, snap = self._pinned_snapshot()
         if num_files is None:
-            m = self._read_manifest()
-            if m is None:
-                raise FileNotFoundError(f"no ManagedTable at {self.path}")
             data = self.path / m["data_dir"]
             total = sum(
                 f.stat().st_size for f in data.rglob("*.parquet")
             )
             num_files = max(1, -(-total // target_file_bytes))
-        df = self.read().coalesce(int(num_files))
-        m = self._read_manifest() or {}
-        self.write(df, partition_by=m.get("partition_by") or None)
+        df = snap.coalesce(int(num_files))
+        self.write(
+            df,
+            partition_by=m.get("partition_by") or None,
+            expected_base_version=int(m["version"]),
+        )
 
     def optimize(self, cluster_by: list[str], num_files: int | None = None) -> None:
         """Clustered rewrite for min/max data skipping (the OPTIMIZE
@@ -326,15 +375,18 @@ class ManagedTable:
         predicates. Linear order is optimal for one key and a good
         approximation for a leading-key workload; true Z-order only
         wins for multi-key box queries."""
-        df = self.read()
+        m, df = self._pinned_snapshot()
         cols = [F.col(c) for c in cluster_by]
         if num_files:
             df = df.repartitionByRange(int(num_files), *cols)
         else:
             df = df.repartitionByRange(*cols)
         df = df.sortWithinPartitions(*cols)
-        m = self._read_manifest() or {}
-        self.write(df, partition_by=m.get("partition_by") or None)
+        self.write(
+            df,
+            partition_by=m.get("partition_by") or None,
+            expected_base_version=int(m["version"]),
+        )
 
     def register(self, name: str) -> None:
         """Catalog registration replacing the reference's Glue crawlers

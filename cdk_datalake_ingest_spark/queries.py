@@ -26,6 +26,7 @@ from cdk_datalake_ingest_spark.dsl.compiler import (
     compile_transformation,
     utc_to_lima_shift,
 )
+from cdk_datalake_ingest_spark.functions import hashing as _hashing
 from cdk_datalake_ingest_spark.functions import text as T
 from cdk_datalake_ingest_spark.functions.similarity import (
     brute_force_topk,
@@ -1204,12 +1205,10 @@ def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no RNG state to coordinate across 1000 executors — rerunning any
     subset of partitions yields identical assignments); only the tiny
     per-split rollup shuffles."""
+    from cdk_datalake_ingest_spark.functions.hashing import md5_bucket
+
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint")
-        % 100
-    )
+    bucket = md5_bucket(F.col("doc_id"))
     split = (
         F.when(bucket < 80, F.lit("train"))
         .when(bucket < 90, F.lit("valid"))
@@ -1227,7 +1226,7 @@ def dataset_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DATASET_SPLIT_SQL = f"""
 WITH b AS (
-  SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+  SELECT {_hashing.md5_bucket_sql('doc_id')} AS bucket,
     {_SQL_NTOK} AS nt
   FROM documents
 )
@@ -1251,9 +1250,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: sampling is a stateless map; the interleave rank is one
     window over the sample — at 100 TB assign position by hash sort
     within shards instead of one global window (same hash, sharded)."""
+    from cdk_datalake_ingest_spark.functions.hashing import md5_bucket
+
     docs = _t(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
-    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 100
+    bucket = md5_bucket(F.col("doc_id"))
     rate = (
         F.when(F.col("lang") == "en", F.lit(50))  # dominant stratum: half
         .when(F.col("lang") == "zh", F.lit(80))
@@ -1270,10 +1271,10 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STRATIFIED_SAMPLE_SQL = """
+STRATIFIED_SAMPLE_SQL = f"""
 WITH b AS (
   SELECT doc_id, lang, md5(doc_id::VARCHAR) AS h,
-    ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+    {_hashing.md5_bucket_sql('doc_id')} AS bucket
   FROM documents
 ), s AS (
   SELECT doc_id, lang, h FROM b
@@ -1565,7 +1566,10 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = RunLog(tempfile.mkdtemp(prefix="cdk_runlog_") + "/log.jsonl")
     planner = RunPlanner(catalog, run_log=log, base_sleep=0.0)
     results = planner.run(runner)
-    assert log.failed_count() == 1  # R5: failure logged, run continued
+    if log.failed_count() != 1:  # R5: failure logged, run continued
+        raise RuntimeError(
+            f"run log recorded {log.failed_count()} failures, expected 1"
+        )
     rows = [
         (r.table, r.status, counts.get(r.table, 0))
         for r in results

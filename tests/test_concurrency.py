@@ -114,6 +114,77 @@ def test_manifest_never_points_at_missing_snapshot(spark, tmp_path):
     assert t.read().count() == 3
 
 
+def test_lost_update_rejected_for_read_modify_write(spark, tmp_path):
+    """TOCTOU regression (round-2 review): a writer whose input snapshot
+    was read at version N must NOT silently overwrite a commit that
+    landed after N — the CAS has to anchor on the READ version, not on
+    a fresh manifest read at write time."""
+    path = tmp_path / "t5"
+    t = _mk(spark, path)  # v1: ids 0..19
+    m, pinned = t._pinned_snapshot()
+    stale_merge = pinned.unionByName(
+        spark.range(100, 105).withColumn("val", F.lit(-1).cast("long"))
+    )
+    # another writer commits between the read and the write
+    t.merge_upsert(
+        spark.range(50, 55).withColumn("val", F.lit(7).cast("long")), keys=["id"]
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t.write(stale_merge, expected_base_version=int(m["version"]))
+    # the interleaved writer's rows survived
+    ids = {r["id"] for r in t.read().collect()}
+    assert set(range(50, 55)) <= ids
+
+
+def test_merge_upsert_detects_interleaved_commit(spark, tmp_path):
+    """Same race through the public API: merge_upsert's read→merge→write
+    must raise (and the pipeline retry then succeeds) when another
+    commit lands mid-flight."""
+    path = tmp_path / "t6"
+    t = _mk(spark, path)
+    orig_pin = ManagedTable._pinned_snapshot
+
+    def racing_pin(self):
+        m, df = orig_pin(self)
+        # interleave a competing commit AFTER this writer's read
+        other = ManagedTable(spark, path)
+        other.write(
+            spark.range(200, 205).withColumn("val", F.lit(1).cast("long"))
+        )
+        return m, df
+
+    w = ManagedTable(spark, path)
+    w._pinned_snapshot = racing_pin.__get__(w)
+    with pytest.raises(ConcurrentWriteError):
+        w.merge_upsert(
+            spark.range(300, 305).withColumn("val", F.lit(2).cast("long")),
+            keys=["id"],
+        )
+    # retry from a fresh read (the pipeline's contract) now lands
+    t.merge_upsert(
+        spark.range(300, 305).withColumn("val", F.lit(2).cast("long")),
+        keys=["id"],
+    )
+    ids = {r["id"] for r in t.read().collect()}
+    assert set(range(200, 205)) <= ids and set(range(300, 305)) <= ids
+
+
+def test_stale_lock_from_crashed_writer_is_broken(spark, tmp_path):
+    """A lock file whose holder died must not wedge the table: locks
+    older than the staleness horizon are broken and the write
+    proceeds."""
+    import os
+
+    t = _mk(spark, tmp_path / "t7")
+    lock = tmp_path / "t7" / "_manifest.lock"
+    lock.touch()
+    old = 10_000.0  # epoch-ish: far older than the 30s horizon
+    os.utime(lock, (old, old))
+    t.write(spark.range(7))  # must not raise
+    assert t.read().count() == 7
+    assert not lock.exists()
+
+
 def test_stale_commit_lock_times_out(spark, tmp_path):
     t = _mk(spark, tmp_path / "t4")
     lock = tmp_path / "t4" / "_manifest.lock"

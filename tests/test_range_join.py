@@ -97,6 +97,38 @@ def test_rejects_bad_args(spark):
         range_join(points, intervals, "ts", "lo", "hi", bucket_width=0)
 
 
+def test_left_join_stable_with_shuffled_lineage(spark):
+    """Round-2 review regression: the row-id anchoring the left
+    recovery must survive recomputation when the points input carries a
+    shuffle (its within-partition order is not deterministic per
+    evaluation). The operator materializes the id once; every point —
+    including duplicates and NULL-bearing rows — must appear exactly
+    once per match (or once null-padded)."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(0, 2000).select(
+        (F.col("id") % 40).alias("k"),
+        (F.col("id") % 97).alias("ts"),
+        F.when(F.col("id") % 5 == 0, None).otherwise(F.col("id")).alias("tag"),
+    )
+    # shuffle in the lineage: aggregate then re-expand
+    points = (
+        base.groupBy("k", "ts")
+        .agg(F.count("tag").alias("tag"))
+        .repartition(16)
+    )
+    intervals = spark.createDataFrame(
+        [Row(k=int(k), lo=10, hi=30) for k in range(40)]
+    )
+    out = range_join(points, intervals, "ts", "lo", "hi", on=["k"], how="left")
+    n_points = points.count()
+    # every point appears exactly once (each matches <=1 interval here)
+    assert out.count() == n_points
+    assert out.filter(F.col("lo").isNull()).count() == points.filter(
+        ~F.col("ts").between(10, 30)
+    ).count()
+
+
 def test_negative_timestamps(spark):
     """floor() bucketing must be correct across zero (cast-truncation
     would put -5 and +5 in the same bucket at width 10)."""
