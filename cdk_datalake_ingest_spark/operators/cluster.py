@@ -1,0 +1,160 @@
+"""Connected components over a pair/edge DataFrame — the clustering
+step that turns near-duplicate PAIRS (minhash/simhash/embedding LSH
+output) into dedup GROUPS, so a curation pipeline can keep exactly one
+representative per group. The reference has no graph operator; this is
+part of the training-data extension surface (SURVEY.md §2 extensions),
+answering "which documents are all copies of each other" rather than
+"which pairs look alike".
+
+Algorithm: the alternating large-star / small-star method (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
+standard shuffle-based CC algorithm. Each round is two groupBy shuffles
+over the EDGE set only (never materializes neighborhoods into arrays),
+and the edge set only shrinks toward a star forest, so:
+
+  * rounds needed is O(log n) — independent of graph DIAMETER. Naive
+    min-label propagation needs diameter rounds, and a 100 TB corpus
+    with chained near-dup clusters (doc A ~ B ~ C ... ) can have
+    diameter in the thousands; this is why label propagation is NOT
+    the scale path.
+  * per-round state is one (src, dst) long-pair relation — shuffle
+    volume is bounded by the number of edges, shrinking every round.
+
+Iterative plans grow without bound in Spark, so each round localCheckpoints
+the new edge set (truncating lineage) and unpersists the old one. On a
+real cluster use spark.sparkContext.setCheckpointDir + .checkpoint()
+instead — localCheckpoint stores blocks on executors and does not
+survive executor loss; the hook is the ``checkpoint`` callable arg.
+
+Convergence is detected exactly: a round that leaves the edge set
+unchanged (checked with a one-row aggregate of count + xor/sum of a
+64-bit edge hash — one cheap job, no exceptAll anti-join shuffle) is
+final. ``max_rounds`` bounds the loop defensively; hitting it raises
+rather than returning a half-merged clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "attach_components"]
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected canonical form: (min, max) per edge, self-loops
+    dropped, duplicates collapsed."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("src"),
+            F.greatest(F.col(src), F.col(dst)).alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Emits (v, m) with v > u ≥ m — strictly
+    decreasing, so no self-loops can appear."""
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mins = sym.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("__m")
+    )
+    return (
+        sym.join(mins, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges large→small; for each node a: link all its smaller
+    neighbors (and a itself) to the minimum of them."""
+    oriented = _canon(edges, "src", "dst").select(
+        F.col("dst").alias("a"), F.col("src").alias("b")  # a > b
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("__m"))
+    j = oriented.join(mins, "a")
+    e1 = j.filter(F.col("b") != F.col("__m")).select(
+        F.col("b").alias("src"), F.col("__m").alias("dst")
+    )
+    e2 = mins.select(F.col("a").alias("src"), F.col("__m").alias("dst"))
+    return e1.union(e2).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent 64-bit hash-sum) of the edge set —
+    one tiny aggregate job used as the exact convergence test (edge
+    sets here are canonical/distinct, so equal fingerprints on a
+    shrinking-universe iteration mean equal sets for any practical
+    purpose; max_rounds still backstops the theoretical collision)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_rounds: int = 25,
+    checkpoint=None,
+) -> DataFrame:
+    """Return (node, component) for every node incident to an edge;
+    ``component`` is the smallest node id in the node's connected
+    component (so it is deterministic and engine-portable).
+
+    Nodes with no edges never appear — join the result back to the
+    entity table with :func:`attach_components` to default singletons
+    to their own id.
+
+    ``checkpoint``: optional DataFrame→DataFrame lineage-truncation
+    hook; defaults to ``localCheckpoint(eager=True)`` (single-machine /
+    test mode). On a cluster pass ``lambda df: df.checkpoint()`` with a
+    fault-tolerant checkpoint dir configured.
+    """
+    ck = checkpoint or (lambda df: df.localCheckpoint(eager=True))
+    e = ck(_canon(edges, src_col, dst_col))
+    fp = _fingerprint(e)
+    for _ in range(max_rounds):
+        nxt = ck(_small_star(_large_star(e)))
+        nfp = _fingerprint(nxt)
+        e.unpersist()
+        e = nxt
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # Converged edge set is a star forest: every edge points child→root.
+    roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.union(roots).distinct()
+
+
+def attach_components(
+    entities: DataFrame,
+    assignment: DataFrame,
+    id_col: str,
+    component_col: str = "component",
+) -> DataFrame:
+    """Left-join the component assignment onto the entity table;
+    entities with no near-dup edge become singleton clusters of
+    themselves. The assignment side is the (small) pair-derived
+    relation, so broadcast it rather than shuffling the corpus."""
+    a = F.broadcast(
+        assignment.withColumnRenamed("node", id_col)
+    )
+    return entities.join(a, id_col, "left").withColumn(
+        component_col, F.coalesce(F.col(component_col), F.col(id_col))
+    )

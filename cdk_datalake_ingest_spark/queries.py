@@ -35,6 +35,10 @@ from cdk_datalake_ingest_spark.functions.similarity import (
     ivf_topk,
     lsh_topk,
 )
+from cdk_datalake_ingest_spark.operators.cluster import (
+    attach_components,
+    connected_components,
+)
 from cdk_datalake_ingest_spark.operators.dedup import (
     exact_dedup,
     latest_record_dedup,
@@ -978,6 +982,65 @@ def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall-1 argument (operators/dedup.py)."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: pairs (the exact n-gram Jaccard edges,
+    themselves oracle-gated) -> connected components (alternating
+    large-star/small-star, operators/cluster.py) -> one row per
+    clustered doc with its component representative and cluster size;
+    singleton docs stay out of the pair graph and are attached back
+    with component = their own id. This is the step a curation pipeline
+    uses to KEEP one doc per duplicate group.
+
+    Scale: component rounds are O(log n) two-shuffle iterations over
+    the (shrinking) edge relation only; the corpus itself is touched
+    once for edge building and once for the broadcast attach.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    assign = connected_components(pairs, "id_a", "id_b")
+    clustered = attach_components(
+        docs.select("doc_id"), assign, "doc_id", component_col="cluster_rep"
+    )
+    sizes = clustered.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clustered.join(F.broadcast(sizes), "cluster_rep").select(
+        "doc_id",
+        "cluster_rep",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_rep"),
+    )
+
+
+# Oracle: transitive closure by recursive CTE — for each node the
+# minimum reachable id over the symmetric edge set IS the component
+# representative. Edges are the same NGRAM_JACCARD_SQL pair set;
+# singleton docs (no edge) fall back to their own id via the left join.
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({NGRAM_JACCARD_SQL}) t
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION
+  SELECT id_b AS s, id_a AS d FROM pairs
+), walk(n, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT w.n, e.d FROM walk w JOIN edges e ON e.s = w.r
+), comp AS (
+  SELECT n AS node, MIN(r) AS rep FROM walk GROUP BY n
+), assigned AS (
+  SELECT d.doc_id, COALESCE(c.rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), sizes AS (
+  SELECT cluster_rep, COUNT(*) AS cluster_size FROM assigned GROUP BY cluster_rep
+)
+SELECT a.doc_id, a.cluster_rep, s.cluster_size,
+       a.doc_id = a.cluster_rep AS is_rep
+FROM assigned a JOIN sizes s USING (cluster_rep)
+"""
 
 
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
