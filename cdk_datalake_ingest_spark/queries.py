@@ -1248,7 +1248,10 @@ WITH norm AS (
 ), cnt AS (
   SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
 ), top AS (
-  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_tok_n FROM cnt GROUP BY doc_id
+  -- CAST: DuckDB SUM(INT) yields HUGEINT which pandas renders float64;
+  -- Spark emits bigint — same textualization trap as Q12_SQL.
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_tok_n
+  FROM cnt GROUP BY doc_id
 )
 SELECT g.doc_id, t.n_tokens, t.top_tok_n,
   ROUND(t.top_tok_n / t.n_tokens::DOUBLE, 6) AS top_token_ratio,
@@ -1296,7 +1299,7 @@ WITH b AS (
 SELECT CASE WHEN bucket < 80 THEN 'train'
             WHEN bucket < 90 THEN 'valid'
             ELSE 'test' END AS split,
-  COUNT(*) AS n_docs, SUM(nt) AS n_tokens
+  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
 FROM b GROUP BY 1
 """
 
@@ -1388,13 +1391,16 @@ PACK_SEQUENCES_SQL = f"""
 WITH sized AS (
   SELECT doc_id, lang, {_SQL_NTOK} AS nt FROM documents
 ), packed AS (
+  -- CAST: DuckDB SUM(INT) window yields HUGEINT which pandas renders
+  -- float64; Spark emits bigint — same textualization trap as Q12_SQL.
   SELECT doc_id, lang, nt,
-    (SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
-                   ROWS UNBOUNDED PRECEDING) - nt)
-      // {PACK_BUDGET_TOKENS} AS pack_idx
+    CAST((SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+                        ROWS UNBOUNDED PRECEDING) - nt)
+      // {PACK_BUDGET_TOKENS} AS BIGINT) AS pack_idx
   FROM sized
 )
-SELECT lang, pack_idx, COUNT(*) AS n_docs, SUM(nt) AS tok_total,
+SELECT lang, pack_idx, COUNT(*) AS n_docs,
+  CAST(SUM(nt) AS BIGINT) AS tok_total,
   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM packed GROUP BY lang, pack_idx
 """
