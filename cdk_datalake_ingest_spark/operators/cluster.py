@@ -147,14 +147,26 @@ def attach_components(
     assignment: DataFrame,
     id_col: str,
     component_col: str = "component",
+    broadcast_threshold_rows: int = 10_000_000,
 ) -> DataFrame:
     """Left-join the component assignment onto the entity table;
     entities with no near-dup edge become singleton clusters of
-    themselves. The assignment side is the (small) pair-derived
-    relation, so broadcast it rather than shuffling the corpus."""
-    a = F.broadcast(
-        assignment.withColumnRenamed("node", id_col)
+    themselves.
+
+    The assignment side is pair-derived, so for a typical corpus
+    (near-dup fraction well under 100%) it is much smaller than the
+    entity table and broadcasting avoids shuffling the corpus. But a
+    high-duplication corpus can make the assignment itself huge, so the
+    broadcast is guarded: assignments above ``broadcast_threshold_rows``
+    (~10M rows ≈ low-hundreds MB of long pairs, inside Spark's 8GB
+    broadcast ceiling with headroom) fall back to a plain shuffle join.
+    The count is one cheap job over the already-checkpointed assignment.
+    """
+    a = assignment.withColumnRenamed("node", id_col).withColumnRenamed(
+        "component", component_col
     )
+    if a.count() <= broadcast_threshold_rows:
+        a = F.broadcast(a)
     return entities.join(a, id_col, "left").withColumn(
         component_col, F.coalesce(F.col(component_col), F.col(id_col))
     )

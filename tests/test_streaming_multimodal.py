@@ -8,7 +8,7 @@ from cdk_datalake_ingest_spark.functions.multimodal import (
     decode_image_features,
     sample_frames,
 )
-from cdk_datalake_ingest_spark.sources.parquet import load_table
+from cdk_datalake_ingest_spark.sources.parquet import load_table, ts_us_expr
 from cdk_datalake_ingest_spark.streaming.events import (
     run_available_now,
     stream_events,
@@ -20,9 +20,8 @@ import pytest
 
 def test_streaming_matches_batch_rollup(spark, tmp_path, sf_dir):
     # stage a copy of events (with us timestamps) as the stream source
-    ev = load_table(spark, sf_dir, "events").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev_raw = load_table(spark, sf_dir, "events")
+    ev = ev_raw.withColumn("ts", F.timestamp_micros(ts_us_expr(ev_raw)))
     src = str(tmp_path / "stream_src")
     ev.write.parquet(src)
     static = spark.read.parquet(src)

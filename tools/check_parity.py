@@ -55,6 +55,27 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c], b[c]
+            # The driver's gate hashes TEXTUALIZED values, so an int64
+            # Spark column vs a float64 oracle column hashes "123" vs
+            # "123.0" and fails even when numerically equal.  This is the
+            # DuckDB HUGEINT trap (SUM(INT) -> HUGEINT -> pandas float64)
+            # that burned q12 in r1 and three new queries in r2 because
+            # this comparator used to accept int==float silently.  Flag
+            # any int-vs-float dtype pairing as a hard failure.
+            int_float_pair = (
+                pd.api.types.is_integer_dtype(av)
+                and pd.api.types.is_float_dtype(bv)
+            ) or (
+                pd.api.types.is_float_dtype(av)
+                and pd.api.types.is_integer_dtype(bv)
+            )
+            if int_float_pair:
+                problems.append(
+                    f"col {c}: dtype pairing spark={av.dtype} vs "
+                    f"duck={bv.dtype} — textual hash WOULD FAIL even if "
+                    f"values match (CAST the oracle SUM to BIGINT?)"
+                )
+                continue
             if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
                 av_f = pd.to_numeric(av, errors="coerce")
                 bv_f = pd.to_numeric(bv, errors="coerce")
