@@ -120,6 +120,16 @@ def connected_components(
     fault-tolerant checkpoint dir configured.
     """
     ck = checkpoint or (lambda df: df.localCheckpoint(eager=True))
+    # Node universe BEFORE self-loop/dup canonicalization: a node whose
+    # only edge is a self-loop must still come back (as a singleton) —
+    # "every node incident to an edge" includes self-loops. One distinct
+    # over the edge relation, computed once.
+    universe = (
+        edges.select(F.col(src_col).alias("node"))
+        .union(edges.select(F.col(dst_col).alias("node")))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+    )
     e = ck(_canon(edges, src_col, dst_col))
     fp = _fingerprint(e)
     for _ in range(max_rounds):
@@ -139,7 +149,12 @@ def connected_components(
         "component", F.col("node")
     )
     members = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
-    return members.union(roots).distinct()
+    assign = members.union(roots).distinct()
+    # Nodes absent from the forest (all their edges were self-loops)
+    # are singleton components of themselves.
+    return universe.join(assign, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def attach_components(

@@ -72,9 +72,14 @@ def range_join(
         # branches if the rows are NOT recomputed between them: a
         # shuffle in `points`' lineage makes within-partition order
         # (hence id packing) nondeterministic per evaluation, which
-        # would duplicate or drop rows. Materialize once; Spark's
-        # ContextCleaner unpersists when the plan is released.
-        pts = pts.persist()
+        # would duplicate or drop rows. persist() is NOT enough —
+        # cached partitions are evicted under memory pressure and
+        # silently recomputed with different ids. localCheckpoint
+        # truncates the lineage so the ids become facts, not a
+        # recomputable expression (same policy as cluster.py; on a
+        # cluster prefer a fault-tolerant checkpoint dir, since
+        # localCheckpoint blocks die with their executor).
+        pts = pts.localCheckpoint(eager=True)
     # floor(), not an integer cast: cast truncates toward zero, which is
     # wrong for pre-epoch (negative) timestamps.
     pt = pts.withColumn(_BUCKET, F.floor(F.col(point_col) / F.lit(w)))

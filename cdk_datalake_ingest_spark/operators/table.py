@@ -120,6 +120,14 @@ class ManagedTable:
         an object store the equivalent is a conditional put / commit
         service (what Delta's LogStore provides) — the snapshot-dir
         layout transfers unchanged.
+
+        Fencing limit, stated plainly: breaking a stale lock is atomic
+        (rename), but it cannot FENCE the previous holder — a writer
+        paused longer than ``stale_after`` inside the critical section
+        will still swap the manifest when it wakes, unfenced. Closing
+        that needs a store with conditional-put (Delta LogStore,
+        S3 If-Match, DynamoDB CAS); the manifest-version CAS here maps
+        onto one directly.
         """
         import time as _time
 
@@ -133,16 +141,46 @@ class ManagedTable:
             except FileExistsError:
                 # Self-heal a crashed writer's abandoned lock: the
                 # critical section is a manifest swap (milliseconds), so
-                # a lock tens of seconds old is dead. Re-check age right
-                # before unlinking to avoid breaking a fresh lock; on an
-                # object store this whole path is a conditional put.
+                # a lock tens of seconds old is dead.
                 try:
-                    age = _time.time() - lock.stat().st_mtime
-                    if age > stale_after:
-                        lock.unlink(missing_ok=True)
-                        continue
+                    st = lock.stat()
+                    age = _time.time() - st.st_mtime
                 except OSError:
                     continue  # lock vanished — retry acquire
+                if age > stale_after:
+                    # Break ATOMICALLY: rename to a unique per-breaker
+                    # tombstone. A plain stat-then-unlink is a TOCTOU —
+                    # between this breaker's age check and its unlink,
+                    # another breaker can remove the stale lock and a
+                    # third writer acquire a FRESH one at the same path,
+                    # which this breaker would then unlink, admitting
+                    # two writers into the CAS. Rename makes the break
+                    # exclusive (one rename per lock incarnation wins);
+                    # the inode re-check below catches the residual
+                    # path-reuse window and restores the fresh lock.
+                    tomb = lock.with_name(
+                        f"{COMMIT_LOCK}.broken."
+                        f"{os.getpid()}.{_time.monotonic_ns()}"
+                    )
+                    try:
+                        os.rename(lock, tomb)
+                    except OSError:
+                        continue  # lost the break race — re-contend
+                    try:
+                        fresh = tomb.stat().st_ino != st.st_ino
+                    except OSError:
+                        continue
+                    if fresh:
+                        # We grabbed a lock that re-used the path after
+                        # our stat: hand it back (best effort — see the
+                        # fencing note in the docstring).
+                        try:
+                            os.rename(tomb, lock)
+                        except OSError:
+                            pass
+                        continue
+                    tomb.unlink(missing_ok=True)
+                    continue
                 if _time.monotonic() > deadline:
                     raise ConcurrentWriteError(
                         f"commit lock {lock} held for >10s by a live "

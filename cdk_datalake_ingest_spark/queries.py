@@ -988,10 +988,13 @@ def minhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: NGRAM_JACCARD_SQL — the exact all-pairs result. Equality
     holds because the verify step gives precision 1, and 8 bands × 4
-    rows at threshold 0.5 gives recall 1 on this corpus (deterministic
-    for a fixed seed; checked at sf0.001 and sf0.01, and pinned by
-    tests/test_dedup.py — a recall miss would fail the gate loudly,
-    which is the point)."""
+    rows at threshold 0.5 gives recall 1 ON THIS CORPUS AND SEED — an
+    empirical property of the fixture, NOT of the algorithm. This gate
+    is a deliberate tripwire: change the fixture, seed, band count, or
+    threshold and a recall miss fails the hash loudly (then either
+    re-validate recall or relax the gate to candidates ⊇ exact +
+    per-pair verified-Jaccard equality). Checked at sf0.001/sf0.01,
+    pinned by tests/test_dedup.py."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_near_dup_pairs(
         docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
@@ -1008,20 +1011,27 @@ def simhash_near_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def near_dup_clusters_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: pairs (the exact n-gram Jaccard edges,
-    themselves oracle-gated) -> connected components (alternating
-    large-star/small-star, operators/cluster.py) -> one row per
-    clustered doc with its component representative and cluster size;
-    singleton docs stay out of the pair graph and are attached back
-    with component = their own id. This is the step a curation pipeline
-    uses to KEEP one doc per duplicate group.
+    """Near-duplicate CLUSTERS: banded MinHash+LSH pairs (the scale
+    path — itself gated equal to the exact n-gram Jaccard edge set on
+    this corpus via `minhash_near_dup_docs`) -> connected components
+    (alternating large-star/small-star, operators/cluster.py) -> one
+    row per clustered doc with its component representative and cluster
+    size; singleton docs stay out of the pair graph and are attached
+    back with component = their own id. This is the step a curation
+    pipeline uses to KEEP one doc per duplicate group.
 
-    Scale: component rounds are O(log n) two-shuffle iterations over
-    the (shrinking) edge relation only; the corpus itself is touched
-    once for edge building and once for the broadcast attach.
+    Scale: edge building is hash-once + banded bucket-join (never
+    all-pairs); component rounds are O(log n) two-shuffle iterations
+    over the (shrinking) edge relation only; the corpus itself is
+    touched once for edge building and once for the guarded-broadcast
+    attach. The oracle recomputes the exact transitive closure over the
+    exact Jaccard edges — equal output by the gated recall-1
+    equivalence of the two pair sets.
     """
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    pairs = minhash_near_dup_pairs(
+        docs, "doc_id", "text", num_hashes=32, bands=8, jaccard_threshold=0.5
+    )
     assign = connected_components(pairs, "id_a", "id_b")
     clustered = attach_components(
         docs.select("doc_id"), assign, "doc_id", component_col="cluster_rep"
@@ -1069,8 +1079,16 @@ FROM assigned a JOIN sizes s USING (cluster_rep)
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data curation pipeline: enrich (lang ID,
     quality, token count, content hash) -> exact-dedup survivor (min
-    doc_id per hash) -> keep English docs above the quality bar. One
-    narrow enrich stage + one shuffle on content hash."""
+    doc_id per hash) -> NEAR-dup survivor (one representative per
+    MinHash+LSH connected component, rep = min doc_id — consistent
+    with the exact-dedup rule) -> keep English docs above the quality
+    bar.
+
+    Scale: one narrow enrich stage + one shuffle on content hash, then
+    the banded-LSH + star-contraction clustering over exact-dedup
+    survivors only (already shrunk). The oracle recomputes the whole
+    chain with exact Jaccard edges + a recursive-CTE closure — equal by
+    the gated recall-1 pair equivalence (`minhash_near_dup_docs`)."""
     from cdk_datalake_ingest_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -1085,13 +1103,26 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = latest_record_dedup(
         enriched, ["content_hash"], [F.col("doc_id").asc()]
     )
-    return surv.filter(
-        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    surv_text = docs.select("doc_id", "text").join(
+        surv.select("doc_id"), "doc_id"
+    )
+    pairs = minhash_near_dup_pairs(
+        surv_text, "doc_id", "text", num_hashes=32, bands=8,
+        jaccard_threshold=0.5,
+    )
+    assign = connected_components(pairs, "id_a", "id_b")
+    clustered = attach_components(
+        surv, assign, "doc_id", component_col="cluster_rep"
+    )
+    return clustered.filter(
+        (F.col("doc_id") == F.col("cluster_rep"))
+        & (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
     ).select("doc_id", "lang_pred", "quality", "n_tokens")
 
 
 CURATE_SQL = f"""
-WITH h AS (
+WITH RECURSIVE h AS (
   SELECT doc_id, text,
     {_sql_lang_hits('en')} AS h_en,
     {_sql_lang_hits('es')} AS h_es,
@@ -1113,9 +1144,46 @@ WITH h AS (
 ), s AS (
   SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
   FROM e
+), surv AS (
+  SELECT doc_id, lang_pred, quality, n_tokens FROM s WHERE rn = 1
+), shs AS (
+  -- near-dup edges among exact-dedup survivors only (exact 3-gram
+  -- Jaccard — the Spark side's MinHash pair set equals this by the
+  -- gated recall-1 equivalence)
+  SELECT d.doc_id, list_distinct(list_transform(
+    range(1, GREATEST(len({_SQL_TOKENS}) - 2, 0) + 1),
+    i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1] || ' ' || {_SQL_TOKENS}[i+2]
+  )) AS shset
+  FROM documents d JOIN surv USING (doc_id)
+  WHERE GREATEST(len({_SQL_TOKENS}) - 2, 0) > 0
+), ex AS (
+  SELECT doc_id, unnest(shset) AS sh FROM shs
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shset) AS n FROM shs
+), prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+), walk(nd, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT w.nd, g.dst FROM walk w JOIN edges g ON g.src = w.r
+), comp AS (
+  SELECT nd AS node, MIN(r) AS rep FROM walk GROUP BY nd
 )
-SELECT doc_id, lang_pred, quality, n_tokens
-FROM s WHERE rn = 1 AND lang_pred = 'en' AND quality >= 0.5
+SELECT v.doc_id, v.lang_pred, v.quality, v.n_tokens
+FROM surv v LEFT JOIN comp c ON c.node = v.doc_id
+WHERE v.doc_id = COALESCE(c.rep, v.doc_id)
+  AND v.lang_pred = 'en' AND v.quality >= 0.5
 """
 
 
@@ -1336,9 +1404,15 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1000-executor job — produces byte-identical epochs with strata
     evenly spread, no RNG state anywhere).
 
-    Scale note: sampling is a stateless map; the interleave rank is one
-    window over the sample — at 100 TB assign position by hash sort
-    within shards instead of one global window (same hash, sharded)."""
+    Scale note: sampling is a stateless map. The interleave rank is
+    SHARDED, not one global window: shard = first hex byte of the hash
+    (a PREFIX of the sort key, so ordering by (shard, hash) equals
+    ordering by hash globally), rank within shard in parallel, then add
+    per-shard cumulative offsets from one 256-row aggregate. Same
+    byte-identical output as ``row_number() OVER (ORDER BY h)``, but no
+    single task ever sees more than ~1/256 of the sample — at 100 TB
+    the old global window serialized every surviving row through one
+    partition; tests/test_plans.py pins the sharded shape."""
     from cdk_datalake_ingest_spark.functions.hashing import md5_bucket
 
     docs = _t(spark, sf_dir, "documents")
@@ -1350,13 +1424,30 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(100))  # keep the tail languages whole
     )
     sampled = docs.filter(bucket < rate).select(
-        "doc_id", "lang", h.alias("__h")
-    )
-    w = Window.orderBy("__h")
-    return sampled.select(
         "doc_id",
         "lang",
-        F.row_number().over(w).alias("interleave_pos"),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("__shard"),
+    )
+    ranked = sampled.withColumn(
+        "__r",
+        F.row_number().over(Window.partitionBy("__shard").orderBy("__h")),
+    )
+    # 256-row relation: rows-per-shard -> exclusive prefix sum. The
+    # global window here is over ≤256 rows, not the corpus.
+    counts = sampled.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__shard",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return ranked.join(F.broadcast(offsets), "__shard").select(
+        "doc_id",
+        "lang",
+        (F.col("__off") + F.col("__r")).alias("interleave_pos"),
     )
 
 
@@ -1378,29 +1469,57 @@ FROM s
 PACK_BUDGET_TOKENS = 256
 
 
+PACK_SHARD_WIDTH = 512
+
+
 def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing — concatenate documents into fixed token-budget
-    packs for training: running token count per shard (here: language)
-    in deterministic doc_id order, pack index = floor(exclusive-cumsum
+    packs for training: running token count per language in
+    deterministic doc_id order, pack index = floor(exclusive-cumsum
     / budget), then per-pack fill stats.
 
-    Scale note: packing is per-shard (window PARTITION BY lang), so the
-    cumsum parallelizes across shards instead of serializing the corpus
-    through one global window — at 100 TB shard by (lang, hash-range)
-    to bound each window's partition size; the pack assignment itself
-    adds exactly one shuffle on the shard key."""
+    Scale note: a plain ``PARTITION BY lang`` window serializes the
+    dominant language through one task, so the cumsum is SHARDED:
+    shard = ``doc_id div PACK_SHARD_WIDTH`` (monotone in doc_id, so
+    (lang, shard, doc_id) order equals (lang, doc_id) order), cumsum
+    within (lang, shard) in parallel, then add per-shard token offsets
+    from a corpus/width-row aggregate. Output is byte-identical to the
+    global per-language cumsum (the oracle computes exactly that); no
+    task ever windows more than ``PACK_SHARD_WIDTH`` rows. The offsets
+    relation is corpus/width rows — tune the width up at larger scale
+    (it only changes parallelism, never the result).
+    tests/test_plans.py pins the sharded shape."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
     sized = docs.select(
-        "doc_id", "lang", T.token_count(F.col("text")).alias("nt")
-    ).withColumn(
+        "doc_id",
+        "lang",
+        T.token_count(F.col("text")).alias("nt"),
+        (F.col("doc_id") / F.lit(PACK_SHARD_WIDTH))
+        .cast("bigint")
+        .alias("__shard"),
+    )
+    w_in = Window.partitionBy("lang", "__shard").orderBy("doc_id")
+    per = sized.withColumn("__cum_in", F.sum("nt").over(w_in))
+    totals = sized.groupBy("lang", "__shard").agg(F.sum("nt").alias("__tot"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang",
+        "__shard",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    packed = per.join(F.broadcast(offsets), ["lang", "__shard"]).withColumn(
         "pack_idx",
         F.floor(
-            (F.sum("nt").over(w) - F.col("nt")) / F.lit(PACK_BUDGET_TOKENS)
+            (F.col("__off") + F.col("__cum_in") - F.col("nt"))
+            / F.lit(PACK_BUDGET_TOKENS)
         ),
     )
     return (
-        sized.groupBy("lang", "pack_idx")
+        packed.groupBy("lang", "pack_idx")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("nt").alias("tok_total"),
@@ -1462,7 +1581,7 @@ def jdbc_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         url=f"jdbc:derby:{db_path};create=true",
         table="APP.ORDERS_SLICE",
         mode="overwrite",
-        properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
     )
     ep = EndpointSpec(endpoint_name="derby-gate", bd_type="derby", db_name=db_path)
     # bounded driver-side lookup (2 scalars) to form the stride bounds —

@@ -62,7 +62,7 @@ DIALECTS: dict[str, JdbcDialect] = {
     # read paths without a network database. {db} is a filesystem path.
     "derby": JdbcDialect(
         "derby",
-        "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        "org.apache.derby.jdbc.EmbeddedDriver",
         "jdbc:derby:{db}",
     ),
 }

@@ -85,3 +85,53 @@ def test_attach_components_defaults_singletons(spark):
     out = attach_components(entities, assign, "doc_id")
     got = {r["doc_id"]: r["component"] for r in out.collect()}
     assert got == {0: 0, 1: 1, 2: 1, 3: 3, 4: 1, 5: 5}
+
+
+def test_attach_components_custom_column_and_broadcast_guard(spark):
+    """The custom component_col rename must work (it used to reference
+    a nonexistent column), and the guarded broadcast must produce the
+    same rows whether the threshold forces the broadcast on (huge
+    threshold) or off (threshold 0 -> plain shuffle join)."""
+    entities = spark.range(0, 8).select(F.col("id").alias("doc_id"))
+    edges = spark.createDataFrame([Row(a=1, b=4), Row(a=4, b=2), Row(a=6, b=7)])
+    assign = connected_components(edges, "a", "b")
+    expect = {0: 0, 1: 1, 2: 1, 3: 3, 4: 1, 5: 5, 6: 6, 7: 6}
+    for threshold in (0, 10**9):
+        out = attach_components(
+            entities, assign, "doc_id",
+            component_col="cluster_rep",
+            broadcast_threshold_rows=threshold,
+        )
+        got = {r["doc_id"]: r["cluster_rep"] for r in out.collect()}
+        assert got == expect, f"threshold={threshold}"
+        # The guard controls the broadcast HINT only (the planner may
+        # still auto-broadcast a small side on its own — that's fine;
+        # the guard exists to stop FORCING a huge broadcast).
+        analyzed = out._jdf.queryExecution().analyzed().toString()
+        hinted = "ResolvedHint" in analyzed or "UnresolvedHint" in analyzed
+        assert hinted == (threshold > 0), f"threshold={threshold}"
+
+
+def test_connected_components_property_random_graphs(spark):
+    """Property test: on random graphs, the star-contraction result
+    must equal plain-Python union-find. Hypothesis drives the edge
+    lists; examples are kept few because each one runs real Spark
+    jobs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    node = st.integers(min_value=0, max_value=30)
+    edge_lists = st.lists(
+        st.tuples(node, node), min_size=1, max_size=40
+    ).filter(lambda es: any(a != b for a, b in es))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(edges=edge_lists)
+    def run(edges):
+        _check(spark, edges)
+
+    run()

@@ -37,7 +37,7 @@ def derby(spark, tmp_path_factory):
         url=f"jdbc:derby:{db_path};create=true",
         table="APP.ITEMS",
         mode="overwrite",
-        properties={"driver": "org.apache.derby.iapi.jdbc.AutoloadedDriver"},
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
     )
     return EndpointSpec(
         endpoint_name="derby-e2e", bd_type="derby", db_name=db_path

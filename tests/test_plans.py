@@ -87,3 +87,33 @@ def test_no_nested_loop_anywhere_in_headline_joins(spark):
         plan = _plan(spark, q)
         assert "BroadcastNestedLoopJoin" not in plan, q
         assert "CartesianProduct" not in plan, q
+
+
+def _window_specs(plan: str) -> list[str]:
+    """The partition/order spec of every Window node in the plan."""
+    return re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+
+
+def test_stratified_sample_has_no_global_window(spark):
+    """The interleave rank must be sharded: every row_number window
+    over the sampled corpus partitions by __shard. The only
+    unpartitioned window allowed is the 256-row shard-offset prefix
+    sum (it runs over the groupBy(__shard) aggregate, never the
+    corpus)."""
+    plan = _plan(spark, "stratified_sample_docs")
+    specs = _window_specs(plan)
+    assert specs, "expected Window nodes in the plan"
+    rn_specs = [s for s in specs if "__h" in s]  # the corpus-rank window
+    assert rn_specs and all("__shard" in s for s in rn_specs), rn_specs
+
+
+def test_pack_sequences_cumsum_is_sharded(spark):
+    """The token cumsum must partition by (lang, __shard), never lang
+    alone — a dominant language would serialize through one task. The
+    per-lang window over the corpus/width offsets aggregate is the
+    only lang-only window allowed, and it orders by __shard."""
+    plan = _plan(spark, "pack_sequences_docs")
+    specs = _window_specs(plan)
+    assert specs, "expected Window nodes in the plan"
+    doc_order = [s for s in specs if "doc_id" in s]  # the corpus window
+    assert doc_order and all("__shard" in s for s in doc_order), doc_order
