@@ -950,6 +950,78 @@ FROM s
 """
 
 
+DECONTAM_NGRAM = 5
+DECONTAM_EVAL_SOURCE = "src19"
+
+
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the eval-leak scan every training
+    pipeline runs before export: flag any training document sharing a
+    word 5-gram with the held-out eval slice (here ``source='src19'``
+    stands in for the benchmark set). Returns one row per training doc
+    with the count of distinct shared 5-grams and a contamination flag.
+
+    Scale: the eval side of the join is tiny relative to the corpus
+    (benchmarks are MBs, corpora are TBs), so its distinct n-gram set
+    broadcasts and the corpus streams through map-side — no shuffle of
+    training text. The per-doc hit count is one groupBy on doc_id over
+    the (sparse) matches only. At even larger eval sets, broadcast
+    64-bit n-gram hashes instead of strings (this gate joins on the
+    string so DuckDB can recompute it exactly; xxhash64 has no DuckDB
+    twin)."""
+    from cdk_datalake_ingest_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(F.col("text"), DECONTAM_NGRAM))
+    train = docs.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
+    bench_grams = (
+        docs.filter(F.col("source") == DECONTAM_EVAL_SOURCE)
+        .select(F.explode(grams).alias("g"))
+        .distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    n = F.coalesce(F.col("n_shared"), F.lit(0))
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        n.alias("n_shared"),
+        (n > 0).alias("contaminated"),
+    )
+
+
+_SQL_5GRAMS = (
+    f"list_distinct(list_transform(range(1, GREATEST(len({_SQL_TOKENS}) - "
+    f"{DECONTAM_NGRAM - 1}, 0) + 1), i -> "
+    + " || ' ' || ".join(
+        f"{_SQL_TOKENS}[i+{k}]" if k else f"{_SQL_TOKENS}[i]"
+        for k in range(DECONTAM_NGRAM)
+    )
+    + "))"
+)
+
+DECONTAM_SQL = f"""
+WITH tg AS (
+  SELECT doc_id, unnest({_SQL_5GRAMS}) AS g
+  FROM documents WHERE source <> '{DECONTAM_EVAL_SOURCE}'
+), bg AS (
+  SELECT DISTINCT unnest({_SQL_5GRAMS}) AS g
+  FROM documents WHERE source = '{DECONTAM_EVAL_SOURCE}'
+), hits AS (
+  SELECT doc_id, COUNT(*) AS n_shared FROM tg JOIN bg USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(h.n_shared, 0) AS n_shared,
+  COALESCE(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source <> '{DECONTAM_EVAL_SOURCE}'
+"""
+
+
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the oracle-checkable
     exactness baseline for MinHash)."""
@@ -2889,6 +2961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watermark_events": watermark_events,
     "events_hourly_rollup": events_hourly_rollup,
     "exact_dedup_docs": exact_dedup_docs,
+    "decontaminate_docs": decontaminate_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "curate_documents": curate_documents,
     "pii_scrub_docs": pii_scrub_docs,
@@ -2912,8 +2985,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": asof_purchase_click,
     "range_join_purchase_clicks": range_join_purchase_clicks,
     "user_value_analytics": user_value_analytics,
-    "multimodal_media_pipeline": multimodal_media_pipeline,
     # ---- tail: beyond the driver's 50-entry window (all r2 green) ----
+    "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
     "text_metrics_docs": text_metrics_docs,
     "lang_id_docs": lang_id_docs,
@@ -2948,6 +3021,7 @@ ORACLES: dict[str, str] = {
     "lang_id_docs": LANG_ID_SQL,
     "fingerprint_docs": FINGERPRINT_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
+    "decontaminate_docs": DECONTAM_SQL,
     "near_dup_clusters_docs": NEAR_DUP_CLUSTERS_SQL,
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,

@@ -117,3 +117,11 @@ def test_pack_sequences_cumsum_is_sharded(spark):
     assert specs, "expected Window nodes in the plan"
     doc_order = [s for s in specs if "doc_id" in s]  # the corpus window
     assert doc_order and all("__shard" in s for s in doc_order), doc_order
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval slice's n-gram set must broadcast (benchmarks are MBs,
+    corpora are TBs) — the training text must never sort-merge."""
+    plan = _plan(spark, "decontaminate_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

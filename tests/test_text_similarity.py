@@ -194,3 +194,35 @@ def test_ivf_topk_subset_and_recall(spark):
     recall = len(exact & approx_pairs) / len(exact)
     assert recall >= 0.5  # probing half the lists
     assert all(r.rank <= 5 for r in approx)
+
+
+def test_decontaminate_planted_overlap(spark, tmp_path):
+    """A training doc that embeds a 5-gram from the eval slice must be
+    flagged with the right distinct-gram count; clean docs must not."""
+    from pyspark.sql import Row
+
+    from cdk_datalake_ingest_spark.queries import decontaminate_docs
+
+    rows = [
+        # eval slice (src19): one benchmark question
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog",
+            lang="en", source="src19", n_chars=0),
+        # contaminated: contains "quick brown fox jumps over" verbatim
+        Row(doc_id=2, text="intro quick brown fox jumps over outro",
+            lang="en", source="src0", n_chars=0),
+        # clean: shares words but no full 5-gram
+        Row(doc_id=3, text="the quick red fox sleeps under a dog",
+            lang="en", source="src0", n_chars=0),
+        # too short for any 5-gram
+        Row(doc_id=4, text="quick fox", lang="en", source="src0", n_chars=0),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    got = {
+        r.doc_id: (r.n_shared, r.contaminated)
+        for r in decontaminate_docs(spark, sf).collect()
+    }
+    assert set(got) == {2, 3, 4}  # eval doc excluded from output
+    assert got[2] == (1, True)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
