@@ -41,12 +41,19 @@ def _union_find(edges):
 
 
 def _check(spark, edges, **kw):
+    # both execution paths must agree with ground truth: the driver
+    # union-find (huge threshold) and the distributed alternating-star
+    # loop (threshold 0)
     df = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
-    got = {
-        r["node"]: r["component"]
-        for r in connected_components(df, "a", "b", **kw).collect()
-    }
-    assert got == _union_find(edges)
+    truth = _union_find(edges)
+    for thr in (10**9, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, "a", "b", driver_threshold_edges=thr, **kw
+            ).collect()
+        }
+        assert got == truth, f"driver_threshold_edges={thr}"
 
 
 def test_two_components_and_isolated_merge(spark):
@@ -75,7 +82,9 @@ def test_bridged_stars(spark):
 def test_nonconvergence_raises(spark):
     df = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(50)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, "a", "b", max_rounds=1)
+        connected_components(
+            df, "a", "b", max_rounds=1, driver_threshold_edges=0
+        )
 
 
 def test_attach_components_defaults_singletons(spark):
