@@ -950,6 +950,49 @@ FROM s
 """
 
 
+VOCAB_TOP_K = 100
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the precursor to tokenizer/BPE
+    training: global token frequencies with document frequency, top-K
+    by count with a deterministic tie-break.
+
+    Scale: the classic word count — explode is narrow, the aggregate
+    map-side combines before its single shuffle on the token, and the
+    top-K runs as TakeOrderedAndProject (per-partition partial top-K,
+    never a global sort of the vocabulary)."""
+    from cdk_datalake_ingest_spark.operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("tok").asc())
+        .limit(VOCAB_TOP_K)
+    )
+
+
+VOCAB_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS n_occurrences,
+  COUNT(DISTINCT doc_id) AS n_docs
+FROM t WHERE tok <> ''
+GROUP BY tok
+ORDER BY n_occurrences DESC, tok ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
 DECONTAM_NGRAM = 5
 DECONTAM_EVAL_SOURCE = "src19"
 
@@ -2950,7 +2993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
     "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "salesforce_stage_orders": salesforce_stage_orders,
+    "vocab_top_tokens": vocab_top_tokens,
     "salesforce_incremental_upsert": salesforce_incremental_upsert,
     "schema_evolution_merge": schema_evolution_merge,
     "dsl_magic_codes": dsl_magic_codes,
@@ -2964,12 +3007,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "curate_documents": curate_documents,
-    "pii_scrub_docs": pii_scrub_docs,
+    "events_props_json": events_props_json,
     "repetition_docs": repetition_docs,
     "dataset_split_docs": dataset_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
-    "distinct_rows_lineitem": distinct_rows_lineitem,
+    "events_daily_rollup_sets": events_daily_rollup_sets,
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "streaming_windowed_counts": streaming_windowed_counts,
     "planner_multi_table_run": planner_multi_table_run,
@@ -2992,8 +3035,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_docs": lang_id_docs,
     "fingerprint_docs": fingerprint_docs,
     "token_stats_docs": token_stats_docs,
-    "events_props_json": events_props_json,
-    "events_daily_rollup_sets": events_daily_rollup_sets,
+    "pii_scrub_docs": pii_scrub_docs,
+    "distinct_rows_lineitem": distinct_rows_lineitem,
+    "salesforce_stage_orders": salesforce_stage_orders,
 }
 
 ORACLES: dict[str, str] = {
@@ -3022,6 +3066,7 @@ ORACLES: dict[str, str] = {
     "fingerprint_docs": FINGERPRINT_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "decontaminate_docs": DECONTAM_SQL,
+    "vocab_top_tokens": VOCAB_SQL,
     "near_dup_clusters_docs": NEAR_DUP_CLUSTERS_SQL,
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,

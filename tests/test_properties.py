@@ -207,3 +207,97 @@ def test_rollup_incremental_equals_full_for_any_ordered_split(
         for x in r.read().collect()
     }
     assert snap(inc) == snap(full)
+
+
+# ---- sharded-window equivalence (queries.py scale rewrites) -------------
+#
+# The sharded plans must be BYTE-IDENTICAL to the global-window formulas
+# they replaced, for any shard width and any input. Hypothesis drives
+# token sizes / hashes; the ground truth is the plain sequential
+# computation in Python.
+
+
+@given(
+    nts=st.lists(st.integers(min_value=0, max_value=600), min_size=1, max_size=60),
+    width=st.integers(min_value=1, max_value=20),
+)
+@settings(**_SLOW)
+def test_sharded_pack_cumsum_equals_global(spark, nts, width):
+    """floor(exclusive-cumsum/budget) computed per (lang, doc_id-range
+    shard) + shard offsets == the single global per-lang cumsum."""
+    from pyspark.sql import Row, Window
+
+    spark = spark
+    budget = 256
+    rows = [
+        Row(doc_id=i, lang="en" if i % 3 else "de", nt=nt)
+        for i, nt in enumerate(nts)
+    ]
+    df = spark.createDataFrame(rows)
+    sized = df.withColumn(
+        "__shard", (F.col("doc_id") / F.lit(width)).cast("bigint")
+    )
+    w_in = Window.partitionBy("lang", "__shard").orderBy("doc_id")
+    per = sized.withColumn("__cum_in", F.sum("nt").over(w_in))
+    totals = sized.groupBy("lang", "__shard").agg(F.sum("nt").alias("__tot"))
+    w_off = (
+        Window.partitionBy("lang")
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "lang", "__shard",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    got = {
+        r["doc_id"]: r["pack_idx"]
+        for r in per.join(offsets, ["lang", "__shard"]).withColumn(
+            "pack_idx",
+            F.floor(
+                (F.col("__off") + F.col("__cum_in") - F.col("nt"))
+                / F.lit(budget)
+            ),
+        ).collect()
+    }
+    # ground truth: sequential per-lang exclusive cumsum
+    cum: dict = {}
+    want = {}
+    for r in rows:
+        prev = cum.get(r.lang, 0)
+        want[r.doc_id] = prev // budget
+        cum[r.lang] = prev + r.nt
+    assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=80),
+)
+@settings(**_SLOW)
+def test_sharded_rank_equals_global_rank(spark, n):
+    """Per-shard row_number + cumulative shard offsets == global
+    row_number, when the shard is a prefix of the sort key."""
+    from pyspark.sql import Row, Window
+
+    spark = spark
+    df = spark.createDataFrame(
+        [Row(doc_id=i) for i in range(n)]
+    ).withColumn("__h", F.md5(F.col("doc_id").cast("string"))).withColumn(
+        "__shard", F.conv(F.substring("__h", 1, 2), 16, 10).cast("int")
+    )
+    ranked = df.withColumn(
+        "__r", F.row_number().over(Window.partitionBy("__shard").orderBy("__h"))
+    )
+    counts = df.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = Window.orderBy("__shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__shard", F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off")
+    )
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in ranked.join(offsets, "__shard")
+        .select("doc_id", (F.col("__off") + F.col("__r")).alias("pos"))
+        .collect()
+    }
+    want_order = sorted(got, key=lambda d: __import__("hashlib").md5(str(d).encode()).hexdigest())
+    want = {d: i + 1 for i, d in enumerate(want_order)}
+    assert got == want
