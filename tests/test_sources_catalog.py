@@ -56,3 +56,26 @@ def test_catalog_registration(spark, tmp_path):
     got = spark.sql("SELECT count(*) AS n FROM stage_cat_tbl").first().n
     assert got == 2
     spark.catalog.dropTempView("stage_cat_tbl")
+
+
+def test_ts_us_expr_both_fixture_vintages(spark):
+    """ts_us_expr must map bigint-nanosecond and timestamp(us) inputs
+    to the same bigint UTC microseconds (the DuckDB epoch_us twin)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.sources.parquet import ts_us_expr
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    us = 1705276800123456  # 2024-01-15 00:00:00.123456 UTC
+    as_ns = spark.createDataFrame([Row(ts=us * 1000)])
+    got_ns = as_ns.select(ts_us_expr(as_ns).alias("u")).first()["u"]
+    naive = dt.datetime(2024, 1, 15, 0, 0, 0, 123456)
+    as_ts = spark.createDataFrame([Row(ts=naive)])
+    got_ts = as_ts.select(ts_us_expr(as_ts).alias("u")).first()["u"]
+    assert got_ns == got_ts == us
+    # ns floor: 999 extra nanoseconds truncate, never round up
+    as_ns2 = spark.createDataFrame([Row(ts=us * 1000 + 999)])
+    assert as_ns2.select(ts_us_expr(as_ns2).alias("u")).first()["u"] == us
