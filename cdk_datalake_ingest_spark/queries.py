@@ -950,6 +950,79 @@ FROM s
 """
 
 
+def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state dedup-on-ingest through the gate: events staged as
+    a time-ordered multi-file drop → file-source stream (one slice per
+    micro-batch) → ``dropDuplicatesWithinWatermark`` on (user_id,
+    event_type) → availableNow drain into parquet → read the sink back.
+
+    Determinism: the projection keeps ONLY the dedup keys before the
+    drop-duplicates, so whichever physical duplicate survives an
+    intra-batch race, the emitted row is byte-identical. The watermark
+    horizon (60 days) exceeds the fixture's whole time range, so no
+    state evicts and the streaming result equals batch DISTINCT exactly
+    — which is the oracle. At production scale the horizon bounds the
+    state store and late re-duplicates fall through to the batch
+    exact-dedup pass (the documented two-tier contract in
+    streaming/events.py:stream_dedup).
+    """
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from cdk_datalake_ingest_spark.streaming.events import (
+        run_available_now,
+        stream_dedup,
+        stream_events,
+    )
+
+    _prep(spark)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev_raw.select(
+        F.timestamp_micros(ts_us_expr(ev_raw)).alias("et"),
+        "user_id",
+        "event_type",
+    )
+    tmp = tempfile.mkdtemp(prefix="cdk_stream_dedup_")
+    drop = f"{tmp}/drop"
+    _os.makedirs(drop)
+    slices = [
+        ev.filter(F.dayofmonth("et") <= 10),
+        ev.filter((F.dayofmonth("et") > 10) & (F.dayofmonth("et") <= 20)),
+        ev.filter(F.dayofmonth("et") > 20),
+    ]
+    _FILES_PER_DROP = 4
+    for i, part in enumerate(slices):
+        stage_dir = f"{tmp}/slice{i}"
+        part.repartition(_FILES_PER_DROP).write.parquet(stage_dir)
+        for j, src_file in enumerate(
+            sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
+        ):
+            dst = f"{drop}/{i:03d}_{j}.parquet"
+            _os.rename(src_file, dst)
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    src = stream_events(
+        spark, drop, ev.schema, max_files_per_trigger=_FILES_PER_DROP
+    )
+    deduped = stream_dedup(
+        src, ["user_id", "event_type"], ts_col="et", watermark="60 days"
+    ).drop("et")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(deduped, f"{tmp}/out", f"{tmp}/cp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{tmp}/out")
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
 VOCAB_TOP_K = 100
 
 
@@ -3018,7 +3091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_multi_table_run": planner_multi_table_run,
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
-    "ann_cosine_topk": ann_cosine_topk,
+    "streaming_dedup_ingest": streaming_dedup_ingest,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
@@ -3038,6 +3111,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub_docs": pii_scrub_docs,
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "salesforce_stage_orders": salesforce_stage_orders,
+    "ann_cosine_topk": ann_cosine_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3067,6 +3141,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "decontaminate_docs": DECONTAM_SQL,
     "vocab_top_tokens": VOCAB_SQL,
+    "streaming_dedup_ingest": STREAMING_DEDUP_SQL,
     "near_dup_clusters_docs": NEAR_DUP_CLUSTERS_SQL,
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,
