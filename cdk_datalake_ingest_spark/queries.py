@@ -950,6 +950,106 @@ FROM s
 """
 
 
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (`applyInPandasWithState`
+    sessionizer, streaming/sessionize.py) through the oracle gate:
+    events staged as a time-ordered drop → one slice per micro-batch →
+    30-min-gap sessionization with event-time timeouts → availableNow
+    drain → read back CLOSED sessions.
+
+    A far-future sentinel row (user_id −1) rides in the last slice so
+    the watermark passes every real session's last+gap and the final
+    timeout sweep closes them all; the sentinel's own session never
+    closes and stays withheld, so it cannot appear in the output.
+
+    The gate compares the DETERMINISTIC session columns — bounds and
+    event counts (ties at equal timestamps merge into the same session
+    either way, so boundaries are total-order-stable). total_value is
+    a float accumulated in arrival order inside the state function;
+    its exactness is pinned by tests/test_streaming_sessionize.py with
+    controlled values, and by the batch twin's DECIMAL-cast oracle
+    (`sessionize_events`)."""
+    import datetime as _dt
+    import glob as _glob
+    import os as _os
+    import tempfile
+
+    from cdk_datalake_ingest_spark.streaming.events import run_available_now
+    from cdk_datalake_ingest_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    _prep(spark)
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev_raw.select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros(ts_us_expr(ev_raw)).alias("ts"),
+        "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="cdk_stream_sess_")
+    drop = f"{tmp}/drop"
+    _os.makedirs(drop)
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel = spark.createDataFrame(
+        [(-1, -1, max_ts + _dt.timedelta(days=2), 0.0)], schema=ev.schema
+    )
+    slices = [
+        ev.filter(F.dayofmonth("ts") <= 10),
+        ev.filter((F.dayofmonth("ts") > 10) & (F.dayofmonth("ts") <= 20)),
+        ev.filter(F.dayofmonth("ts") > 20).unionByName(sentinel),
+    ]
+    _FILES_PER_DROP = 4
+    for i, part in enumerate(slices):
+        stage_dir = f"{tmp}/slice{i}"
+        part.repartition(_FILES_PER_DROP).write.parquet(stage_dir)
+        for j, src_file in enumerate(
+            sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
+        ):
+            dst = f"{drop}/{i:03d}_{j}.parquet"
+            _os.rename(src_file, dst)
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", str(_FILES_PER_DROP))
+        .parquet(drop)
+    )
+    sessions = sessionize_stream(src, gap_minutes=30, ts_col="ts")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(sessions, f"{tmp}/out", f"{tmp}/cp")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(f"{tmp}/out").select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), s AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts_us, event_id
+    ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM t
+)
+SELECT user_id,
+  MIN(ts_us) AS session_start_us,
+  MAX(ts_us) AS session_end_us,
+  COUNT(*) AS n_events
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-state dedup-on-ingest through the gate: events staged as
     a time-ordered multi-file drop → file-source stream (one slice per
@@ -3092,7 +3192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
     "streaming_dedup_ingest": streaming_dedup_ingest,
-    "ann_lsh_topk": ann_lsh_topk,
+    "streaming_sessionize_events": streaming_sessionize_events,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
@@ -3112,6 +3212,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "salesforce_stage_orders": salesforce_stage_orders,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -3142,6 +3243,7 @@ ORACLES: dict[str, str] = {
     "decontaminate_docs": DECONTAM_SQL,
     "vocab_top_tokens": VOCAB_SQL,
     "streaming_dedup_ingest": STREAMING_DEDUP_SQL,
+    "streaming_sessionize_events": STREAMING_SESSIONIZE_SQL,
     "near_dup_clusters_docs": NEAR_DUP_CLUSTERS_SQL,
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,
