@@ -125,3 +125,10 @@ def test_decontaminate_broadcasts_eval_grams(spark):
     plan = _plan(spark, "decontaminate_docs")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_topk_avoids_global_sort(spark):
+    """Top-K vocabulary must run as TakeOrderedAndProject (partial
+    per-partition top-K) — never a full sort of the vocabulary."""
+    plan = _plan(spark, "vocab_top_tokens")
+    assert "TakeOrderedAndProject" in plan
