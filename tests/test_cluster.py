@@ -144,3 +144,19 @@ def test_connected_components_property_random_graphs(spark):
         _check(spark, edges)
 
     run()
+
+
+def test_all_self_loops_are_singletons_both_paths(spark):
+    """An edge set that is entirely self-loops canonicalizes to EMPTY —
+    both the driver union-find (empty createDataFrame) and the
+    distributed loop (zero-round convergence) must still return each
+    node as its own singleton component."""
+    df = spark.createDataFrame([Row(a=5, b=5), Row(a=9, b=9)])
+    for thr in (10**9, 0):
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                df, "a", "b", driver_threshold_edges=thr
+            ).collect()
+        }
+        assert got == {5: 5, 9: 9}, f"threshold={thr}"
