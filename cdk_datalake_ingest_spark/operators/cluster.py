@@ -103,7 +103,12 @@ def _driver_union_find(canon_edges: DataFrame) -> DataFrame:
     """Small-graph path: the canonical edge set (already counted and
     bounded by the caller) collected once, labeled by path-compressed
     union-find with min-id roots, returned as a (node, component)
-    DataFrame of the same node type."""
+    DataFrame of the same node type.
+
+    Collection is Arrow-batched ``toPandas`` + ``tolist`` (primitive
+    Python scalars, two flat columns): at the 1M-edge threshold that is
+    ~16 MB of longs plus list overhead, not the hundreds of MB a
+    ``collect()`` of PySpark Row objects would cost at the same size."""
     from pyspark.sql import types as T
 
     parent: dict = {}
@@ -115,8 +120,9 @@ def _driver_union_find(canon_edges: DataFrame) -> DataFrame:
             x = parent[x]
         return x
 
-    for r in canon_edges.collect():
-        ra, rb = find(r["src"]), find(r["dst"])
+    pdf = canon_edges.toPandas()
+    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        ra, rb = find(a), find(b)
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     comp: dict = {}
@@ -167,17 +173,26 @@ def connected_components(
     fault-tolerant checkpoint dir configured.
     """
     ck = checkpoint or (lambda df: df.localCheckpoint(eager=True))
+    # Materialize the raw two-column edge projection EXACTLY ONCE: the
+    # caller's edge relation is typically the expensive part (a banded
+    # LSH self-join + verify over the whole corpus), and both the node
+    # universe and the canonical edge set need it. Deriving either from
+    # the unmaterialized input would re-execute that corpus join per
+    # consumer; deriving both from this checkpoint runs it once.
+    raw = ck(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
     # Node universe BEFORE self-loop/dup canonicalization: a node whose
     # only edge is a self-loop must still come back (as a singleton) —
     # "every node incident to an edge" includes self-loops. One distinct
-    # over the edge relation, computed once.
+    # over the checkpointed projection.
     universe = (
-        edges.select(F.col(src_col).alias("node"))
-        .union(edges.select(F.col(dst_col).alias("node")))
+        raw.select(F.col("src").alias("node"))
+        .union(raw.select(F.col("dst").alias("node")))
         .filter(F.col("node").isNotNull())
         .distinct()
     )
-    e = ck(_canon(edges, src_col, dst_col))
+    e = ck(_canon(raw, "src", "dst"))
     fp = _fingerprint(e)
     if fp[0] <= driver_threshold_edges:
         assign = _driver_union_find(e)
@@ -227,11 +242,18 @@ def attach_components(
     broadcast is guarded: assignments above ``broadcast_threshold_rows``
     (~10M rows ≈ low-hundreds MB of long pairs, inside Spark's 8GB
     broadcast ceiling with headroom) fall back to a plain shuffle join.
-    The count is one cheap job over the already-checkpointed assignment.
+
+    The assignment lineage (universe distinct + left join over the
+    checkpointed edges) is materialized here with one localCheckpoint
+    BEFORE the guard count, so the count and the actual join read the
+    same blocks instead of computing the lineage twice. Size is bounded
+    by the node universe (≤ 2 × edge count), already small next to the
+    corpus. On a cluster, swap for ``.checkpoint()`` / a persisted table
+    if executor loss during the join must be survivable.
     """
     a = assignment.withColumnRenamed("node", id_col).withColumnRenamed(
         "component", component_col
-    )
+    ).localCheckpoint(eager=True)
     if a.count() <= broadcast_threshold_rows:
         a = F.broadcast(a)
     return entities.join(a, id_col, "left").withColumn(

@@ -146,6 +146,40 @@ def test_connected_components_property_random_graphs(spark):
     run()
 
 
+def test_edge_input_evaluated_exactly_once(spark):
+    """Guard for the one-materialization contract: the caller's edge
+    relation — in production a banded LSH self-join over the whole
+    corpus — must be computed EXACTLY once per clustering+attach, not
+    re-executed for the universe scan, the canonical set, the attach
+    guard count, or the final join. A Python accumulator inside the
+    edge lineage counts evaluations (one add per partition per pass;
+    4 partitions → 4 means a single pass)."""
+    sc = spark.sparkContext
+    base = spark.createDataFrame(
+        [(i, (i + 1) % 50) for i in range(50)] + [(200, 201)],
+        "id_a: long, id_b: long",
+    ).repartition(4)
+    ents = spark.range(0, 250).select(F.col("id").alias("doc_id"))
+    for thr in (10**9, 0):  # driver union-find AND distributed star loop
+        acc = sc.accumulator(0)
+
+        def tag(it, _acc=acc):
+            _acc.add(1)
+            yield from it
+
+        tagged = spark.createDataFrame(
+            base.rdd.mapPartitions(tag), base.schema
+        )
+        assign = connected_components(
+            tagged, "id_a", "id_b", driver_threshold_edges=thr
+        )
+        attach_components(ents, assign, "doc_id").collect()
+        assert acc.value == 4, (
+            f"edge input evaluated {acc.value / 4:g}x, want exactly once "
+            f"(driver_threshold_edges={thr})"
+        )
+
+
 def test_all_self_loops_are_singletons_both_paths(spark):
     """An edge set that is entirely self-loops canonicalizes to EMPTY —
     both the driver union-find (empty createDataFrame) and the
