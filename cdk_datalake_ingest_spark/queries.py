@@ -962,13 +962,12 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout sweep closes them all; the sentinel's own session never
     closes and stays withheld, so it cannot appear in the output.
 
-    The gate compares the DETERMINISTIC session columns — bounds and
-    event counts (ties at equal timestamps merge into the same session
-    either way, so boundaries are total-order-stable). total_value is
-    a float accumulated in arrival order inside the state function;
-    its exactness is pinned by tests/test_streaming_sessionize.py with
-    controlled values, and by the batch twin's DECIMAL-cast oracle
-    (`sessionize_events`)."""
+    The gate compares ALL session columns including total_value: the
+    state function processes each batch in (ts, event_id) order and
+    accumulates value in exact integer micro-units (replicating the
+    double→DECIMAL(18,6) cast both Spark's batch twin and the DuckDB
+    oracle apply), so the total is independent of arrival order and
+    micro-batch slicing — cross-engine deterministic, hence gateable."""
     import datetime as _dt
     import glob as _glob
     import os as _os
@@ -1024,13 +1023,17 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.read.parquet(f"{tmp}/out").select(
-        "user_id", "session_start_us", "session_end_us", "n_events"
+        "user_id",
+        "session_start_us",
+        "session_end_us",
+        "n_events",
+        "total_value",
     )
 
 
 STREAMING_SESSIONIZE_SQL = """
 WITH t AS (
-  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
          THEN 1 ELSE 0 END AS is_new
@@ -1045,7 +1048,8 @@ WITH t AS (
 SELECT user_id,
   MIN(ts_us) AS session_start_us,
   MAX(ts_us) AS session_end_us,
-  COUNT(*) AS n_events
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_seq
 """
 

@@ -18,6 +18,7 @@ regardless of history length.
 from __future__ import annotations
 
 from collections.abc import Iterable, Iterator
+from decimal import ROUND_HALF_UP, Decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,7 +31,26 @@ OUT_SCHEMA = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, "
     "n_events bigint, total_value double"
 )
-STATE_SCHEMA = "start_us long, last_us long, n long, total double"
+STATE_SCHEMA = "start_us long, last_us long, n long, total_micros long"
+
+_SIX_DP = Decimal("0.000001")
+
+
+def _value_micros(v) -> int:
+    """A ``value`` double as exact integer micro-units, replicating the
+    JVM/DuckDB double→DECIMAL(18,6) cast (shortest decimal repr of the
+    double — Python ``repr`` == Java ``Double.toString`` — rounded
+    HALF_UP at scale 6). Integer accumulation is exact and
+    order/batch-split independent, which is what makes ``total_value``
+    a cross-engine-deterministic, gateable column: the batch twin and
+    the DuckDB oracle both sum ``CAST(value AS DECIMAL(18,6))``."""
+    if v is None or pd.isna(v):
+        return 0
+    return int(
+        Decimal(repr(float(v)))
+        .quantize(_SIX_DP, rounding=ROUND_HALF_UP)
+        .scaleb(6)
+    )
 _OUT_COLS = [
     "user_id",
     "session_start_us",
@@ -45,22 +65,30 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_col: str = "event_id",
     gap_minutes: int = 30,
 ) -> DataFrame:
     """``events`` is a streaming DataFrame with an event-time timestamp
     column ``ts_col``. Returns the append-mode stream of CLOSED
-    sessions (same row shape as the batch ``sessionize`` rollup)."""
+    sessions (same row shape as the batch ``sessionize`` rollup).
+
+    Determinism contract: each state batch is processed in (ts,
+    ``tiebreak_col``) order (falling back to ts + arrival order when
+    the tiebreak column is absent) and ``total_value`` accumulates in
+    exact integer micro-units, so every output column — including the
+    value total — is independent of arrival order and micro-batch
+    slicing, and equal to the batch twin's DECIMAL(18,6) sum."""
     gap_us = gap_minutes * MICROS_PER_MIN
     gap_ms = gap_us // 1000
 
     def close_row(uid: int, s: tuple) -> dict:
-        start, last, n, total = s
+        start, last, n, total_micros = s
         return {
             "user_id": uid,
             "session_start_us": start,
             "session_end_us": last,
             "n_events": n,
-            "total_value": total,
+            "total_value": float(Decimal(total_micros).scaleb(-6)),
         }
 
     def fn(
@@ -74,18 +102,23 @@ def sessionize_stream(
             yield pd.DataFrame(closed, columns=_OUT_COLS)
             return
         ts_list: list[int] = []
-        val_list: list[float] = []
+        val_list: list[int] = []
+        tie_list: list[int] = []
         for pdf in pdfs:
             ts_list.extend(int(t) for t in pdf["__ts_us"])
-            val_list.extend(
-                0.0 if pd.isna(v) else float(v) for v in pdf[value_col]
-            )
-        order = sorted(range(len(ts_list)), key=ts_list.__getitem__)
+            val_list.extend(_value_micros(v) for v in pdf[value_col])
+            if tiebreak_col in pdf.columns:
+                tie_list.extend(int(t) for t in pdf[tiebreak_col])
+            else:  # stable fallback: arrival order within the batch
+                tie_list.extend(range(len(tie_list), len(ts_list)))
+        order = sorted(
+            range(len(ts_list)), key=lambda i: (ts_list[i], tie_list[i])
+        )
         if state.exists:
             start, last, n, total = state.get
         else:
             start = last = None  # type: ignore[assignment]
-            n, total = 0, 0.0
+            n, total = 0, 0
         closed = []
         for i in order:
             t, v = ts_list[i], val_list[i]

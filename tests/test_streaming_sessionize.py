@@ -104,6 +104,25 @@ def test_session_merges_across_micro_batches(spark, tmp_path):
     assert first.total_value == 9.0
 
 
+def test_total_value_exact_decimal_accumulation(spark, tmp_path):
+    """Ten 0.1 values must total exactly 1.0: float accumulation gives
+    0.9999999999999999, the integer-micro accumulation is exact (and
+    therefore independent of arrival order and batch slicing — the
+    property that lets the driver gate hash total_value)."""
+    rows = _run(
+        spark,
+        tmp_path,
+        [
+            [_ev(1, i * 0.1, i + 1, 0.1) for i in range(10)],
+            [_ev(2, 600, 99)],  # far future closes user 1's session
+        ],
+    )
+    u1 = [r for r in rows if r.user_id == 1]
+    assert len(u1) == 1
+    assert u1[0].n_events == 10
+    assert u1[0].total_value == 1.0
+
+
 def test_open_trailing_session_not_emitted(spark, tmp_path):
     rows = _run(spark, tmp_path, [[_ev(1, 0, 1), _ev(1, 5, 2)]])
     # only session is still open (watermark never passed last+gap)
