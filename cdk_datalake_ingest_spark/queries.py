@@ -1370,17 +1370,30 @@ FROM assigned a JOIN sizes s USING (cluster_rep)
 
 def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite training-data curation pipeline: enrich (lang ID,
-    quality, token count, content hash) -> exact-dedup survivor (min
-    doc_id per hash) -> NEAR-dup survivor (one representative per
-    MinHash+LSH connected component, rep = min doc_id — consistent
-    with the exact-dedup rule) -> keep English docs above the quality
-    bar.
+    quality, token count, content hash) -> ELIGIBILITY FILTER (English,
+    above the quality bar) -> exact-dedup survivor (min doc_id per
+    hash) -> NEAR-dup survivor (one representative per MinHash+LSH
+    connected component, rep = min doc_id — consistent with the
+    exact-dedup rule).
 
-    Scale: one narrow enrich stage + one shuffle on content hash, then
-    the banded-LSH + star-contraction clustering over exact-dedup
-    survivors only (already shrunk). The oracle recomputes the whole
-    chain with exact Jaccard edges + a recursive-CTE closure — equal by
-    the gated recall-1 pair equivalence (`minhash_near_dup_docs`)."""
+    Ordering is deliberate: the lang/quality filter runs BEFORE both
+    dedup stages, so the representative of every duplicate group is
+    chosen among members that pass the filters. Filtering after
+    clustering would silently drop an entire near-dup cluster whenever
+    its min-id representative happened to be non-English or low
+    quality, discarding eligible documents. Filter-first also shrinks
+    the corpus entering the (comparatively expensive) shingle/LSH
+    stage — the right order at 100 TB. LSH candidacy is decided per
+    pair from the two documents' signatures alone, so restricting to a
+    subset cannot lose pairs within that subset (the recall-1 tripwire
+    transfers).
+
+    Scale: one narrow enrich+filter stage + one shuffle on content
+    hash, then the banded-LSH + star-contraction clustering over
+    eligible exact-dedup survivors only (already shrunk). The oracle
+    recomputes the whole chain with exact Jaccard edges + a
+    recursive-CTE closure — equal by the gated recall-1 pair
+    equivalence (`minhash_near_dup_docs`)."""
     from cdk_datalake_ingest_spark.operators.dedup import normalize_text
 
     docs = _t(spark, sf_dir, "documents")
@@ -1392,8 +1405,11 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.token_count(c).alias("n_tokens"),
         F.md5(normalize_text(c)).alias("content_hash"),
     )
+    eligible = enriched.filter(
+        (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
+    )
     surv = latest_record_dedup(
-        enriched, ["content_hash"], [F.col("doc_id").asc()]
+        eligible, ["content_hash"], [F.col("doc_id").asc()]
     )
     surv_text = docs.select("doc_id", "text").join(
         surv.select("doc_id"), "doc_id"
@@ -1407,9 +1423,7 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv, assign, "doc_id", component_col="cluster_rep"
     )
     return clustered.filter(
-        (F.col("doc_id") == F.col("cluster_rep"))
-        & (F.col("lang_pred") == "en")
-        & (F.col("quality") >= 0.5)
+        F.col("doc_id") == F.col("cluster_rep")
     ).select("doc_id", "lang_pred", "quality", "n_tokens")
 
 
@@ -1434,8 +1448,11 @@ WITH RECURSIVE h AS (
     md5({_SQL_NORM}) AS content_hash
   FROM h
 ), s AS (
+  -- eligibility BEFORE dedup: representatives are chosen among docs
+  -- that pass the lang/quality filters (mirrors the Spark pipeline)
   SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
   FROM e
+  WHERE lang_pred = 'en' AND quality >= 0.5
 ), surv AS (
   SELECT doc_id, lang_pred, quality, n_tokens FROM s WHERE rn = 1
 ), shs AS (
@@ -1475,7 +1492,6 @@ WITH RECURSIVE h AS (
 SELECT v.doc_id, v.lang_pred, v.quality, v.n_tokens
 FROM surv v LEFT JOIN comp c ON c.node = v.doc_id
 WHERE v.doc_id = COALESCE(c.rep, v.doc_id)
-  AND v.lang_pred = 'en' AND v.quality >= 0.5
 """
 
 
