@@ -172,12 +172,19 @@ class ManagedTable:
                         continue
                     if fresh:
                         # We grabbed a lock that re-used the path after
-                        # our stat: hand it back (best effort — see the
-                        # fencing note in the docstring).
+                        # our stat: hand it back with link(2), which
+                        # fails EEXIST instead of replacing — a rename
+                        # here could clobber a lock yet another writer
+                        # O_EXCL-acquired at the freed path, admitting
+                        # two writers into the CAS. If the path is
+                        # retaken, the displaced fresh holder simply
+                        # loses its lock and re-contends (safe); we
+                        # never overwrite anyone's lock.
                         try:
-                            os.rename(tomb, lock)
+                            os.link(tomb, lock)
                         except OSError:
-                            pass
+                            pass  # path retaken — fresh holder re-contends
+                        tomb.unlink(missing_ok=True)
                         continue
                     tomb.unlink(missing_ok=True)
                     continue
