@@ -73,6 +73,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Methodology fields so cross-round comparisons are
+                # interpretable: rounds 1-2 were single-shot cold runs
+                # (repeats=1); rounds >=3 report the warm min-of-N.
+                # Compare totals only under the same repeats policy.
+                "repeats": repeats,
+                "timing": "min_of_repeats" if repeats > 1 else "single_shot",
             }
         )
     )
