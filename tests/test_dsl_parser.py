@@ -1,6 +1,7 @@
 import pytest
 
 from cdk_datalake_ingest_spark.dsl.parser import (
+    FN_PREFIX,
     FuncCall,
     Raw,
     TransformParseError,
@@ -47,3 +48,56 @@ def test_unbalanced_raises():
 def test_split_top_level_respects_nesting():
     assert split_top_level("a,f(b,c),d") == ["a", "f(b,c)", "d"]
     assert split_top_level("") == [""]
+
+
+# ---------------------------------------------------------------------------
+# Property: printing an arbitrary AST back to a fn_transform_* string and
+# re-parsing is the identity. Extends the hand-written cases above to the
+# whole space of well-formed nestings the grammar admits (commas and parens
+# are excluded from Raw leaves because the grammar reserves them; leaves are
+# pre-stripped because roundtrip preserves, not normalizes, whitespace).
+# ---------------------------------------------------------------------------
+
+def _show(node) -> str:
+    if isinstance(node, Raw):
+        return node.text
+    return f"{node.name}({','.join(_show(a) for a in node.args)})"
+
+
+def test_parser_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.sampled_from(
+        [
+            "fn_transform_Concatenate",
+            "fn_transform_Case_with_default",
+            "fn_transform_Datetime",
+            "fn_transform_ByteMagic",
+            "fn_transform_Custom_thing",
+        ]
+    )
+    leaves = (
+        st.text(
+            alphabet="abcz_$0123456789 -:/='%.", min_size=0, max_size=12
+        )
+        .map(str.strip)
+        .filter(lambda s: not s.startswith(FN_PREFIX))
+        .map(Raw)
+    )
+    asts = st.recursive(
+        leaves,
+        lambda children: st.builds(
+            lambda n, a: FuncCall(name=n, args=list(a)),
+            names,
+            st.lists(children, min_size=1, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(ast=asts)
+    def run(ast):
+        assert parse_transformation(_show(ast)) == ast
+
+    run()
