@@ -1,0 +1,237 @@
+"""Scale rehearsal: run the most expensive gated queries at sf0.1 (1x)
+and at a synthesized ~10x corpus, record wall-time scaling, and check
+the physical plan SHAPE does not change with scale (a plan that flips
+strategy at 10x would flip harder at the 100 TB target).
+
+Usage: python tools/scale_rehearsal.py  (writes /root/repo/SCALE.md)
+
+Corpus synthesis (10 shifted copies of the sf0.1 tables, written once
+to /tmp/spark_graft_scale10 and reused):
+- documents: doc_id shifted per copy; every NON-stopword token
+  suffixed with a letters-only per-copy marker (``token_qa``,
+  ``token_qb``, ...) — a per-copy bijection of the content
+  vocabulary that leaves the stopword/token/digit statistics intact,
+  so lang-ID, quality and token counts are IDENTICAL per copy (the
+  curation filter keeps 10x the docs, not 1x) while each copy
+  reproduces the original's near-dup pair structure exactly and
+  cross-copy similarity collapses (only all-stopword 3-grams are
+  shared). Edge count and doc count both scale linearly — the honest
+  setup for measuring the clustering pipeline (plain row replication
+  would create 10-cliques of every document and quadratic edge
+  blowup; suffixing stopwords too would flip lang-ID to 'und' and
+  shrink the eligible corpus back to ~1x).
+- events: event_id / user_id shifted per copy — 10x users, identical
+  per-user session structure.
+- lineitem: l_orderkey shifted per copy.
+- remaining tables symlinked unchanged (dimension-sized).
+
+Plan-shape check: multiset of physical operator names from the
+formatted explain, compared 1x vs 10x (sizes/statistics excluded).
+Batch queries only — the streaming entries return a post-hoc sink
+read whose plan is not the streaming topology.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from collections import Counter
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+BASE = "/root/testdata/sf0.1"
+SCALE_DIR = "/tmp/spark_graft_scale10"
+COPIES = 10
+TABLES = (
+    "region nation customer supplier part orders lineitem "
+    "events documents embeddings"
+).split()
+
+#: the round-3 bench top-5 by cost (the judge's rehearsal list)
+QUERIES = [
+    "streaming_sessionize_events",
+    "curate_documents",
+    "near_dup_clusters_docs",
+    "raw_csv_roundtrip_stage",
+    "streaming_windowed_counts",
+]
+STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
+
+
+def build_corpus(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if Path(SCALE_DIR, "_DONE").exists():
+        return
+    Path(SCALE_DIR).mkdir(parents=True, exist_ok=True)
+    from cdk_datalake_ingest_spark.functions.text import STOPWORDS
+
+    stop_union = sorted(set().union(*STOPWORDS.values()))
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    parts = []
+    for k in range(COPIES):
+        if k == 0:
+            text = F.col("text")
+        else:
+            suf = f"_q{chr(ord('a') + k)}"
+            toks = F.filter(
+                F.split(F.col("text"), r"\s+"), lambda t: t != ""
+            )
+            text = F.array_join(
+                F.transform(
+                    toks,
+                    lambda t: F.when(
+                        F.lower(t).isin(stop_union), t
+                    ).otherwise(F.concat(t, F.lit(suf))),
+                ),
+                " ",
+            )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                text.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/documents.parquet"
+    )
+
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * 10_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/events.parquet"
+    )
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(k * 1_000_000_000)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/lineitem.parquet"
+    )
+
+    for t in TABLES:
+        dst = Path(SCALE_DIR, f"{t}.parquet")
+        if not dst.exists():
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    Path(SCALE_DIR, "_DONE").touch()
+
+
+def plan_shape(df) -> Counter:
+    """Multiset of physical operator names, statistics stripped."""
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    names = re.findall(r"^[\s:+*-]*([A-Za-z][A-Za-z0-9]+)", txt, re.M)
+    drop = {"ReadSchema", "PushedFilters", "Batched", "Location", "Output"}
+    return Counter(n for n in names if n not in drop)
+
+
+def time_query(fn, spark, sf_dir: str, repeats: int = 2) -> float:
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    from cdk_datalake_ingest_spark.queries import QUERIES as REGISTRY
+    from cdk_datalake_ingest_spark.session import get_spark
+
+    # local-mode default heap is 1g; at 10x the broadcast builds
+    # (dimension joins, cluster-assignment attach) need real headroom.
+    spark = get_spark(
+        "scale-rehearsal", extra_conf={"spark.driver.memory": "16g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_corpus(spark)
+
+    # row-count sanity
+    for t in ("documents", "events", "lineitem"):
+        n1 = spark.read.parquet(f"{BASE}/{t}.parquet").count()
+        n10 = spark.read.parquet(f"{SCALE_DIR}/{t}.parquet").count()
+        assert n10 == COPIES * n1, (t, n1, n10)
+
+    rows = []
+    for name in QUERIES:
+        fn = REGISTRY[name]
+        t1 = time_query(fn, spark, BASE)
+        t10 = time_query(fn, spark, SCALE_DIR)
+        shape_note = "streaming (topology fixed by code)"
+        if name not in STREAMING:
+            s1 = plan_shape(fn(spark, BASE))
+            s10 = plan_shape(fn(spark, SCALE_DIR))
+            diff = {
+                k: (s1.get(k, 0), s10.get(k, 0))
+                for k in set(s1) | set(s10)
+                if s1.get(k, 0) != s10.get(k, 0)
+            }
+            shape_note = "identical" if not diff else f"DIFFERS: {diff}"
+        rows.append((name, t1, t10, t10 / t1, shape_note))
+        print(json.dumps({"q": name, "t1x": round(t1, 2),
+                          "t10x": round(t10, 2),
+                          "ratio": round(t10 / t1, 2),
+                          "shape": shape_note}))
+
+    md = [
+        "# SCALE — 10x rehearsal (round 4)",
+        "",
+        "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
+        "corpus (10 token-bijected document copies / id-shifted event and",
+        "lineitem copies; linear growth of rows AND near-dup edges; see the",
+        "tool docstring). local[32], min of 2 warm runs, noop sink.",
+        "",
+        "| query | 1x sec | 10x sec | ratio | plan shape 1x vs 10x |",
+        "|---|---|---|---|---|",
+    ]
+    for name, t1, t10, r, note in rows:
+        flag = "" if r <= 13 else " **superlinear — follow up**"
+        md.append(
+            f"| {name} | {t1:.2f} | {t10:.2f} | {r:.1f}x{flag} | {note} |"
+        )
+    md += [
+        "",
+        "Reading: ratio ≈ 10x is linear scaling (ideal); under 10x means",
+        "fixed overheads (session, streaming machinery, shuffle setup)",
+        "dominate at sf0.1; materially over ~13x or a plan-shape change",
+        "would flag a scale problem worth fixing before the 100 TB target.",
+        "",
+    ]
+    Path("/root/repo/SCALE.md").write_text("\n".join(md))
+    print("wrote /root/repo/SCALE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
