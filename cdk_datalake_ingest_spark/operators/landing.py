@@ -1,0 +1,159 @@
+"""Landing-zone promotion: temp → raw with timestamped rename (S15).
+
+The reference's MigrateData lambda (MigrateData.py:20-24,66-143)
+promotes each table's DMS output from the landing bucket's
+``temp/{bd_type}/{schema}/`` prefix into the raw bucket's dated layout
+``{project}/{bd_type}/{endpoint}/{table}/{YYYY}/{MM}/{DD}/``:
+
+  1. resolve the source prefix by case-insensitive match of the
+     configured SOURCE_TABLE against the 4th key segment
+     (MigrateData.py:85-88 — ``key.split('/')[3].upper()``),
+  2. delete whatever already sits under the target prefix,
+  3. copy every source object, renaming the file to
+     ``%Y%m%d-%H%M%S%f`` + original extension (MigrateData.py:20-24 —
+     note ``os.path.splitext`` keeps only the LAST extension, so
+     ``part-0.csv.gz`` becomes ``<ts>.gz``; reproduced bug-compatibly),
+  4. delete the source objects,
+  5. report ``{'result': 'FAILED', 'reason': 'nothing to move on'}``
+     when the landing prefix is empty (MigrateData.py:121-124).
+
+S3 has prefixes, not directories, so the local stand-in is a minimal
+prefix-listing object store over a filesystem root: keys are
+``/``-separated relative paths, listing is prefix-match, and copy
+materializes parent directories on demand. The promotion itself is
+pure control plane — O(#files) metadata operations, no data pass — so
+at 100 TB it stays a driver-side loop exactly like the lambda.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+from pathlib import Path
+from typing import Callable
+
+
+class PrefixStore:
+    """Prefix-addressed object store over a local filesystem root
+    (stand-in for the S3 buckets the reference promotes between)."""
+
+    def __init__(self, root: str) -> None:
+        self.root = Path(root)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, key: str) -> Path:
+        p = (self.root / key).resolve()
+        if not str(p).startswith(str(self.root.resolve())):
+            raise ValueError(f"key escapes store root: {key!r}")
+        return p
+
+    def list_prefix(self, prefix: str) -> list[str]:
+        """All object keys under ``prefix``, sorted (S3 list order)."""
+        out = []
+        for dirpath, _dirs, files in os.walk(self.root):
+            for f in files:
+                # an S3 listing holds only data objects; local Spark
+                # writes add checksum/_SUCCESS markers — exclude them
+                # so the store behaves like the bucket it stands in for
+                if f.startswith((".", "_")):
+                    continue
+                key = str(Path(dirpath, f).relative_to(self.root)).replace(
+                    os.sep, "/"
+                )
+                if key.startswith(prefix):
+                    out.append(key)
+        return sorted(out)
+
+    def copy(self, src_key: str, dst_key: str) -> None:
+        dst = self._path(dst_key)
+        dst.parent.mkdir(parents=True, exist_ok=True)
+        shutil.copyfile(self._path(src_key), dst)
+
+    def delete(self, key: str) -> None:
+        p = self._path(key)
+        if p.exists():
+            p.unlink()
+
+    def url(self, prefix: str) -> str:
+        """Filesystem path for a prefix — what Spark readers consume."""
+        return str(self.root / prefix)
+
+
+def add_time_stamp_to_file_name(
+    original_filename: str, now: dt.datetime
+) -> str:
+    """MigrateData.py:20-24 verbatim semantics: timestamp + last
+    extension only (``a.csv.gz`` → ``<ts>.gz``)."""
+    file_time = now.strftime("%Y%m%d-%H%M%S%f")
+    file_extension = os.path.splitext(original_filename)[1]
+    return file_time + file_extension
+
+
+def promote(
+    store: PrefixStore,
+    *,
+    project: str,
+    bd_type: str,
+    endpoint: str,
+    source_schema: str,
+    source_table: str,
+    clock: Callable[[], dt.datetime] | None = None,
+) -> dict:
+    """Promote one table's landing files to the raw dated layout.
+
+    Returns the lambda's result contract: ``{'result': 'SUCCESS',
+    'status': 'Complete', 'target_path': ...}`` or ``{'result':
+    'FAILED', 'reason': 'nothing to move on'}``.
+    """
+    clock = clock or dt.datetime.now
+    bd = bd_type.strip().lower()
+    bd = "sqlserver" if bd == "mssql" else bd  # MigrateData.py:74-77
+
+    # 1. resolve source prefix: temp/{bd}/{schema}/ + case-insensitive
+    # table-segment match (segment index 3 of the key)
+    base = f"temp/{bd}/{source_schema}/"
+    source_path = ""
+    for key in store.list_prefix(base):
+        parts = key.split("/")
+        if len(parts) > 3 and parts[3].upper() == source_table.upper():
+            source_path = base + parts[3] + "/"
+            break
+
+    today = clock().date()
+    target_path = (
+        f"{project}/{bd}/{endpoint}/{source_table.split()[0]}/"
+        f"{today.year}/{today.month:02d}/{today.day:02d}/"
+    )
+
+    # 2. delete-then-copy: clear the target prefix first
+    for key in store.list_prefix(target_path):
+        store.delete(key)
+
+    if not source_path:
+        # "the table data is already load" branch — nothing staged
+        return {"result": "FAILED", "reason": "nothing to move on"}
+
+    keys = store.list_prefix(source_path)
+    if not keys:
+        return {"result": "FAILED", "reason": "nothing to move on"}
+
+    # 3. copy with timestamped rename; the reference stamps now() per
+    # file so names never collide — with an injected coarse clock we
+    # tick microseconds to preserve that uniqueness invariant
+    used: set[str] = set()
+    now = clock()
+    for key in keys:
+        original = key.split("/")[-1]
+        new_name = add_time_stamp_to_file_name(original, now)
+        while new_name in used:
+            now = now + dt.timedelta(microseconds=1)
+            new_name = add_time_stamp_to_file_name(original, now)
+        used.add(new_name)
+        store.copy(key, target_path + new_name)
+
+    # 4. delete the source objects
+    for key in keys:
+        store.delete(key)
+
+    return {"result": "SUCCESS", "status": "Complete", "target_path": target_path}

@@ -1947,6 +1947,150 @@ GROUP BY o_orderstatus
 """
 
 
+def dms_full_load_pipeline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 + R3 + S15 as one live chain — the reference's full
+    raw-zone ingestion path, executed locally end-to-end:
+
+      1. a one-month orders slice is seeded into embedded Derby (the
+         stand-in source RDBMS),
+      2. a replication instance + ``full-load`` task are created from
+         reference-shaped TableMappings JSON (selection rule with a
+         ``between`` source filter on o_orderkey, plus a
+         parallel-load stride column) and task-settings JSON
+         (MaxFullLoadSubTasks=4, CommitRate=10000, DROP_AND_CREATE —
+         CreateReplicationTaskForTable.py:91-124),
+      3. the supervisor loop starts the task and polls it through
+         starting→running→stopped/FULL_LOAD_ONLY_FINISHED
+         (StartReplicationTask.py:12-21,
+         CheckDMSReplicationTaskStatus.py:12-46), landing gzip CSV in
+         the DMS target layout ``temp/{bd}/{schema}/{TABLE}/``,
+      4. the landing promotion moves temp → raw with the
+         ``%Y%m%d-%H%M%S%f`` timestamped rename
+         (MigrateData.py:20-24,104-143),
+      5. the promoted raw files are read back schema-less (S1) and
+         aggregated per status.
+
+    A wrong filter rendering, a dropped/duplicated stride, a missed
+    file in promotion, or a bad rename all change the aggregate and
+    break the oracle hash. The filter keeps the lower half of the
+    orderkey range (bounds derived in-query, so the gate is
+    SF-independent)."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.landing import PrefixStore, promote
+    from cdk_datalake_ingest_spark.operators.replication import (
+        ReplicationEngine,
+        run_full_load,
+    )
+    from cdk_datalake_ingest_spark.sources.csv import read_raw_csv
+    from cdk_datalake_ingest_spark.specs import EndpointSpec
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between("1995-02-01", "1995-02-28")
+    )
+    src = o.select(
+        F.col("o_orderkey").alias("O_ORDERKEY"),
+        F.col("o_custkey").alias("O_CUSTKEY"),
+        F.col("o_orderstatus").alias("O_ORDERSTATUS"),
+        F.col("o_totalprice").alias("O_TOTALPRICE"),
+    )
+    db_path = tempfile.mkdtemp(prefix="cdk_dms_derby_") + "/srcdb"
+    src.write.jdbc(
+        url=f"jdbc:derby:{db_path};create=true",
+        table="APP.ORDERS_FL",
+        mode="overwrite",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    # bounded 2-scalar probe to form the between filter (lower half of
+    # the key range) — the oracle recomputes the same bounds in SQL
+    lo, hi = src.agg(F.min("O_ORDERKEY"), F.max("O_ORDERKEY")).first()
+    mid = (int(lo) + int(hi)) // 2
+
+    ep = EndpointSpec(endpoint_name="derby-dms", bd_type="derby", db_name=db_path)
+    store = PrefixStore(tempfile.mkdtemp(prefix="cdk_dms_store_"))
+    engine = ReplicationEngine(spark, ep, landing_root=str(store.root))
+    inst = engine.create_replication_instance("etl-repl-instance")
+    mappings = {
+        "rules": [
+            {
+                "rule-type": "selection",
+                "rule-action": "include",
+                "rule-id": 0,
+                "rule-name": "app-orders-fl-orders-task",
+                "object-locator": {"schema-name": "APP", "table-name": "ORDERS_FL"},
+                "filters": [
+                    {
+                        "filter-type": "source",
+                        "column-name": "O_ORDERKEY",
+                        "filter-conditions": [
+                            {
+                                "filter-operator": "between",
+                                "start-value": int(lo),
+                                "end-value": mid,
+                            }
+                        ],
+                    }
+                ],
+            },
+            {
+                "rule-type": "table-settings",
+                "object-locator": {"schema-name": "APP", "table-name": "ORDERS_FL"},
+                "parallel-load": {"type": "ranges", "columns": ["O_ORDERKEY"]},
+            },
+        ]
+    }
+    settings = (
+        '{"FullLoadSettings": {"TargetTablePrepMode": "DROP_AND_CREATE",'
+        ' "MaxFullLoadSubTasks": 4, "CommitRate": 10000}}'
+    )
+    arn = engine.create_replication_task(
+        "task-app-orders-fl", mappings, inst, "full-load", settings
+    )
+    outcome = run_full_load(engine, [arn])
+    if outcome["result"] != "SUCCESS":
+        raise RuntimeError(f"full load failed: {outcome}")
+    engine.delete_replication_task(arn)
+    engine.delete_replication_instance(inst.identifier)
+
+    promoted = promote(
+        store,
+        project="datalake",
+        bd_type="derby",
+        endpoint="derby-dms",
+        source_schema="APP",
+        source_table="ORDERS_FL",
+    )
+    if promoted["result"] != "SUCCESS":
+        raise RuntimeError(f"promotion failed: {promoted}")
+
+    raw = read_raw_csv(spark, store.url(promoted["target_path"]))
+    return raw.groupBy(F.col("O_ORDERSTATUS").alias("status")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("O_CUSTKEY").alias("n_customers"),
+        F.sum(F.col("O_TOTALPRICE").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+DMS_FULL_LOAD_SQL = """
+WITH feb AS (
+  SELECT * FROM orders
+  WHERE o_orderdate BETWEEN DATE '1995-02-01' AND DATE '1995-02-28'
+), b AS (
+  SELECT MIN(o_orderkey) AS lo,
+         CAST(FLOOR((MIN(o_orderkey) + MAX(o_orderkey)) / 2.0) AS BIGINT) AS mid
+  FROM feb
+)
+SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM feb, b
+WHERE o_orderkey BETWEEN b.lo AND b.mid
+GROUP BY o_orderstatus
+"""
+
+
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver gate: events staged as a
     time-ordered multi-file drop → file-source stream (one file per
@@ -3194,7 +3338,9 @@ WHERE l.l_quantity < 0.2 * a.avg_qty
 # since) to the tail.  Tail entries keep their pytest + local-parity
 # coverage.  Round-4 rotation: the 11 entries riding on r2 rows are
 # back in the window; 11 r3-green, untouched q-series/set-op/pivot
-# entries moved to the tail.
+# entries moved to the tail, plus user_value_analytics (r3 green,
+# untouched) to make room for the new dms_full_load_pipeline_orders
+# gate (S13/R3/S15 e2e).
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
@@ -3245,9 +3391,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_engagement_approx": user_engagement_approx,
     "asof_purchase_click": asof_purchase_click,
     "range_join_purchase_clicks": range_join_purchase_clicks,
-    "user_value_analytics": user_value_analytics,
+    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
     # ---- tail: beyond the driver's 50-entry window (all r3 green,
     # ---- untouched this round; pytest + local parity still cover them)
+    "user_value_analytics": user_value_analytics,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
@@ -3299,6 +3446,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "distinct_rows_lineitem": DISTINCT_ROWS_SQL,
     "jdbc_roundtrip_orders": JDBC_ROUNDTRIP_SQL,
+    "dms_full_load_pipeline_orders": DMS_FULL_LOAD_SQL,
     "streaming_windowed_counts": STREAMING_WINDOWED_SQL,
     "planner_multi_table_run": PLANNER_RUN_SQL,
     # Approximate queries are still exactly checkable: the oracle either
