@@ -433,7 +433,18 @@ class ManagedTable:
             expected_base_version=int(m["version"]),
         )
 
-    def register(self, name: str) -> None:
+    def register(self, name: str, grants=None, principal: str | None = None) -> None:
         """Catalog registration replacing the reference's Glue crawlers
-        (crawlers_job.py:173-258): the writer registers its own table."""
-        self.read().createOrReplaceTempView(name)
+        (crawlers_job.py:173-258): the writer registers its own table.
+
+        When a ``grants`` registry (operators/grants.py:GrantRegistry)
+        and ``principal`` are supplied, registration is governed the
+        way Lake Formation governs the reference's crawler: the
+        principal must hold CREATE_TABLE (directly or via ALL /
+        tag-grants) on the database part of a dotted name."""
+        if grants is not None and principal is not None:
+            from cdk_datalake_ingest_spark.operators.grants import Resource
+
+            db = name.split(".", 1)[0] if "." in name else "default"
+            grants.check(principal, "CREATE_TABLE", Resource("database", db))
+        self.read().createOrReplaceTempView(name.replace(".", "__"))
