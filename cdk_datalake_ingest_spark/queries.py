@@ -1796,6 +1796,79 @@ FROM s
 """
 
 
+#: hash resolution of the mixture keep-threshold (md5 buckets)
+MIXTURE_BUCKETS = 10_000
+
+
+def temperature_mixture_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing — the standard multilingual
+    /domain mixing step (sampling rate ∝ share^τ, published with
+    mBERT/XLM-R): with τ=0.5 each source's keep-rate is
+    sqrt(n_source)/sqrt(n_max), so the dominant source keeps
+    everything and long-tail sources are up-weighted relative to their
+    raw share. Document keep decisions are the deterministic
+    md5-bucket threshold (functions/hashing.py) — no RNG state, bit
+    reproducible across engines and across partial re-runs.
+
+    Cross-engine exactness: τ is fixed at 0.5 so the rate is computed
+    with sqrt (IEEE-754 correctly rounded in both engines), never
+    pow(); floor(rate * buckets) is then bit-identical in Spark and
+    DuckDB, and the keep set — not just its size — matches.
+
+    Scale note: one narrow scan feeds a ~|sources|-row count
+    aggregate; the rates rejoin the corpus by BROADCAST hash join and
+    the keep decision is a stateless map — no window, no global sort,
+    no skew sensitivity (the per-source final rollup is map-side
+    combined). The reference has no mixing step; this extends the
+    curation surface (SURVEY §7)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    n_max = counts.agg(F.max("n_total").alias("n_max"))  # 1 row
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        "source",
+        "n_total",
+        (F.sqrt(F.col("n_total").cast("double"))
+         / F.sqrt(F.col("n_max").cast("double"))).alias("rate"),
+    )
+    thr = F.floor(F.col("rate") * MIXTURE_BUCKETS).cast("bigint")
+    bucket = _hashing.md5_bucket(F.col("doc_id"), MIXTURE_BUCKETS)
+    kept = F.when(bucket < thr, F.lit(1)).otherwise(F.lit(0))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.min("n_total").alias("n_total"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(F.col("n_chars") * kept).cast("bigint").alias("kept_chars"),
+            F.round(F.min("rate"), 6).alias("rate"),
+        )
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = f"""
+WITH c AS (
+  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY source
+), m AS (
+  SELECT MAX(n_total) AS n_max FROM c
+), r AS (
+  SELECT source, n_total,
+    SQRT(CAST(n_total AS DOUBLE)) / SQRT(CAST(n_max AS DOUBLE)) AS rate
+  FROM c, m
+)
+SELECT d.source AS source,
+  MIN(r.n_total) AS n_total,
+  CAST(SUM(CASE WHEN {_hashing.md5_bucket_sql('d.doc_id', 10000)}
+                   < CAST(FLOOR(r.rate * 10000) AS BIGINT)
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  CAST(SUM(CASE WHEN {_hashing.md5_bucket_sql('d.doc_id', 10000)}
+                   < CAST(FLOOR(r.rate * 10000) AS BIGINT)
+           THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+  ROUND(MIN(r.rate), 6) AS rate
+FROM documents d JOIN r ON d.source = r.source
+GROUP BY d.source
+"""
+
+
 PACK_BUDGET_TOKENS = 256
 
 
@@ -3387,13 +3460,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "sessionize_events": sessionize_events,
+    "temperature_mixture_docs": temperature_mixture_docs,
     "user_engagement_approx": user_engagement_approx,
     "asof_purchase_click": asof_purchase_click,
     "range_join_purchase_clicks": range_join_purchase_clicks,
     "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
     # ---- tail: beyond the driver's 50-entry window (all r3 green,
     # ---- untouched this round; pytest + local parity still cover them)
+    "sessionize_events": sessionize_events,
     "user_value_analytics": user_value_analytics,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -3444,6 +3518,7 @@ ORACLES: dict[str, str] = {
     "dataset_split_docs": DATASET_SPLIT_SQL,
     "pack_sequences_docs": PACK_SEQUENCES_SQL,
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "temperature_mixture_docs": TEMPERATURE_MIXTURE_SQL,
     "distinct_rows_lineitem": DISTINCT_ROWS_SQL,
     "jdbc_roundtrip_orders": JDBC_ROUNDTRIP_SQL,
     "dms_full_load_pipeline_orders": DMS_FULL_LOAD_SQL,

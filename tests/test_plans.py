@@ -132,3 +132,15 @@ def test_vocab_topk_avoids_global_sort(spark):
     per-partition top-K) — never a full sort of the vocabulary."""
     plan = _plan(spark, "vocab_top_tokens")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mixture_is_broadcast_and_windowless(spark):
+    """The mixture rates (~|sources| rows) must rejoin the corpus by
+    broadcast hash join, and the keep decision must stay a stateless
+    map: no Window, no SortMergeJoin, no global Sort anywhere — at
+    100 TB the corpus passes the rate table once, unshuffled except
+    for the final per-source rollup."""
+    plan = _plan(spark, "temperature_mixture_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
