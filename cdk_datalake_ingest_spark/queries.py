@@ -1433,20 +1433,35 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = enriched.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
     )
+    # The survivor relation feeds BOTH the LSH edge build (materialized
+    # eagerly inside connected_components' edge checkpoint) and the
+    # final attach/join — persist it so the enrich + dedup-window pass
+    # runs once, not once per consumer. MEMORY_AND_DISK and no text
+    # column (ids + 4 small fields), so at 100 TB this is a spillable
+    # metadata-sized cache, not a corpus copy. The result is
+    # localCheckpointed before unpersisting so the returned (lazy)
+    # DataFrame never re-reads the freed cache.
+    from pyspark import StorageLevel
+
     surv = latest_record_dedup(
         eligible, ["content_hash"], [F.col("doc_id").asc()]
-    )
-    surv_text = docs.select("doc_id", "text").join(
-        surv.select("doc_id"), "doc_id"
-    )
-    pairs = near_dup_edge_pairs(surv_text)
-    assign = connected_components(pairs, "id_a", "id_b")
-    clustered = attach_components(
-        surv, assign, "doc_id", component_col="cluster_rep"
-    )
-    return clustered.filter(
-        F.col("doc_id") == F.col("cluster_rep")
-    ).select("doc_id", "lang_pred", "quality", "n_tokens")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        surv_text = docs.select("doc_id", "text").join(
+            surv.select("doc_id"), "doc_id"
+        )
+        pairs = near_dup_edge_pairs(surv_text)
+        assign = connected_components(pairs, "id_a", "id_b")
+        clustered = attach_components(
+            surv, assign, "doc_id", component_col="cluster_rep"
+        )
+        return (
+            clustered.filter(F.col("doc_id") == F.col("cluster_rep"))
+            .select("doc_id", "lang_pred", "quality", "n_tokens")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        surv.unpersist()
 
 
 CURATE_SQL = f"""
