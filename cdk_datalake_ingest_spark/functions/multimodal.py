@@ -154,6 +154,69 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     return df.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def target_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a ``max_dim`` bounding box (the real,
+    non-stubbed part of resizing): scale the longer side down to
+    max_dim, never upscale, round half-up, floor at 1px."""
+    w, h = int(width or 0), int(height or 0)
+    if w <= 0 or h <= 0:
+        return 0, 0
+    longest = max(w, h)
+    if longest <= max_dim:
+        return w, h
+    scale = max_dim / float(longest)
+    return max(1, int(w * scale + 0.5)), max(1, int(h * scale + 0.5))
+
+
+def resize_images(df: DataFrame, max_dim: int = 512, fake: bool = False) -> DataFrame:
+    """Arrow-batched image resize over binary content. The output-
+    dimension computation (:func:`target_dims`) is real; the pixel
+    work is stubbed like :func:`decode_image_features` — a real
+    deployment swaps the fake re-encode for PIL/libvips inside the
+    same mapInPandas batch loop with identical schema/partitioning.
+    The fake output bytes are deterministic in (content, dims) so
+    downstream dedup/hash stages exercise realistically."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs unavailable in this environment; pass fake=True "
+            "for the deterministic stub resizer"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = [
+                target_dims(w, h, max_dim)
+                for w, h in zip(pdf["width"], pdf["height"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": [d[0] for d in dims],
+                    "out_height": [d[1] for d in dims],
+                    "content": [
+                        hashlib.sha1(
+                            (c or b"") + b"|%dx%d" % d
+                        ).digest()
+                        for c, d in zip(pdf["content"], dims)
+                    ],
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explodes per-frame timestamp
     offsets natively; frame decode itself would be a mapInPandas stage

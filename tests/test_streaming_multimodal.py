@@ -82,6 +82,39 @@ def test_multimodal_decode_without_codecs_raises(spark):
         decode_image_features(_media_df(spark), fake=False)
 
 
+def test_resize_dims_math():
+    from cdk_datalake_ingest_spark.functions.multimodal import target_dims
+
+    assert target_dims(4000, 3000, 512) == (512, 384)
+    assert target_dims(3000, 4000, 512) == (384, 512)
+    assert target_dims(100, 100, 512) == (100, 100)  # never upscale
+    assert target_dims(10000, 3, 512) == (512, 1)  # floor at 1px
+    assert target_dims(0, 50, 512) == (0, 0)  # missing metadata
+
+
+def test_resize_images_plumbing(spark):
+    import hashlib as _h
+
+    from cdk_datalake_ingest_spark.functions.multimodal import (
+        RESIZED_SCHEMA,
+        resize_images,
+    )
+
+    df = _media_df(spark).withColumn("width", F.lit(4000)).withColumn(
+        "height", F.lit(3000)
+    )
+    out = resize_images(df, max_dim=512, fake=True)
+    assert out.schema == RESIZED_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {0, 2, 4}  # images only
+    r0 = rows[0]
+    assert (r0.out_width, r0.out_height) == (512, 384)
+    # fake bytes are deterministic in (content, dims)
+    assert bytes(r0.content) == _h.sha1(bytes([0]) * 10 + b"|512x384").digest()
+    with pytest.raises(NotImplementedError):
+        resize_images(df, fake=False)
+
+
 def test_sample_frames(spark):
     frames = sample_frames(_media_df(spark), every_ms=1000).collect()
     by_media = {}
