@@ -83,6 +83,11 @@ def test_no_nested_loop_anywhere_in_headline_joins(spark):
         "customers_with_open_orders",
         "range_join_purchase_clicks",
         "asof_purchase_click",
+        # disjunctive-bracket join: the shared equi-condition must keep
+        # it a hash join with the brackets as a post-join filter
+        "q19_bracket_revenue",
+        # EXISTS must compile to a semi join, not a rewritten cross
+        "q04_priority_exists",
     ):
         plan = _plan(spark, q)
         assert "BroadcastNestedLoopJoin" not in plan, q
