@@ -3584,10 +3584,10 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 # rotate long-stable green queries (hash-green last round, untouched
 # since) to the tail.  Tail entries keep their pytest + local-parity
 # coverage.  Round-4 rotation: the 11 entries riding on r2 rows are
-# back in the window; 11 r3-green, untouched q-series/set-op/pivot
-# entries moved to the tail, plus user_value_analytics (r3 green,
-# untouched) to make room for the new dms_full_load_pipeline_orders
-# gate (S13/R3/S15 e2e).
+# back in the window; to make room for the six new round-4 gates
+# (dms_full_load_pipeline_orders, temperature_mixture_docs, and the
+# q04/q06/q14/q19 relational set), 17 r3-green untouched entries sit
+# in the tail — rotate them back next round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
