@@ -3457,7 +3457,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            # the DECIMAL comparison is the exact band; the redundant
+            # wider raw-double bounds restate it in storage units so the
+            # predicate reaches the parquet scan (cast expressions don't
+            # push down) — same pattern as the incremental extract
             & _dec("l_discount").between(0.05, 0.07)
+            & F.col("l_discount").between(0.04, 0.08)
             & (F.col("l_quantity") < 24)
         )
         .agg(
@@ -3480,6 +3485,7 @@ SELECT
 FROM lineitem
 WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
+  AND l_discount BETWEEN 0.04 AND 0.08
   AND l_quantity < 24
 """
 

@@ -149,3 +149,15 @@ def test_temperature_mixture_is_broadcast_and_windowless(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_q06_pushes_all_bands_to_scan(spark):
+    """q06's exact filter runs in DECIMAL (not pushable); the restated
+    raw-double discount bounds and the date/quantity predicates must
+    all reach the parquet scan so footer stats prune files."""
+    plan = _plan(spark, "q06_forecast_revenue")
+    pushed = " ".join(_pushed(plan))
+    assert "l_shipdate" in pushed
+    assert "LessThan(l_quantity,24" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.04" in pushed
+    assert "LessThanOrEqual(l_discount,0.08" in pushed

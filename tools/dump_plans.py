@@ -86,7 +86,46 @@ NOTES = {
         "partial before the shuffle, and the merge touches only "
         "lookback+new buckets of the rollup table."
     ),
+    "q06_forecast_revenue": (
+        "The canonical pushdown probe: both shipdate bounds, the "
+        "quantity cap, AND the discount band all reach PushedFilters — "
+        "the band filters exactly in DECIMAL (cast expressions cannot "
+        "push down) with redundant wider raw-double bounds restated in "
+        "storage units for the scan. ReadSchema is pruned to the 4 used "
+        "columns; the only exchange is the 1-row final combine."
+    ),
+    "q19_bracket_revenue": (
+        "Disjunctive brackets over a join: the shared p_partkey "
+        "equi-condition keeps a BroadcastHashJoin (part is the built "
+        "side) and the three (brand, size, quantity) OR-brackets "
+        "evaluate as a post-join filter — never a nested-loop or "
+        "cartesian plan (pinned in tests/test_plans.py)."
+    ),
+    "temperature_mixture_docs": (
+        "Data mixing at scale: the ~|sources|-row rate table rejoins "
+        "the corpus by BroadcastHashJoin and the md5-threshold keep "
+        "decision is a stateless map — no Window, no global sort; the "
+        "corpus is read twice (count pass + keep pass), both passes "
+        "column-pruned to 3 columns."
+    ),
 }
+
+#: appended verbatim — control-plane-dominated chain whose interesting
+#: structure is the state machinery, not a Spark plan.
+DMS_NOTE = """
+## dms_full_load_pipeline_orders
+
+Control-plane-dominated e2e gate (round 4): the instance/task state machine and
+landing promotion are O(#tables)/O(#files) driver-side metadata; the data plane
+is (a) a strided JDBC scan — `MaxFullLoadSubTasks` non-overlapping key-range
+partitions, one connection each, the same parallel-unload shape DMS uses — into
+a distributed gzip-CSV write, then (b) a schema-less CSV scan → partial
+aggregate → one exchange. Neither pass materializes anything on the driver
+beyond the 2-scalar min/max stride probe, so at 100 TB the chain is bounded by
+the source RDBMS's read bandwidth, exactly like the service it models. No plan
+dump: the interesting structure is the status/state machinery (pinned in
+tests/test_replication_landing.py), not the trivially-shaped scans.
+"""
 
 
 def main() -> int:
@@ -118,6 +157,7 @@ def main() -> int:
         for b in scan_bits:
             out.append("\n" + b.strip() + "\n")
         out.append("```\n")
+    out.append(DMS_NOTE)
     Path(__file__).resolve().parents[1].joinpath("PLANS.md").write_text(
         "".join(out)
     )
