@@ -301,3 +301,91 @@ def test_sharded_rank_equals_global_rank(spark, n):
     want_order = sorted(got, key=lambda d: __import__("hashlib").md5(str(d).encode()).hexdigest())
     want = {d: i + 1 for i, d in enumerate(want_order)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 4: landing promotion + schedule invariants
+# ---------------------------------------------------------------------------
+
+_fname = st.text(
+    alphabet=st.sampled_from("abcdefghij0123456789._-"), min_size=1, max_size=20
+).filter(lambda s: s not in (".", "..") and not s.startswith((".", "_"))
+         and "/" not in s)
+
+
+@given(st.lists(_fname, min_size=1, max_size=8, unique=True))
+@settings(max_examples=25, deadline=None)
+def test_promote_preserves_count_uniqueness_extension(tmp_path_factory, names):
+    """For any landing file set: promotion succeeds, moves exactly the
+    source files, leaves the landing prefix empty, produces unique
+    target names, and each target keeps the last extension of some
+    source file (multiset-equal)."""
+    import os
+
+    from cdk_datalake_ingest_spark.operators.landing import PrefixStore, promote
+
+    root = tmp_path_factory.mktemp("store")
+    store = PrefixStore(str(root))
+    src = root / "temp/derby/S/T1"
+    src.mkdir(parents=True, exist_ok=True)
+    for n in names:
+        (src / n).write_bytes(b"x")
+    clock = lambda: dt.datetime(2026, 8, 14, 5, 30)  # noqa: E731 — coarse on purpose
+    out = promote(store, project="p", bd_type="derby", endpoint="e",
+                  source_schema="S", source_table="t1", clock=clock)
+    assert out["result"] == "SUCCESS"
+    moved = store.list_prefix(out["target_path"])
+    assert len(moved) == len(names)
+    base = [k.split("/")[-1] for k in moved]
+    assert len(set(base)) == len(names)  # coarse clock still yields unique names
+    assert sorted(os.path.splitext(b)[1] for b in base) == sorted(
+        os.path.splitext(n)[1] for n in names
+    )
+    assert store.list_prefix("temp/") == []
+
+
+@given(
+    st.integers(0, 59),
+    st.integers(0, 23),
+    st.datetimes(
+        min_value=dt.datetime(2020, 1, 1), max_value=dt.datetime(2030, 1, 1)
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_cron_next_fire_matches_and_is_minimal(minute, hour, after):
+    """next_fire is strictly after the input, matches the pattern, and
+    is the EARLIEST such minute (a daily (minute, hour) pattern fires
+    within 24h, and no pattern-matching minute exists in between)."""
+    from cdk_datalake_ingest_spark.plans.schedule import CronSchedule
+
+    c = CronSchedule(minute=str(minute), hour=str(hour))
+    nxt = c.next_fire(after)
+    assert nxt > after
+    assert (nxt.minute, nxt.hour) == (minute, hour)
+    assert nxt - after <= dt.timedelta(days=1, minutes=1)
+    prev_candidate = nxt - dt.timedelta(days=1)
+    assert prev_candidate <= after  # nothing matching earlier was skipped
+
+
+@given(
+    st.integers(1, 48),
+    st.integers(-10_000, 10_000),
+)
+@settings(max_examples=200, deadline=None)
+def test_rate_next_fire_aligned_and_minimal(hours, offset_minutes):
+    """Rate schedules fire on the anchor lattice: the result is the
+    first anchor + k*interval strictly after the probe time."""
+    from cdk_datalake_ingest_spark.plans.schedule import RateSchedule
+
+    anchor = dt.datetime(2026, 1, 1, 0, 0)
+    r = RateSchedule.hours(hours, anchor)
+    after = anchor + dt.timedelta(minutes=offset_minutes)
+    nxt = r.next_fire(after)
+    assert nxt > after
+    delta = nxt - anchor
+    assert delta % r.interval == dt.timedelta(0) and delta >= dt.timedelta(0)
+    if after < anchor:
+        # rules never fire before creation: the first fire IS the anchor
+        assert nxt == anchor
+    else:
+        assert nxt - r.interval <= after  # minimal on the lattice
