@@ -117,6 +117,29 @@ def reference_rules(anchor: dt.datetime) -> list[TriggerRule]:
     ]
 
 
+def expand_payload(payload: dict[str, Any]) -> list[tuple[str, str | None]]:
+    """Expand an EventBridge payload into planner arguments the way the
+    start-workflow lambda does (StartWorkFlow.py:171-190): both fields
+    are comma-separated lists, crossed into one planner invocation per
+    (process_id, country) pair. A country of ``ALL`` means no endpoint
+    prefix restriction."""
+    processes = [
+        p.strip()
+        for p in str(payload.get("PROCESS_ID_TO_LOAD", "")).split(",")
+        if p.strip()
+    ]
+    countries = [
+        c.strip()
+        for c in str(payload.get("COUNTRIES_TO_LOAD", "ALL")).split(",")
+        if c.strip()
+    ] or ["ALL"]
+    return [
+        (p, None if c.upper() == "ALL" else c)
+        for p in processes
+        for c in countries
+    ]
+
+
 def due_runs(
     rules: list[TriggerRule], since: dt.datetime, now: dt.datetime
 ) -> list[tuple[dt.datetime, str, dict[str, Any]]]:

@@ -18,6 +18,7 @@ from cdk_datalake_ingest_spark.plans.schedule import (
     RateSchedule,
     TriggerRule,
     due_runs,
+    expand_payload,
     reference_rules,
 )
 
@@ -73,6 +74,58 @@ def test_due_runs_orders_firings_with_payload():
     cron_fire = next(f for f in firings if f[1] == "start load rule")
     assert cron_fire[0] == dt.datetime(2026, 8, 10, 5, 30)
     assert cron_fire[2] == {"PROCESS_ID_TO_LOAD": "01", "COUNTRIES_TO_LOAD": "ALL"}
+
+
+def test_payload_expansion_crosses_processes_and_countries():
+    """StartWorkFlow semantics: comma-lists crossed, ALL = unrestricted."""
+    assert expand_payload(
+        {"PROCESS_ID_TO_LOAD": "01,02", "COUNTRIES_TO_LOAD": "PE,CO"}
+    ) == [("01", "PE"), ("01", "CO"), ("02", "PE"), ("02", "CO")]
+    assert expand_payload(
+        {"PROCESS_ID_TO_LOAD": "01", "COUNTRIES_TO_LOAD": "ALL"}
+    ) == [("01", None)]
+    assert expand_payload({"PROCESS_ID_TO_LOAD": "01"}) == [("01", None)]
+    assert expand_payload({}) == []
+
+
+def test_scheduler_drives_the_planner():
+    """I5 wired into R1: a cron firing's payload expands into planner
+    selections — the full trigger → selection chain the reference runs
+    through EventBridge + StartWorkFlow."""
+    from cdk_datalake_ingest_spark.plans.planner import RunPlanner
+    from cdk_datalake_ingest_spark.specs import (
+        ConfigCatalog,
+        EndpointSpec,
+        TableSpec,
+    )
+
+    catalog = ConfigCatalog(
+        tables=[
+            TableSpec("T1", endpoint="PEBD", process_id="01"),
+            TableSpec("T2", endpoint="COBD", process_id="01"),
+            TableSpec("T3", endpoint="PEBD", process_id="02"),
+        ],
+        endpoints=[
+            EndpointSpec("PEBD", bd_type="mssql"),
+            EndpointSpec("COBD", bd_type="oracle"),
+        ],
+    )
+    rules = [
+        TriggerRule(
+            "start load rule",
+            CronSchedule(minute="30", hour="5"),
+            {"PROCESS_ID_TO_LOAD": "01", "COUNTRIES_TO_LOAD": "PE"},
+        )
+    ]
+    firings = due_runs(rules, since=T0, now=T0 + dt.timedelta(days=1))
+    assert len(firings) == 1
+    planner = RunPlanner(catalog, base_sleep=0.0)
+    planned = {}
+    for _, _, payload in firings:
+        for process_id, prefix in expand_payload(payload):
+            planned.update(planner.plan(process_id, prefix))
+    assert set(planned) == {("mssql", "PEBD")}
+    assert [t.target_table_name for t in planned[("mssql", "PEBD")]] == ["T1"]
 
 
 def test_trigger_rule_window_is_half_open():
