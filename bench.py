@@ -65,24 +65,47 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Methodology fields so cross-round comparisons are
-                # interpretable: rounds 1-2 were single-shot cold runs
-                # (repeats=1); rounds >=3 report the warm min-of-N.
-                # Compare totals only under the same repeats policy.
-                "repeats": repeats,
-                "timing": "min_of_repeats" if repeats > 1 else "single_shot",
-            }
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Methodology fields so cross-round comparisons are
+        # interpretable: rounds 1-2 were single-shot cold runs
+        # (repeats=1); rounds >=3 report the warm min-of-N.
+        # Compare totals only under the same repeats policy.
+        "repeats": repeats,
+        "timing": "min_of_repeats" if repeats > 1 else "single_shot",
+    }
+
+    # Full per-query detail always lands in a file the judge can read.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(payload, indent=2) + "\n")
+
+    # The driver keeps only the LAST ~2 KB of stdout and parses the
+    # JSON line out of that tail.  Round 4's 65-query line grew past
+    # the capture window and lost its head ({"metric","value",...}),
+    # so BENCH_r04.json came back parsed:null.  Budget the printed
+    # line: emit the full map when it fits, otherwise keep the
+    # slowest-K entries (the ones worth reading in a summary) and say
+    # how many were omitted; the full map is in BENCH_DETAIL.json.
+    budget = 1800
+    line = json.dumps(payload)
+    if len(line) > budget:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
         )
-    )
+        while len(line) > budget and slowest:
+            slowest.popitem()  # drop current fastest of the kept set
+            payload["queries"] = slowest
+            payload["queries_omitted"] = len(timings) - len(slowest)
+            payload["detail_file"] = "BENCH_DETAIL.json"
+            line = json.dumps(payload)
+    # Stop Spark BEFORE printing: the console progress bar writes
+    # \r-frames to stdout and must not land after the summary line.
     spark.stop()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

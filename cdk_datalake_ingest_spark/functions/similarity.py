@@ -104,6 +104,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 0,
     dim: int = 64,
     seed: int = 42,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold).
@@ -115,7 +116,25 @@ def embedding_near_dup_pairs(
     shuffle hash join on bucket id; recall < 1 by construction (a pair
     split across buckets is missed), raise recall with fewer planes or
     multi-probe.
+
+    ``max_rows`` is the guardrail for the exact role (same contract as
+    :func:`~cdk_datalake_ingest_spark.operators.dedup.ngram_jaccard_pairs`):
+    with ``n_planes=0`` the corpus size is checked up front and a
+    corpus larger than the cap raises instead of launching an unguarded
+    cartesian self-join. The LSH path (``n_planes>0``) is the scale
+    path and is never capped. Pass ``max_rows=None`` to explicitly opt
+    out.
     """
+    if n_planes <= 0 and max_rows is not None:
+        # limit(n+1).count() short-circuits after max_rows+1 rows — the
+        # guardrail must not itself pay a full corpus scan.
+        if corpus.limit(max_rows + 1).count() > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs(n_planes=0) is the exact "
+                f"O(n^2) cross-join oracle, not a scale path: corpus "
+                f"exceeds max_rows={max_rows}. Use n_planes>0 (LSH "
+                f"bucketing), or pass max_rows=None to override."
+            )
     corpus = ensure_parallelism(corpus)
     # norms precomputed per ROW, not per pair: inside the join each
     # candidate pair would otherwise re-run two 64-element folds —

@@ -52,8 +52,14 @@ class GrantRegistry:
     _resource_tags: dict[tuple[str, str], dict[str, str]] = field(
         default_factory=dict
     )
-    # (principal, ...) grants that may be re-granted by the principal
+    # (principal, resource kind, resource name, permission) grants that
+    # may be re-granted by the principal
     _grant_option: set[tuple[str, str, str, str]] = field(default_factory=set)
+    # (principal, tag key, tag value, permission) grant options given
+    # through the tag path — consulted by can_grant via resource tags
+    _tag_grant_option: set[tuple[str, str, str, str]] = field(
+        default_factory=set
+    )
 
     # -- the three reference operations ---------------------------------
 
@@ -85,6 +91,8 @@ class GrantRegistry:
             k = (principal, tag_key, v)
             self._tag_grants.setdefault(k, set()).update(permissions)
             self._tag_grants[k].update(permissions_with_grant_option or [])
+            for p in permissions_with_grant_option or []:
+                self._tag_grant_option.add((principal, tag_key, v, p))
 
     def add_tags_to_resource(
         self, resource: Resource, tags: dict[str, str], principal: str | None = None
@@ -112,11 +120,18 @@ class GrantRegistry:
         parents') attached tags. ALL implies everything."""
         perms: set[str] = set()
         for res in [resource, *resource.parents()]:
-            perms |= self._direct.get((principal, res.kind, res.name), set())
+            # ASSOCIATE ≠ data access on EITHER path: it only authorizes
+            # attaching the tag (add_tags_to_resource checks it against
+            # _tag_grants directly), so a direct ASSOCIATE grant must
+            # not pass check() either
+            perms |= (
+                self._direct.get((principal, res.kind, res.name), set())
+                - {ASSOCIATE}
+            )
             tags = self._resource_tags.get((res.kind, res.name), {})
             for (p, tk, tv), granted in self._tag_grants.items():
                 if p == principal and tags.get(tk) == tv:
-                    perms |= granted - {ASSOCIATE}  # ASSOCIATE ≠ data access
+                    perms |= granted - {ASSOCIATE}
         return perms
 
     def check(self, principal: str, permission: str, resource: Resource) -> None:
@@ -132,12 +147,22 @@ class GrantRegistry:
     def can_grant(
         self, principal: str, permission: str, resource: Resource
     ) -> bool:
-        return (
+        """True when the principal may re-grant ``permission`` on the
+        resource: a direct grant option, or a tag-path grant option on
+        any tag the resource (or a parent) carries."""
+        if (
             principal,
             resource.kind,
             resource.name,
             permission,
-        ) in self._grant_option
+        ) in self._grant_option:
+            return True
+        for res in [resource, *resource.parents()]:
+            tags = self._resource_tags.get((res.kind, res.name), {})
+            for tk, tv in tags.items():
+                if (principal, tk, tv, permission) in self._tag_grant_option:
+                    return True
+        return False
 
 
 def bootstrap_stage_grants(

@@ -14,8 +14,12 @@ promotes each table's DMS output from the landing bucket's
      note ``os.path.splitext`` keeps only the LAST extension, so
      ``part-0.csv.gz`` becomes ``<ts>.gz``; reproduced bug-compatibly),
   4. delete the source objects,
-  5. report ``{'result': 'FAILED', 'reason': 'nothing to move on'}``
-     when the landing prefix is empty (MigrateData.py:121-124).
+  5. when the source prefix does not resolve at all ("the table data is
+     already load", MigrateData.py:144-149) the lambda falls through to
+     its SUCCESS/Complete return — re-running a finished promotion is
+     idempotent; ``{'result': 'FAILED', 'reason': 'nothing to move
+     on'}`` is reserved for a prefix that matched but lists no objects
+     (MigrateData.py:119-123).
 
 S3 has prefixes, not directories, so the local stand-in is a minimal
 prefix-listing object store over a filesystem root: keys are
@@ -43,8 +47,12 @@ class PrefixStore:
         self.root.mkdir(parents=True, exist_ok=True)
 
     def _path(self, key: str) -> Path:
+        # containment check, not a bare startswith: with root
+        # /tmp/store, key '../storeX/f' resolves to /tmp/storeX/f which
+        # startswith('/tmp/store') — a sibling dir whose name extends
+        # the root's would escape a prefix check
         p = (self.root / key).resolve()
-        if not str(p).startswith(str(self.root.resolve())):
+        if not p.is_relative_to(self.root.resolve()):
             raise ValueError(f"key escapes store root: {key!r}")
         return p
 
@@ -103,8 +111,10 @@ def promote(
     """Promote one table's landing files to the raw dated layout.
 
     Returns the lambda's result contract: ``{'result': 'SUCCESS',
-    'status': 'Complete', 'target_path': ...}`` or ``{'result':
-    'FAILED', 'reason': 'nothing to move on'}``.
+    'status': 'Complete', 'target_path': ...}`` (also for the
+    idempotent already-promoted re-run, where no source prefix
+    resolves) or ``{'result': 'FAILED', 'reason': 'nothing to move
+    on'}`` (a source prefix matched but lists no objects).
     """
     clock = clock or dt.datetime.now
     bd = bd_type.strip().lower()
@@ -131,8 +141,17 @@ def promote(
         store.delete(key)
 
     if not source_path:
-        # "the table data is already load" branch — nothing staged
-        return {"result": "FAILED", "reason": "nothing to move on"}
+        # "the table data is already load" branch: an UNRESOLVED source
+        # prefix means the files were promoted on a previous run, and
+        # the reference step-function treats a re-run as idempotent
+        # success (MigrateData.py:144-149 falls through to the SUCCESS/
+        # Complete return). FAILED is reserved for the matched-but-empty
+        # listing below (MigrateData.py:119-123).
+        return {
+            "result": "SUCCESS",
+            "status": "Complete",
+            "target_path": target_path,
+        }
 
     keys = store.list_prefix(source_path)
     if not keys:

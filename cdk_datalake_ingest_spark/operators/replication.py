@@ -79,44 +79,106 @@ def parse_table_mappings(mappings: str | dict) -> list[SelectionRule]:
     CreateReplicationTaskForTable.py:100-117). ``table-settings``
     rules may carry a ``parallel-load`` partition column."""
     doc = json.loads(mappings) if isinstance(mappings, str) else mappings
+    if not isinstance(doc, dict) or not isinstance(doc.get("rules", []), list):
+        raise ValueError("TableMappings must be an object with a 'rules' list")
+
+    def locator(rule: dict) -> tuple[str, str]:
+        """object-locator with both names present — a hostile/truncated
+        doc raises a config error, never a raw KeyError."""
+        loc = rule.get("object-locator")
+        if (
+            not isinstance(loc, dict)
+            or "schema-name" not in loc
+            or "table-name" not in loc
+        ):
+            raise ValueError(
+                f"rule {rule.get('rule-id', rule.get('rule-name', '?'))!r} "
+                f"missing object-locator with schema-name/table-name"
+            )
+        return (
+            validate_identifier(loc["schema-name"], "schema-name"),
+            validate_identifier(loc["table-name"], "table-name"),
+        )
+
     partition_cols: dict[tuple[str, str], str] = {}
     for rule in doc.get("rules", []):
-        if rule.get("rule-type") != "table-settings":
+        if not isinstance(rule, dict) or rule.get("rule-type") != "table-settings":
             continue
-        loc = rule.get("object-locator", {})
         pl = rule.get("parallel-load") or {}
+        if not isinstance(pl, dict):
+            raise ValueError("parallel-load must be an object")
         cols = pl.get("columns") or []
+        if cols and not isinstance(cols, list):
+            raise ValueError("parallel-load columns must be a list")
         if cols:
-            partition_cols[
-                (loc.get("schema-name", ""), loc.get("table-name", ""))
-            ] = validate_identifier(cols[0], "parallel-load column")
+            partition_cols[locator(rule)] = validate_identifier(
+                cols[0], "parallel-load column"
+            )
     rules: list[SelectionRule] = []
+    seen_ids: set[int] = set()
     for rule in doc.get("rules", []):
-        if rule.get("rule-type") != "selection":
+        if not isinstance(rule, dict) or rule.get("rule-type") != "selection":
             continue
         if rule.get("rule-action", "include") != "include":
             # the reference only ever emits include rules; excludes are
             # a config error here rather than silently dropped tables
             raise ValueError(f"unsupported rule-action: {rule.get('rule-action')}")
-        loc = rule["object-locator"]
-        schema = validate_identifier(loc["schema-name"], "schema-name")
-        table = validate_identifier(loc["table-name"], "table-name")
+        schema, table = locator(rule)
         fcol: str | None = None
         fstart: str | int | None = None
         fend: str | int | None = None
-        for flt in rule.get("filters", []):
+        filters = rule.get("filters") or []
+        if not isinstance(filters, list) or not all(
+            isinstance(f, dict) for f in filters
+        ):
+            raise ValueError(
+                f"filters on {schema}.{table} must be a list of objects"
+            )
+        for flt in filters:
             if flt.get("filter-type") != "source":
                 continue
-            cond = flt["filter-conditions"][0]
+            conds = flt.get("filter-conditions") or []
+            if not isinstance(conds, list) or not all(
+                isinstance(c, dict) for c in conds
+            ):
+                raise ValueError(
+                    f"filter-conditions on {schema}.{table} must be a "
+                    f"list of objects"
+                )
+            if len(conds) != 1:
+                # the reference emits exactly one between condition per
+                # filter; fewer means a truncated doc, more would be
+                # silently dropped — both are config errors
+                raise ValueError(
+                    f"source filter on {schema}.{table} must carry exactly "
+                    f"one filter-condition, got {len(conds)}"
+                )
+            cond = conds[0]
             if cond.get("filter-operator") != "between":
                 raise ValueError(
                     f"unsupported filter-operator: {cond.get('filter-operator')}"
                 )
+            if "column-name" not in flt or not all(
+                k in cond for k in ("start-value", "end-value")
+            ):
+                raise ValueError(
+                    f"between filter on {schema}.{table} missing "
+                    f"column-name/start-value/end-value"
+                )
             fcol = validate_identifier(flt["column-name"], "filter column-name")
             fstart, fend = cond["start-value"], cond["end-value"]
+        try:
+            rid = int(rule.get("rule-id", len(rules)))
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"rule-id must be an integer: {e}") from e
+        if rid in seen_ids:
+            # DMS requires unique rule-ids; a duplicate is a copy-paste
+            # error that would shadow a table selection
+            raise ValueError(f"duplicate rule-id: {rid}")
+        seen_ids.add(rid)
         rules.append(
             SelectionRule(
-                rule_id=int(rule.get("rule-id", len(rules))),
+                rule_id=rid,
                 rule_name=rule.get("rule-name", f"rule-{len(rules)}"),
                 schema_name=schema,
                 table_name=table,
@@ -376,16 +438,31 @@ class ReplicationEngine:
                 # unquoted identifiers, mysql preserves) — normalize
                 d = {k.lower(): v for k, v in probe.asDict().items()}
                 lo, hi = d["mn"], d["mx"]
-                df = read_jdbc(
-                    self.spark,
-                    self.endpoint,
-                    query,
-                    num_partitions=s.max_full_load_sub_tasks,
-                    fetchsize=s.commit_rate,
-                    partition_column=rule.partition_column,
-                    lower_bound=str(lo),
-                    upper_bound=str(int(hi) + 1),
-                )
+                if lo is None or hi is None:
+                    # selection matched zero rows → MIN/MAX are NULL.
+                    # DMS completes an empty full load with
+                    # FULL_LOAD_ONLY_FINISHED; fall back to the
+                    # unpartitioned single-connection read, which writes
+                    # an empty (header-only) output instead of crashing
+                    # the stride arithmetic and failing the task.
+                    df = read_jdbc(
+                        self.spark,
+                        self.endpoint,
+                        query,
+                        num_partitions=1,
+                        fetchsize=s.commit_rate,
+                    )
+                else:
+                    df = read_jdbc(
+                        self.spark,
+                        self.endpoint,
+                        query,
+                        num_partitions=s.max_full_load_sub_tasks,
+                        fetchsize=s.commit_rate,
+                        partition_column=rule.partition_column,
+                        lower_bound=str(lo),
+                        upper_bound=str(int(hi) + 1),
+                    )
             else:
                 df = read_jdbc(
                     self.spark,

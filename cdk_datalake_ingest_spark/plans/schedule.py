@@ -32,13 +32,21 @@ class CronSchedule:
     hour: str = "*"
     day_of_month: str = "*"
     month: str = "*"
-    day_of_week: str = "*"  # 0=Monday (Python weekday), '*' = any
+    #: EventBridge numbering: 1-7 = SUN-SAT (1=Sunday … 7=Saturday),
+    #: '*' = any.  NOT Python weekday() (0=Monday) and NOT standard
+    #: cron (0=Sunday) — mapped internally in next_fire.
+    day_of_week: str = "*"
 
     @staticmethod
     def _match(spec: str, value: int) -> bool:
         if spec == "*":
             return True
         return any(int(part) == value for part in spec.split(","))
+
+    @staticmethod
+    def _eventbridge_dow(t: dt.datetime) -> int:
+        """Python weekday() (0=Mon..6=Sun) → EventBridge 1-7 SUN-SAT."""
+        return (t.weekday() + 1) % 7 + 1
 
     def next_fire(self, after: dt.datetime) -> dt.datetime:
         """First fire time strictly after ``after``. Minute
@@ -52,7 +60,7 @@ class CronSchedule:
                 and self._match(self.hour, t.hour)
                 and self._match(self.day_of_month, t.day)
                 and self._match(self.month, t.month)
-                and self._match(self.day_of_week, t.weekday())
+                and self._match(self.day_of_week, self._eventbridge_dow(t))
             ):
                 return t
             t += dt.timedelta(minutes=1)

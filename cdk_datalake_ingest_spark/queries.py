@@ -1441,6 +1441,15 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # metadata-sized cache, not a corpus copy. The result is
     # localCheckpointed before unpersisting so the returned (lazy)
     # DataFrame never re-reads the freed cache.
+    #
+    # Deliberate trade-off: surv_text below re-joins `documents` onto
+    # the survivor ids — a second (column-pruned: doc_id,text) parquet
+    # scan. The alternative — carrying `text` through the enrich
+    # projection and the dedup window — would eliminate that join but
+    # push the full corpus text through the content-hash shuffle AND
+    # make this persisted cache corpus-sized. At 100 TB two pruned
+    # scans are cheaper than one corpus-sized shuffle+cache, so the
+    # join stays.
     from pyspark import StorageLevel
 
     surv = latest_record_dedup(
@@ -2778,7 +2787,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, exact O(n²) baseline."""
+    """Embedding-cosine near-duplicate pairs, exact O(n²) baseline —
+    the exactness oracle for `embedding_near_dup_lsh`. Guarded: the
+    underlying cross join refuses corpora above `max_rows` (default
+    100k) instead of launching a quadratic job, mirroring
+    `ngram_jaccard_pairs`."""
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dup_pairs(emb, threshold=0.42)
     return out.withColumn("cosine", F.round("cosine", 6))
@@ -3589,20 +3602,16 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 # round — or that has never had a driver row — inside the first 50, and
 # rotate long-stable green queries (hash-green last round, untouched
 # since) to the tail.  Tail entries keep their pytest + local-parity
-# coverage.  Round-4 rotation: the 11 entries riding on r2 rows are
-# back in the window; to make room for the six new round-4 gates
-# (dms_full_load_pipeline_orders, temperature_mixture_docs, and the
-# q04/q06/q14/q19 relational set), 17 r3-green untouched entries sit
-# in the tail — rotate them back next round.
+# coverage.  Round-5 rotation: the 17 r3-green entries parked in the
+# r4 tail (q01/q03/q05/q10/q12/q17, anti/semi/setops, sessionize,
+# user analytics, as-of, range join, skew join, pivot, sketches,
+# rollup sets) are back in the window for fresh r5 rows; 17 r4-green
+# untouched map-stage entries (the doc/text enrich family plus
+# dsl_magic/w1/hourly-rollup/props-json) rotate to the tail — rotate
+# them back next round so no driver row goes >1 round stale.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
-    "text_metrics_docs": text_metrics_docs,
-    "lang_id_docs": lang_id_docs,
-    "fingerprint_docs": fingerprint_docs,
-    "token_stats_docs": token_stats_docs,
-    "pii_scrub_docs": pii_scrub_docs,
-    "distinct_rows_lineitem": distinct_rows_lineitem,
     "salesforce_stage_orders": salesforce_stage_orders,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
@@ -3610,25 +3619,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
     "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "vocab_top_tokens": vocab_top_tokens,
     "salesforce_incremental_upsert": salesforce_incremental_upsert,
     "schema_evolution_merge": schema_evolution_merge,
-    "dsl_magic_codes": dsl_magic_codes,
-    "w1_latest_event": w1_latest_event,
     "merge_upsert_events": merge_upsert_events,
     "merge_delete_window_events": merge_delete_window_events,
     "incremental_between_events": incremental_between_events,
     "watermark_events": watermark_events,
-    "events_hourly_rollup": events_hourly_rollup,
-    "exact_dedup_docs": exact_dedup_docs,
     "decontaminate_docs": decontaminate_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
     "curate_documents": curate_documents,
-    "events_props_json": events_props_json,
-    "repetition_docs": repetition_docs,
-    "dataset_split_docs": dataset_split_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "stratified_sample_docs": stratified_sample_docs,
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "streaming_windowed_counts": streaming_windowed_counts,
     "planner_multi_table_run": planner_multi_table_run,
@@ -3645,8 +3643,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
     "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
-    # ---- tail: beyond the driver's 50-entry window (all r3 green,
-    # ---- untouched this round; pytest + local parity still cover them)
     "user_engagement_approx": user_engagement_approx,
     "events_daily_rollup_sets": events_daily_rollup_sets,
     "asof_purchase_click": asof_purchase_click,
@@ -3664,6 +3660,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_vs_finished_setops": returned_vs_finished_setops,
     "skew_salted_join_events": skew_salted_join_events,
     "events_pivot_by_type": events_pivot_by_type,
+    # ---- tail: beyond the driver's 50-entry window (all r4 green,
+    # ---- untouched this round; pytest + local parity still cover them)
+    "text_metrics_docs": text_metrics_docs,
+    "lang_id_docs": lang_id_docs,
+    "fingerprint_docs": fingerprint_docs,
+    "token_stats_docs": token_stats_docs,
+    "pii_scrub_docs": pii_scrub_docs,
+    "distinct_rows_lineitem": distinct_rows_lineitem,
+    "vocab_top_tokens": vocab_top_tokens,
+    "dsl_magic_codes": dsl_magic_codes,
+    "w1_latest_event": w1_latest_event,
+    "events_hourly_rollup": events_hourly_rollup,
+    "exact_dedup_docs": exact_dedup_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "events_props_json": events_props_json,
+    "repetition_docs": repetition_docs,
+    "dataset_split_docs": dataset_split_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "stratified_sample_docs": stratified_sample_docs,
 }
 
 ORACLES: dict[str, str] = {

@@ -93,6 +93,58 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def scale_profile(
+    data_tb: float,
+    executors: int = 1000,
+    cores_per_executor: int = 4,
+    executor_mem_gb: int = 16,
+    target_shuffle_partition_mb: int = 128,
+) -> dict[str, str]:
+    """The 100 TB session profile in ONE place (pass as
+    ``get_spark(extra_conf=scale_profile(...))`` or apply via
+    ``spark.conf.set`` where runtime-settable).
+
+    Sizing rules, stated so a reader planning a real cluster run can
+    check them against their own numbers (see SCALE.md §"Cluster
+    profile" for the worked 100 TB example):
+
+    - ``shuffle.partitions``: data volume / target partition size,
+      floored at 2 partitions per core so every slot has work even
+      after AQE coalescing. AQE re-plans DOWN from this, so
+      over-partitioning is cheap and under-partitioning (spill) is the
+      failure mode to avoid.
+    - ``advisoryPartitionSizeInBytes``: the AQE coalesce/skew-split
+      target — same value as the shuffle partition target.
+    - ``autoBroadcastJoinThreshold``: 64 MB. Dimension tables (region/
+      nation/supplier/part at any SF, and typically anything < ~1% of
+      executor heap) broadcast; raising this is the single cheapest
+      join optimization and 64 MB is safely under a 16 GB executor's
+      broadcast budget (runtime copies live on every core).
+    - ``skewJoin`` thresholds: a partition 4x the median AND over the
+      advisory size splits — the AQE runtime answer to hot keys, on
+      top of the explicit salting operator (skew_salted_join_events)
+      for keys known-skewed ahead of time.
+    - ``maxPartitionBytes``: scan-side split size; 128 MB keeps a
+      columnar scan task's working set well inside
+      ``executor_mem_gb / cores_per_executor`` even after decode
+      amplification.
+    """
+    total_cores = max(1, executors * cores_per_executor)
+    data_bytes = int(data_tb * (1 << 40))
+    target_bytes = target_shuffle_partition_mb << 20
+    parts = max(data_bytes // target_bytes, total_cores * 2, 8)
+    return {
+        "spark.sql.shuffle.partitions": str(parts),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(target_bytes),
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            target_bytes * 2
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 << 20),
+        "spark.sql.files.maxPartitionBytes": str(128 << 20),
+    }
+
+
 def get_spark(
     app_name: str = "cdk-datalake-ingest-spark",
     master: str | None = None,

@@ -77,6 +77,8 @@ _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_$#]*(\.[A-Za-z_][A-Za-z0-9_$#]*)?$
 def validate_identifier(name: str, field: str = "identifier") -> str:
     """Fail fast on non-identifier text in an identifier-position config
     field (defense against a compromised/typo'd catalog row)."""
+    if not isinstance(name, str):
+        raise ValueError(f"{field} must be a string, got {type(name).__name__}")
     name = name.strip()
     if not _IDENT_RE.match(name):
         raise ValueError(f"{field} is not a valid SQL identifier: {name!r}")

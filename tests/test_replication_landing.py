@@ -90,6 +90,128 @@ def test_parse_table_mappings_rejects_exclude_and_injection():
         parse_table_mappings({"rules": []})
 
 
+def _sel(rule_id=None, locator=True, filters=None, **over):
+    r = {"rule-type": "selection", "rule-action": "include"}
+    if locator:
+        r["object-locator"] = {"schema-name": "APP", "table-name": "T1"}
+    if rule_id is not None:
+        r["rule-id"] = rule_id
+    if filters is not None:
+        r["filters"] = filters
+    r.update(over)
+    return r
+
+
+def test_parse_table_mappings_hostile_inputs():
+    # duplicate rule-ids shadow a table selection → rejected
+    with pytest.raises(ValueError, match="duplicate rule-id"):
+        parse_table_mappings({"rules": [_sel(rule_id=7), _sel(rule_id=7)]})
+    # missing object-locator (and partial locators) → config error,
+    # never a raw KeyError
+    with pytest.raises(ValueError, match="object-locator"):
+        parse_table_mappings({"rules": [_sel(locator=False)]})
+    with pytest.raises(ValueError, match="object-locator"):
+        parse_table_mappings(
+            {"rules": [_sel(**{"object-locator": {"schema-name": "A"}})]}
+        )
+    # table-settings rules are held to the same locator contract
+    with pytest.raises(ValueError, match="object-locator"):
+        parse_table_mappings(
+            {"rules": [
+                _sel(rule_id=1),
+                {"rule-type": "table-settings",
+                 "parallel-load": {"type": "ranges", "columns": ["K"]}},
+            ]}
+        )
+    # truncated/overfull filter-conditions → rejected, not misread
+    with pytest.raises(ValueError, match="exactly one filter-condition"):
+        parse_table_mappings(
+            {"rules": [_sel(filters=[
+                {"filter-type": "source", "column-name": "K",
+                 "filter-conditions": []}])]}
+        )
+    with pytest.raises(ValueError, match="exactly one filter-condition"):
+        parse_table_mappings(
+            {"rules": [_sel(filters=[
+                {"filter-type": "source", "column-name": "K",
+                 "filter-conditions": [
+                     {"filter-operator": "between", "start-value": 1,
+                      "end-value": 2},
+                     {"filter-operator": "between", "start-value": 3,
+                      "end-value": 4}]}])]}
+        )
+    # between condition missing its bounds or column
+    with pytest.raises(ValueError, match="missing"):
+        parse_table_mappings(
+            {"rules": [_sel(filters=[
+                {"filter-type": "source", "column-name": "K",
+                 "filter-conditions": [
+                     {"filter-operator": "between", "start-value": 1}]}])]}
+        )
+    with pytest.raises(ValueError, match="missing"):
+        parse_table_mappings(
+            {"rules": [_sel(filters=[
+                {"filter-type": "source",
+                 "filter-conditions": [
+                     {"filter-operator": "between", "start-value": 1,
+                      "end-value": 2}]}])]}
+        )
+    # top-level shape errors
+    with pytest.raises(ValueError):
+        parse_table_mappings({"rules": "not-a-list"})
+    with pytest.raises(ValueError):
+        parse_table_mappings([])  # not an object
+
+
+def test_parse_table_mappings_never_raises_raw_keyerror():
+    """Property: over randomly mangled rule docs the parser either
+    parses or raises ValueError — no KeyError/IndexError/TypeError
+    leaks from a hostile document."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    # scalars INCLUDE the magic discriminator values so the fuzz
+    # actually reaches the selection / table-settings / source-filter /
+    # between branches (plain short text never spells "selection")
+    scalar = st.one_of(
+        st.none(),
+        st.integers(-5, 5),
+        st.text(max_size=6),
+        st.sampled_from(
+            ["selection", "table-settings", "include", "exclude",
+             "source", "between", "APP", "T1", "K"]
+        ),
+    )
+    frag = st.recursive(
+        scalar,
+        lambda c: st.one_of(
+            st.lists(c, max_size=3),
+            st.dictionaries(
+                st.sampled_from(
+                    ["rule-type", "rule-action", "rule-id", "rule-name",
+                     "object-locator", "schema-name", "table-name",
+                     "filters", "filter-type", "filter-conditions",
+                     "filter-operator", "start-value", "end-value",
+                     "column-name", "parallel-load", "columns", "rules"]
+                ),
+                c,
+                max_size=4,
+            ),
+        ),
+        max_leaves=12,
+    )
+
+    @given(st.dictionaries(st.just("rules"), st.lists(frag, max_size=4)))
+    @settings(max_examples=150, deadline=None)
+    def run(doc):
+        try:
+            parse_table_mappings(doc)
+        except ValueError:
+            pass
+
+    run()
+
+
 def test_selection_query_rendering():
     rules = parse_table_mappings(MAPPINGS)
     assert build_selection_query(rules[0]) == (
@@ -244,6 +366,24 @@ def test_check_task_creation_discrimination(derby_engine):
     assert check_task_creation(eng, "task:missing", "X") == "FAILED"
 
 
+def test_empty_partitioned_full_load_succeeds(derby_engine, spark):
+    """A selection matching zero rows with a partition column set must
+    finish like DMS (FULL_LOAD_ONLY_FINISHED), not crash the stride
+    probe: MIN/MAX come back NULL and the load falls back to the
+    unpartitioned read, landing an empty (header-only) output."""
+    eng = derby_engine
+    inst = eng.create_replication_instance("i")
+    empty = json.loads(json.dumps(MAPPINGS))
+    empty["rules"][0]["filters"][0]["filter-conditions"] = [
+        {"filter-operator": "between", "start-value": 100, "end-value": 200}
+    ]
+    arn = eng.create_replication_task("t-empty", empty, inst)
+    out = run_full_load(eng, [arn])
+    assert out == {"result": "SUCCESS", "failed_task": [], "load_status": "LOADED"}
+    back = read_raw_csv(spark, eng._landing_path(eng._tasks[arn].rules[0]))
+    assert back.count() == 0
+
+
 def test_do_nothing_prep_mode_appends(derby_engine, spark):
     eng = derby_engine
     inst = eng.create_replication_instance("i")
@@ -295,24 +435,60 @@ def test_promote_moves_renames_and_cleans_source(tmp_path):
     assert store.list_prefix("temp/") == []
 
 
-def test_promote_empty_landing_fails_with_reason(tmp_path):
+def test_promote_unresolved_source_is_idempotent_success(tmp_path):
+    # no landing prefix matches the table → the reference takes the
+    # "table data is already load" branch and returns SUCCESS/Complete
+    # (MigrateData.py:144-149); a re-run after promotion must not fail
     store = PrefixStore(str(tmp_path))
     out = promote(store, project="dl", bd_type="derby", endpoint="ep",
                   source_schema="APP", source_table="ORDERS_FL")
+    assert out["result"] == "SUCCESS" and out["status"] == "Complete"
+
+
+def test_promote_rerun_after_success_is_success(tmp_path):
+    store = PrefixStore(str(tmp_path))
+    _seed_landing(store, 2)
+    clock = lambda: dt.datetime(2026, 8, 14, 5, 30, 0, 0)  # noqa: E731
+    kw = dict(project="dl", bd_type="derby", endpoint="ep",
+              source_schema="APP", source_table="orders_fl", clock=clock)
+    first = promote(store, **kw)
+    assert first["result"] == "SUCCESS"
+    moved = store.list_prefix(first["target_path"])
+    assert len(moved) == 2
+    # second run: source consumed → idempotent SUCCESS. (The reference
+    # clears the target prefix unconditionally before resolving the
+    # source, so the step-function's retry semantics rely on the DMS
+    # task re-landing files — we reproduce that contract exactly.)
+    second = promote(store, **kw)
+    assert second["result"] == "SUCCESS" and second["status"] == "Complete"
+
+
+def test_promote_matched_but_empty_prefix_fails(tmp_path):
+    # a key whose 4th segment matches the table as a FILE (no deeper
+    # objects) resolves source_path, but the prefix itself lists
+    # nothing → the reference's keys==[] FAILED branch
+    # (MigrateData.py:119-123)
+    store = PrefixStore(str(tmp_path))
+    f = store.root / "temp/derby/APP/ORDERS_FL"
+    f.parent.mkdir(parents=True)
+    f.write_bytes(b"x")
+    out = promote(store, project="dl", bd_type="derby", endpoint="ep",
+                  source_schema="APP", source_table="orders_fl")
     assert out == {"result": "FAILED", "reason": "nothing to move on"}
 
 
 def test_promote_clears_stale_target_and_maps_mssql(tmp_path):
     store = PrefixStore(str(tmp_path))
     # stale object under today's target prefix must be deleted even
-    # when the promotion itself lands nothing new
+    # when the promotion itself lands nothing new (reference clears the
+    # target before resolving the source)
     clock = lambda: dt.datetime(2026, 8, 14, 5, 30)  # noqa: E731
     stale = "dl/sqlserver/ep/T1/2026/08/14/old.gz"
     (store.root / stale).parent.mkdir(parents=True)
     (store.root / stale).write_bytes(b"x")
     out = promote(store, project="dl", bd_type="mssql", endpoint="ep",
                   source_schema="S", source_table="T1", clock=clock)
-    assert out["result"] == "FAILED"
+    assert out["result"] == "SUCCESS"  # unresolved source → idempotent
     assert store.list_prefix("dl/") == []
 
 

@@ -44,10 +44,16 @@ def test_cron_0530_daily_next_fire():
 
 
 def test_cron_field_constraints():
-    c = CronSchedule(minute="0", hour="12", day_of_week="0")  # Mondays noon
+    # EventBridge day-of-week numbering: 1-7 = SUN-SAT, so Monday is 2
+    c = CronSchedule(minute="0", hour="12", day_of_week="2")  # Mondays noon
     nxt = c.next_fire(T0)
-    assert nxt == dt.datetime(2026, 8, 10, 12, 0)
+    assert nxt == dt.datetime(2026, 8, 10, 12, 0)  # 2026-08-10 is a Monday
     assert c.next_fire(nxt) == dt.datetime(2026, 8, 17, 12, 0)
+    # Sunday=1 and Saturday=7 pin the numbering at both ends
+    sun = CronSchedule(minute="0", hour="0", day_of_week="1")
+    assert sun.next_fire(T0) == dt.datetime(2026, 8, 16, 0, 0)  # next Sunday
+    sat = CronSchedule(minute="0", hour="0", day_of_week="7")
+    assert sat.next_fire(T0) == dt.datetime(2026, 8, 15, 0, 0)  # next Saturday
     lists = CronSchedule(minute="0", hour="6,18")
     assert lists.next_fire(T0).hour == 6
     assert lists.next_fire(dt.datetime(2026, 8, 10, 7, 0)).hour == 18
@@ -168,6 +174,38 @@ def test_tag_based_access_path():
     g.grant_tag_permissions("role/tagger", "Level", ["Stage"], [ASSOCIATE])
     with pytest.raises(PermissionError):
         g.check("role/tagger", "SELECT", db)
+
+
+def test_associate_is_not_data_access_on_either_path():
+    """ASSOCIATE only authorizes tag attachment: a DIRECT ASSOCIATE
+    grant must fail check() exactly like a tag-path one (the exclusion
+    is uniform), while tagging still works through _tag_grants."""
+    g = GrantRegistry()
+    db = Resource("database", "d")
+    g.grant_permissions("role/direct", db, [ASSOCIATE])
+    with pytest.raises(PermissionError):
+        g.check("role/direct", ASSOCIATE, db)
+    with pytest.raises(PermissionError):
+        g.check("role/direct", "SELECT", db)
+
+
+def test_tag_path_grant_option_reaches_can_grant():
+    """A grant option given via grant_tag_permissions must be visible
+    to can_grant once the resource carries the tag (previously it was
+    merged into effective permissions but never recorded)."""
+    g = GrantRegistry()
+    db = Resource("database", "d")
+    g.grant_tag_permissions(
+        "role/lead", "Level", ["Stage"], ["SELECT"],
+        permissions_with_grant_option=["SELECT"],
+    )
+    assert not g.can_grant("role/lead", "SELECT", db)  # tag not attached
+    g.add_tags_to_resource(db, {"Level": "Stage"})
+    assert g.can_grant("role/lead", "SELECT", db)
+    # inherited by tables of the tagged database
+    assert g.can_grant("role/lead", "SELECT", Resource("table", "d.t1"))
+    # but not a permission that lacked the option
+    assert not g.can_grant("role/lead", "INSERT", db)
 
 
 def test_tagging_requires_associate():

@@ -79,3 +79,34 @@ def test_ts_us_expr_both_fixture_vintages(spark):
     # ns floor: 999 extra nanoseconds truncate, never round up
     as_ns2 = spark.createDataFrame([Row(ts=us * 1000 + 999)])
     assert as_ns2.select(ts_us_expr(as_ns2).alias("u")).first()["u"] == us
+
+
+def test_scale_profile_sizing_and_application(spark):
+    """The single 100 TB session profile (session.scale_profile): sizing
+    rules hold, and the runtime-settable knobs apply to a live session."""
+    from cdk_datalake_ingest_spark.session import scale_profile
+
+    p = scale_profile(data_tb=100, executors=1000, cores_per_executor=4)
+    # 100 TB / 128 MB = 819200 shuffle partitions — above the 2x-cores
+    # floor of 8000, so the data-volume rule wins
+    assert int(p["spark.sql.shuffle.partitions"]) == (100 << 40) // (128 << 20)
+    # tiny data: the 2-per-core floor wins (AQE coalesces down from it)
+    small = scale_profile(data_tb=0.001, executors=2, cores_per_executor=4)
+    assert int(small["spark.sql.shuffle.partitions"]) == 16
+    assert int(p["spark.sql.autoBroadcastJoinThreshold"]) == 64 << 20
+    assert int(p["spark.sql.adaptive.advisoryPartitionSizeInBytes"]) == 128 << 20
+    assert int(p["spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"]) == 256 << 20
+    # every key is runtime-settable on a live session except the two
+    # scan/shuffle-partition knobs (settable too) — apply and read back
+    before = {k: spark.conf.get(k, None) for k in p}
+    try:
+        for k, v in p.items():
+            spark.conf.set(k, v)
+        for k, v in p.items():
+            assert spark.conf.get(k) == v
+    finally:
+        for k, v in before.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -160,6 +160,30 @@ def test_embedding_near_dup_exact_vs_numpy(spark):
     assert got == want
 
 
+def test_embedding_near_dup_exact_guardrail(spark):
+    import pytest
+
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df, _ = _emb_df(spark, n=40)
+    # exact path over the cap raises instead of going quadratic
+    with pytest.raises(ValueError, match="max_rows=10"):
+        embedding_near_dup_pairs(df, threshold=0.5, max_rows=10)
+    # explicit opt-out still works
+    assert (
+        embedding_near_dup_pairs(df, threshold=0.5, max_rows=None).count() > 0
+    )
+    # the LSH scale path is never capped
+    assert (
+        embedding_near_dup_pairs(
+            df, threshold=0.3, n_planes=2, dim=8, max_rows=10
+        ).count()
+        >= 0
+    )
+
+
 def test_embedding_near_dup_lsh_is_subset(spark):
     from cdk_datalake_ingest_spark.functions.similarity import (
         embedding_near_dup_pairs,

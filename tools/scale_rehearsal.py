@@ -51,15 +51,23 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
-#: the round-3 bench top-5 by cost (the judge's rehearsal list)
+#: the round-3 bench top-5 by cost (the judge's rehearsal list), plus
+#: the A6/A7 merge path (the reference's riskiest scale surface per
+#: SURVEY §7: outer-join MERGE apply + delete-window interplay)
 QUERIES = [
     "streaming_sessionize_events",
     "curate_documents",
     "near_dup_clusters_docs",
     "raw_csv_roundtrip_stage",
     "streaming_windowed_counts",
+    "merge_upsert_events",
+    "merge_delete_window_events",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
+#: merge queries end in a ManagedTable snapshot read-back; the final
+#: read's plan is a parquet scan, so shape-compare the MERGE apply
+#: itself is covered by tests/test_plans.py — here we still compare
+#: the returned plan (scan shape must not flip either)
 
 
 def build_corpus(spark) -> None:
@@ -165,6 +173,54 @@ def time_query(fn, spark, sf_dir: str, repeats: int = 2) -> float:
     return best
 
 
+def _profile_section() -> list[str]:
+    """Render the 100 TB cluster profile FROM session.scale_profile so
+    this document cannot drift from the code."""
+    from cdk_datalake_ingest_spark.session import ENGINE_CONF, scale_profile
+
+    p = scale_profile(data_tb=100, executors=1000, cores_per_executor=4)
+    md = [
+        "## Cluster profile — 100 TB session defaults",
+        "",
+        "One table for a reader planning a real cluster run: the knobs",
+        "below come from `session.scale_profile(data_tb=100,",
+        "executors=1000, cores_per_executor=4)` (rendered from the code,",
+        "not copied) and stack on top of `session.ENGINE_CONF` (AQE on,",
+        "partition coalescing, skew-join, legacy datetime rebase).",
+        "Apply with `get_spark(extra_conf=scale_profile(...))`.",
+        "",
+        "| conf | value | sizing rule |",
+        "|---|---|---|",
+    ]
+    rules = {
+        "spark.sql.shuffle.partitions":
+            "data / 128 MB target, floored at 2 per core; AQE coalesces down",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            "AQE coalesce/skew-split target = shuffle partition target",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor":
+            "split a partition 4x the median...",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "...AND over 2x the advisory size",
+        "spark.sql.autoBroadcastJoinThreshold":
+            "dimensions broadcast; 64 MB is safe within a 16 GB executor",
+        "spark.sql.files.maxPartitionBytes":
+            "scan split size; task working set « heap/core after decode",
+    }
+    for k, v in p.items():
+        md.append(f"| `{k}` | {v} | {rules.get(k, '')} |")
+    md += [
+        "",
+        f"Plus `ENGINE_CONF` ({len(ENGINE_CONF)} keys — see session.py):",
+        "adaptive execution + coalescing + skew-join enabled, parquet",
+        "datetime rebase pinned, non-ANSI casts (DSL null-on-bad-cast),",
+        "Arrow enabled for the pandas-interop paths. `ensure_parallelism`",
+        "handles the inverse problem (small inputs under-splitting on a",
+        "wide cluster).",
+        "",
+    ]
+    return md
+
+
 def main() -> None:
     from cdk_datalake_ingest_spark.queries import QUERIES as REGISTRY
     from cdk_datalake_ingest_spark.session import get_spark
@@ -205,7 +261,7 @@ def main() -> None:
                           "shape": shape_note}))
 
     md = [
-        "# SCALE — 10x rehearsal (round 4)",
+        "# SCALE — 10x rehearsal (round 5)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",
@@ -226,8 +282,14 @@ def main() -> None:
         "fixed overheads (session, streaming machinery, shuffle setup)",
         "dominate at sf0.1; materially over ~13x or a plan-shape change",
         "would flag a scale problem worth fixing before the 100 TB target.",
+        "The merge rows exercise the A6/A7 path (MERGE upsert apply and",
+        "delete-window + merge) — the reference's riskiest scale surface",
+        "(SURVEY §7); their cost is dominated by the snapshot rewrite,",
+        "which is O(table), not O(delta) — the known ManagedTable",
+        "trade-off (Delta would rewrite matched files only).",
         "",
     ]
+    md += _profile_section()
     Path("/root/repo/SCALE.md").write_text("\n".join(md))
     print("wrote /root/repo/SCALE.md")
     spark.stop()
