@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import urllib.parse
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -338,6 +339,11 @@ class ManagedTable:
             )
             return
         m, target = self._pinned_snapshot()
+        if m.get("partition_by") and self._merge_partition_scoped(
+            m, target, source, keys, order_by, delete_predicate,
+            broadcast_source,
+        ):
+            return
         merged = merge_dataframes(
             target,
             source,
@@ -351,6 +357,144 @@ class ManagedTable:
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
         )
+
+    #: Fast-path ceiling: above this many touched partitions a pruned
+    #: rewrite approaches a full one and the per-partition link/bookkeep
+    #: overhead stops paying for itself.
+    MAX_SCOPED_PARTITIONS = 1024
+
+    def _merge_partition_scoped(
+        self,
+        m: dict,
+        target: DataFrame,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list[str] | None,
+        delete_predicate: Column | None,
+        broadcast_source: bool,
+    ) -> bool:
+        """O(touched-partitions) merge for hive-partitioned tables —
+        the versioned-parquet analogue of Delta's file-level MERGE
+        rewrite (Delta rewrites only files holding matched rows; here
+        the rewrite unit is the partition directory).
+
+        Touched = source rows' partitions ∪ partitions holding a
+        MATCHED key (an updated row may move partitions, so its old
+        partition must be rewritten — found with a column-pruned
+        semi-join scan of only key+partition columns) ∪ partitions with
+        delete_predicate hits. Only touched partitions go through the
+        merge dataflow and are rewritten; every other partition dir is
+        HARD-LINKED from the previous snapshot into the new one, so
+        time travel and ``vacuum`` keep working (link refcounts keep
+        shared files alive when an old snapshot dir is rmtree'd).
+
+        At 100 TB this converts the reference's riskiest scale surface
+        (A6/A7: full-table rewrite per merge) into two pruned
+        column-scans plus a rewrite proportional to the delta. On an
+        object store the link step becomes manifest-level file
+        references; the touched-partition computation is unchanged.
+
+        Returns False (caller does the full rewrite) when the layout
+        can't be matched safely: non-integral/non-string partition
+        columns (directory-name round-trip not guaranteed), NULL
+        partition values among the touched set (hive default-partition
+        matching), or more than MAX_SCOPED_PARTITIONS touched.
+        """
+        pby: list[str] = list(m["partition_by"])
+        # schema evolution must rewrite EVERY partition: linked old
+        # partitions would otherwise keep the pre-evolution schema and
+        # the default parquet reader (no mergeSchema) would drop the
+        # new column from the snapshot
+        if set(source.columns) != set(target.columns):
+            return False
+        by_name = {f.name: f.dataType.simpleString() for f in target.schema}
+        ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
+        if any(by_name.get(c) not in ok_types for c in pby):
+            return False
+
+        touched_df = source.select(*pby)
+        # partitions holding a matched key: an update may move a row's
+        # partition value, so the OLD copy's partition must be rewritten
+        src_keys = source.select(*keys).dropDuplicates(keys)
+        touched_df = touched_df.unionByName(
+            target.join(src_keys, on=keys, how="left_semi").select(*pby)
+        )
+        if delete_predicate is not None:
+            touched_df = touched_df.unionByName(
+                target.filter(delete_predicate).select(*pby)
+            )
+        cap = self.MAX_SCOPED_PARTITIONS
+        rows = touched_df.dropDuplicates(pby).limit(cap + 1).collect()
+        if len(rows) > cap:
+            return False
+        touched = [tuple(r[c] for c in pby) for r in rows]
+        if any(v is None for t in touched for v in t):
+            return False
+        touched_set = {tuple(str(v) for v in t) for t in touched}
+
+        cond = None
+        for t in touched:
+            c = F.lit(True)
+            for col, v in zip(pby, t):
+                c = c & (F.col(col) == F.lit(v))
+            cond = c if cond is None else (cond | c)
+        if cond is None:  # empty source and no delete hits: no-op merge
+            return True
+        merged = merge_dataframes(
+            target.filter(cond),
+            source,
+            keys,
+            order_by=order_by,
+            delete_predicate=delete_predicate,
+            broadcast_source=broadcast_source,
+        )
+
+        base_version = int(m["version"])
+        version, data_dir = self._claim_snapshot(base_version)
+        new_dir = self.path / data_dir
+        merged.write.mode("overwrite").partitionBy(*pby).parquet(str(new_dir))
+        # carry untouched partitions forward by hard link (O(#files)
+        # metadata, zero data movement)
+        old_dir = self.path / m["data_dir"]
+        for leaf, vals in self._leaf_partitions(old_dir, pby):
+            if vals in touched_set:
+                continue
+            dst = new_dir / leaf.relative_to(old_dir)
+            for root, _dirs, files in os.walk(leaf):
+                rel = Path(root).relative_to(leaf)
+                (dst / rel).mkdir(parents=True, exist_ok=True)
+                for f in files:
+                    try:
+                        os.link(Path(root, f), dst / rel / f)
+                    except OSError:  # filesystem without hard links
+                        shutil.copy2(Path(root, f), dst / rel / f)
+        self._commit(
+            {"version": version, "data_dir": data_dir, "partition_by": pby},
+            expected_version=base_version,
+        )
+        return True
+
+    @staticmethod
+    def _leaf_partitions(
+        data_dir: Path, pby: list[str]
+    ) -> list[tuple[Path, tuple[str, ...]]]:
+        """(leaf dir, decoded partition values) for every hive-style
+        ``col=value`` leaf under a snapshot dir. Values are compared as
+        strings against ``str(python_value)`` — safe for the integral/
+        string partition types the scoped path admits."""
+        out: list[tuple[Path, tuple[str, ...]]] = []
+
+        def walk(d: Path, depth: int, vals: tuple[str, ...]) -> None:
+            if depth == len(pby):
+                out.append((d, vals))
+                return
+            for child in sorted(d.iterdir()):
+                if child.is_dir() and child.name.startswith(pby[depth] + "="):
+                    v = urllib.parse.unquote(child.name.split("=", 1)[1])
+                    walk(child, depth + 1, vals + (v,))
+
+        walk(data_dir, 0, ())
+        return out
 
     def delete_where(self, predicate: Column) -> None:
         """Delta DELETE equivalent: drop rows where predicate is TRUE

@@ -122,3 +122,151 @@ def test_time_travel_and_versions(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         t.read(version=1)
+
+
+# ---------------------------------------------------------------------------
+# partition-scoped merge (O(touched-partitions) fast path)
+# ---------------------------------------------------------------------------
+
+
+def _inode_map(snap_dir):
+    """{relative parquet path: inode} for a snapshot dir."""
+    import os
+    from pathlib import Path
+
+    root = Path(snap_dir)
+    return {
+        str(p.relative_to(root)): os.stat(p).st_ino
+        for p in root.rglob("*.parquet")
+    }
+
+
+def _mk_partitioned(spark, tmp_path, name="pt"):
+    t = ManagedTable(spark, tmp_path / name)
+    t.write(
+        spark.createDataFrame(
+            [
+                Row(k=1, period=20240101, v="a"),
+                Row(k=2, period=20240101, v="b"),
+                Row(k=3, period=20240102, v="c"),
+                Row(k=4, period=20240103, v="d"),
+            ]
+        ),
+        partition_by=["period"],
+    )
+    return t
+
+
+def test_partition_scoped_merge_links_untouched(spark, tmp_path):
+    """A merge touching one partition must rewrite ONLY it: untouched
+    partition dirs are hard-linked (same inode) from the old snapshot,
+    and the merged result equals full-merge semantics."""
+    t = _mk_partitioned(spark, tmp_path)
+    old = _inode_map(t.path / "v00001")
+    t.merge_upsert(
+        spark.createDataFrame([Row(k=2, period=20240101, v="b2"),
+                               Row(k=9, period=20240101, v="i")]),
+        keys=["k"],
+    )
+    got = {r.k: (r.period, r.v) for r in t.read().collect()}
+    assert got == {1: (20240101, "a"), 2: (20240101, "b2"),
+                   3: (20240102, "c"), 4: (20240103, "d"),
+                   9: (20240101, "i")}
+    new = _inode_map(t.path / "v00002")
+    # untouched partitions carried forward by hard link, not rewrite
+    for rel, ino in old.items():
+        if rel.startswith(("period=20240102/", "period=20240103/")):
+            assert new[rel] == ino, f"{rel} was rewritten, expected link"
+    # the touched partition was rewritten (no shared inodes)
+    shared = {r for r, i in new.items()
+              if r.startswith("period=20240101/") and old.get(r) == i}
+    assert not shared
+
+
+def test_partition_scoped_merge_row_moves_partition(spark, tmp_path):
+    """An update that MOVES a row's partition value must rewrite the
+    old partition too (the matched key's old copy must disappear)."""
+    t = _mk_partitioned(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([Row(k=3, period=20240105, v="moved")]),
+        keys=["k"],
+    )
+    got = {r.k: (r.period, r.v) for r in t.read().collect()}
+    assert got[3] == (20240105, "moved")
+    assert len([r for r in t.read().collect() if r.k == 3]) == 1
+    # 20240102 (old home of k=3) now holds nothing → dir absent or empty
+    files = _inode_map(t.path / "v00002")
+    assert not any(p.startswith("period=20240102/") for p in files)
+
+
+def test_partition_scoped_merge_delete_window(spark, tmp_path):
+    """A7 over the scoped path: delete-window partitions are rewritten
+    even when the source has no rows in them."""
+    t = _mk_partitioned(spark, tmp_path)
+    old = _inode_map(t.path / "v00001")
+    t.merge_upsert(
+        spark.createDataFrame([Row(k=5, period=20240104, v="new")]),
+        keys=["k"],
+        delete_predicate=F.col("period") >= 20240102,
+    )
+    got = {r.k: (r.period, r.v) for r in t.read().collect()}
+    assert got == {1: (20240101, "a"), 2: (20240101, "b"),
+                   5: (20240104, "new")}
+    new = _inode_map(t.path / "v00002")
+    for rel, ino in old.items():
+        if rel.startswith("period=20240101/"):
+            assert new[rel] == ino  # outside the window: linked
+
+
+def test_partition_scoped_merge_vacuum_keeps_links_alive(spark, tmp_path):
+    """vacuum removes the superseded snapshot dir; hard-linked files in
+    the current snapshot must survive (inode refcount)."""
+    t = _mk_partitioned(spark, tmp_path)
+    t.merge_upsert(
+        spark.createDataFrame([Row(k=1, period=20240101, v="a2")]),
+        keys=["k"],
+    )
+    t.vacuum(keep_snapshots=1)
+    assert t.versions() == [2]
+    got = {r.k: r.v for r in t.read().collect()}
+    assert got == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+
+def test_partition_scoped_merge_fallbacks(spark, tmp_path, monkeypatch):
+    """Fallback triggers (schema evolution, touched-cap) still produce
+    correct full-rewrite results."""
+    # schema evolution → full rewrite (linked partitions would keep the
+    # old schema and silently drop the new column)
+    t = _mk_partitioned(spark, tmp_path, "se")
+    t.merge_upsert(
+        spark.createDataFrame([Row(k=1, period=20240101, v="a2", extra=7)]),
+        keys=["k"],
+    )
+    rows = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    assert rows[1] == ("a2", 7) and rows[3] == ("c", None)
+    # touched-partition cap → full rewrite, same result
+    t2 = _mk_partitioned(spark, tmp_path, "cap")
+    monkeypatch.setattr(ManagedTable, "MAX_SCOPED_PARTITIONS", 0)
+    t2.merge_upsert(
+        spark.createDataFrame([Row(k=2, period=20240101, v="b2")]),
+        keys=["k"],
+    )
+    assert {r.k: r.v for r in t2.read().collect()} == {
+        1: "a", 2: "b2", 3: "c", 4: "d"}
+
+
+def test_partition_scoped_merge_concurrent_writer_detected(spark, tmp_path):
+    """The scoped commit anchors its CAS on the pinned read version: a
+    commit landing between read and write must raise, not lost-update."""
+    from cdk_datalake_ingest_spark.operators.table import ConcurrentWriteError
+
+    t = _mk_partitioned(spark, tmp_path, "cc")
+    m, target = t._pinned_snapshot()
+    src = spark.createDataFrame([Row(k=2, period=20240101, v="b2")])
+    # another writer commits first
+    t.write(
+        spark.createDataFrame([Row(k=8, period=20240108, v="z")]),
+        partition_by=["period"],
+    )
+    with pytest.raises(ConcurrentWriteError):
+        t._merge_partition_scoped(m, target, src, ["k"], None, None, False)

@@ -282,11 +282,14 @@ def main() -> None:
         "fixed overheads (session, streaming machinery, shuffle setup)",
         "dominate at sf0.1; materially over ~13x or a plan-shape change",
         "would flag a scale problem worth fixing before the 100 TB target.",
-        "The merge rows exercise the A6/A7 path (MERGE upsert apply and",
-        "delete-window + merge) — the reference's riskiest scale surface",
-        "(SURVEY §7); their cost is dominated by the snapshot rewrite,",
-        "which is O(table), not O(delta) — the known ManagedTable",
-        "trade-off (Delta would rewrite matched files only).",
+        "The merge rows exercise the A6/A7 dataflow (MERGE upsert apply",
+        "and delete-window + merge) — the reference's riskiest scale",
+        "surface (SURVEY §7). The STORAGE path scales separately: for",
+        "hive-partitioned tables ManagedTable.merge_upsert rewrites only",
+        "touched partitions and hard-links the rest forward",
+        "(operators/table.py:_merge_partition_scoped — the",
+        "versioned-parquet analogue of Delta's file-level rewrite), so a",
+        "merge costs O(touched partitions), not O(table).",
         "",
     ]
     md += _profile_section()
