@@ -432,12 +432,7 @@ class ManagedTable:
             return False
         touched_set = {tuple(str(v) for v in t) for t in touched}
 
-        cond = None
-        for t in touched:
-            c = F.lit(True)
-            for col, v in zip(pby, t):
-                c = c & (F.col(col) == F.lit(v))
-            cond = c if cond is None else (cond | c)
+        cond = self._partition_cond(pby, touched)
         if cond is None:  # empty source and no delete hits: no-op merge
             return True
         merged = merge_dataframes(
@@ -448,13 +443,69 @@ class ManagedTable:
             delete_predicate=delete_predicate,
             broadcast_source=broadcast_source,
         )
+        self._write_scoped(m, pby, touched_set, merged)
+        return True
 
+    def _delete_partition_scoped(
+        self, m: dict, target: DataFrame, predicate: Column
+    ) -> bool:
+        """O(touched-partitions) DELETE for hive-partitioned tables:
+        only partitions containing predicate hits are rewritten (with
+        their kept rows); the rest are hard-linked forward. Same
+        fallback conditions as the scoped merge."""
+        pby: list[str] = list(m["partition_by"])
+        by_name = {f.name: f.dataType.simpleString() for f in target.schema}
+        ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
+        if any(by_name.get(c) not in ok_types for c in pby):
+            return False
+        hit = F.coalesce(predicate, F.lit(False))
+        cap = self.MAX_SCOPED_PARTITIONS
+        rows = (
+            target.filter(hit).select(*pby).dropDuplicates(pby)
+            .limit(cap + 1).collect()
+        )
+        if len(rows) > cap:
+            return False
+        touched = [tuple(r[c] for c in pby) for r in rows]
+        if any(v is None for t in touched for v in t):
+            return False
+        cond = self._partition_cond(pby, touched)
+        if cond is None:  # no rows match: delete is a no-op
+            return True
+        kept = target.filter(cond).filter(~hit)
+        touched_set = {tuple(str(v) for v in t) for t in touched}
+        self._write_scoped(m, pby, touched_set, kept)
+        return True
+
+    @staticmethod
+    def _partition_cond(
+        pby: list[str], touched: list[tuple]
+    ) -> Column | None:
+        """OR-of-ANDs membership condition over partition columns —
+        partition-prunable by the parquet scan. None when empty."""
+        cond = None
+        for t in touched:
+            c = F.lit(True)
+            for col, v in zip(pby, t):
+                c = c & (F.col(col) == F.lit(v))
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    def _write_scoped(
+        self,
+        m: dict,
+        pby: list[str],
+        touched_set: set[tuple[str, ...]],
+        df: DataFrame,
+    ) -> None:
+        """Write ``df`` (the rewritten touched partitions) as a new
+        snapshot, carry every untouched partition forward by hard link
+        (O(#files) metadata, zero data movement), and CAS-commit
+        anchored on the pinned read version."""
         base_version = int(m["version"])
         version, data_dir = self._claim_snapshot(base_version)
         new_dir = self.path / data_dir
-        merged.write.mode("overwrite").partitionBy(*pby).parquet(str(new_dir))
-        # carry untouched partitions forward by hard link (O(#files)
-        # metadata, zero data movement)
+        df.write.mode("overwrite").partitionBy(*pby).parquet(str(new_dir))
         old_dir = self.path / m["data_dir"]
         for leaf, vals in self._leaf_partitions(old_dir, pby):
             if vals in touched_set:
@@ -472,7 +523,6 @@ class ManagedTable:
             {"version": version, "data_dir": data_dir, "partition_by": pby},
             expected_version=base_version,
         )
-        return True
 
     @staticmethod
     def _leaf_partitions(
@@ -503,6 +553,10 @@ class ManagedTable:
             DeltaTable.forPath(self.spark, str(self.path)).delete(predicate)
             return
         m, target = self._pinned_snapshot()
+        if m.get("partition_by") and self._delete_partition_scoped(
+            m, target, predicate
+        ):
+            return
         kept = target.filter(~F.coalesce(predicate, F.lit(False)))
         self.write(
             kept,

@@ -270,3 +270,59 @@ def test_partition_scoped_merge_concurrent_writer_detected(spark, tmp_path):
     )
     with pytest.raises(ConcurrentWriteError):
         t._merge_partition_scoped(m, target, src, ["k"], None, None, False)
+
+
+def test_partition_scoped_merge_string_partitions_special_chars(spark, tmp_path):
+    """String partition values with URL-escaped characters ('=' →
+    %3D in the dir name) must round-trip through _leaf_partitions so
+    untouched partitions are matched — and linked — correctly."""
+    t = ManagedTable(spark, tmp_path / "sp")
+    t.write(
+        spark.createDataFrame([
+            Row(k=1, grp="a b", v="x"),
+            Row(k=2, grp="c=d;e", v="y"),
+            Row(k=3, grp="plain", v="z"),
+        ]),
+        partition_by=["grp"],
+    )
+    t.merge_upsert(
+        spark.createDataFrame([Row(k=1, grp="a b", v="x2")]), keys=["k"]
+    )
+    got = {r.k: (r.grp, r.v) for r in t.read().collect()}
+    assert got == {1: ("a b", "x2"), 2: ("c=d;e", "y"), 3: ("plain", "z")}
+    old, new = _inode_map(t.path / "v00001"), _inode_map(t.path / "v00002")
+    linked = {r for r in new if old.get(r) == new[r]}
+    assert any(r.startswith("grp=c%3Dd;e/") for r in linked)
+    assert any(r.startswith("grp=plain/") for r in linked)
+    assert not any(r.startswith("grp=a b/") for r in linked)
+
+
+def test_partition_scoped_delete_where(spark, tmp_path):
+    """delete_where over a partitioned table rewrites only partitions
+    with predicate hits; the rest are hard-linked forward. NULL
+    predicate results keep the row (Delta DELETE semantics)."""
+    t = ManagedTable(spark, tmp_path / "dw")
+    t.write(
+        spark.createDataFrame([
+            Row(k=1, period=20240101, v=10),
+            Row(k=2, period=20240102, v=None),
+            Row(k=3, period=20240102, v=99),
+            Row(k=4, period=20240103, v=5),
+        ]),
+        partition_by=["period"],
+    )
+    old = _inode_map(t.path / "v00001")
+    t.delete_where(F.col("v") > 50)  # hits only k=3 (NULL keeps k=2)
+    got = {r.k: r.period for r in t.read().collect()}
+    assert got == {1: 20240101, 2: 20240102, 4: 20240103}
+    new = _inode_map(t.path / "v00002")
+    for rel, ino in old.items():
+        if rel.startswith(("period=20240101/", "period=20240103/")):
+            assert new[rel] == ino  # no hits → linked
+    assert not any(old.get(r) == new[r]
+                   for r in new if r.startswith("period=20240102/"))
+    # no-op delete: nothing matches → table unchanged, no new version
+    v_before = t.versions()[-1]
+    t.delete_where(F.col("v") > 1000)
+    assert t.versions()[-1] == v_before
+    assert {r.k for r in t.read().collect()} == {1, 2, 4}
