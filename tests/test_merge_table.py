@@ -326,3 +326,43 @@ def test_partition_scoped_delete_where(spark, tmp_path):
     t.delete_where(F.col("v") > 1000)
     assert t.versions()[-1] == v_before
     assert {r.k for r in t.read().collect()} == {1, 2, 4}
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_partition_scoped_merge_equals_dataflow_merge(spark, tmp_path, seed):
+    """Randomized equivalence: for random partitioned targets and
+    random sources (updates that may move partitions, inserts, plus a
+    random delete window), the scoped storage merge must equal the
+    pure-dataflow merge_dataframes semantics row-for-row."""
+    import random
+
+    rng = random.Random(seed)
+    periods = [20240101 + d for d in range(6)]
+    tgt_rows = [
+        Row(k=k, period=rng.choice(periods), v=f"t{k}")
+        for k in range(40)
+    ]
+    # updates (some move partitions), plus inserts
+    src_rows = [
+        Row(k=k, period=rng.choice(periods), v=f"s{k}")
+        for k in rng.sample(range(40), 12)
+    ] + [
+        Row(k=k, period=rng.choice(periods), v=f"s{k}")
+        for k in range(100, 100 + rng.randint(1, 8))
+    ]
+    cutoff = rng.choice(periods)
+    delete = F.col("period") >= cutoff if rng.random() < 0.5 else None
+
+    t = ManagedTable(spark, tmp_path / f"rand{seed}")
+    target = spark.createDataFrame(tgt_rows)
+    source = spark.createDataFrame(src_rows)
+    t.write(target, partition_by=["period"])
+    t.merge_upsert(source, keys=["k"], delete_predicate=delete)
+    got = {(r.k, r.period, r.v) for r in t.read().collect()}
+    want = {
+        (r.k, r.period, r.v)
+        for r in merge_dataframes(
+            target, source, ["k"], delete_predicate=delete
+        ).collect()
+    }
+    assert got == want
