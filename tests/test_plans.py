@@ -161,3 +161,29 @@ def test_q06_pushes_all_bands_to_scan(spark):
     assert "LessThan(l_quantity,24" in pushed
     assert "GreaterThanOrEqual(l_discount,0.04" in pushed
     assert "LessThanOrEqual(l_discount,0.08" in pushed
+
+
+def test_scoped_merge_filter_is_partition_pruned(spark, tmp_path):
+    """The scoped merge's touched-partition condition must land in the
+    scan's PartitionFilters (directory pruning), not DataFilters — the
+    property that makes the rewrite O(touched partitions) at 100 TB."""
+    from pyspark.sql import Row
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "pp")
+    t.write(
+        spark.createDataFrame(
+            [Row(k=i, period=20240101 + i % 4, v="x") for i in range(20)]
+        ),
+        partition_by=["period"],
+    )
+    _m, target = t._pinned_snapshot()
+    cond = ManagedTable._partition_cond(
+        ["period"], [(20240101,), (20240103,)]
+    )
+    plan = target.filter(cond)._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "period" in m.group(1), plan
+    dfil = re.search(r"DataFilters: \[([^\]]*)\]", plan)
+    assert dfil is None or dfil.group(1).strip() == "", plan
