@@ -609,6 +609,61 @@ class ManagedTable:
             expected_base_version=int(m["version"]),
         )
 
+    def compact_hot_partitions(self, max_files: int = 8) -> list[tuple[str, ...]]:
+        """Scoped compaction (the Delta ``OPTIMIZE WHERE`` role): bin-pack
+        ONLY partitions that have accumulated more than ``max_files``
+        parquet files, hard-linking every other partition forward.
+
+        Merge-heavy partitioned tables accumulate small files precisely
+        in their hot partitions (each scoped merge rewrites a touched
+        partition with up to shuffle-partition-count files); a full
+        ``compact()`` would rewrite the whole table to fix a handful of
+        directories. Returns the partition value tuples compacted.
+
+        Requires integral/string partition columns (same dir-name
+        round-trip contract as the scoped merge); raises ValueError
+        otherwise — callers can fall back to ``compact()``.
+        """
+        m, snap = self._pinned_snapshot()
+        pby: list[str] = list(m.get("partition_by") or [])
+        if not pby:
+            raise ValueError(
+                "compact_hot_partitions needs a partitioned table; "
+                "use compact() for unpartitioned layouts"
+            )
+        by_name = {f.name: f.dataType.simpleString() for f in snap.schema}
+        int_types = {"tinyint", "smallint", "int", "bigint"}
+        if any(
+            by_name.get(c) not in int_types | {"string"} for c in pby
+        ):
+            raise ValueError(
+                "compact_hot_partitions requires integral/string "
+                "partition columns; use compact()"
+            )
+        old_dir = self.path / m["data_dir"]
+        hot: list[tuple[str, ...]] = []
+        typed: list[tuple] = []
+        for leaf, vals in self._leaf_partitions(old_dir, pby):
+            n = sum(1 for _ in leaf.rglob("*.parquet"))
+            if n > max_files:
+                hot.append(vals)
+                typed.append(
+                    tuple(
+                        int(v) if by_name[c] in int_types else v
+                        for c, v in zip(pby, vals)
+                    )
+                )
+        if not hot:
+            return []
+        cond = self._partition_cond(pby, typed)
+        # hash-repartition on the partition columns: each hot
+        # partition's rows land in one task → one output file per dir
+        df = snap.filter(cond).repartition(max(len(typed), 1), *[
+            F.col(c) for c in pby
+        ])
+        self._write_scoped(m, pby, set(hot), df)
+        return hot
+
     def optimize(self, cluster_by: list[str], num_files: int | None = None) -> None:
         """Clustered rewrite for min/max data skipping (the OPTIMIZE
         ZORDER role, with linear range clustering): range-repartition on

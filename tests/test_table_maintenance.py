@@ -100,3 +100,48 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # exactly one of the seven partition dirs is read
     files = got.select(F.input_file_name().alias("f")).distinct().collect()
     assert all("day=3" in r.f for r in files)
+
+
+def test_compact_hot_partitions_scoped(spark, tmp_path):
+    """Only partitions over the file-count threshold are rewritten
+    (to one file); cold partitions are hard-linked forward."""
+    import os
+
+    from pyspark.sql import Row
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "hot")
+    # hot partition (20240101): many files via a wide repartition;
+    # cold partition (20240102): a single file
+    hot = spark.createDataFrame(
+        [Row(k=i, period=20240101, v=i * 1.0) for i in range(64)]
+    ).repartition(16)
+    cold = spark.createDataFrame(
+        [Row(k=100 + i, period=20240102, v=0.0) for i in range(4)]
+    ).coalesce(1)
+    t.write(hot.unionByName(cold), partition_by=["period"])
+    snap1 = t.path / "v00001"
+    n_hot_before = sum(
+        1 for _ in (snap1 / "period=20240101").rglob("*.parquet"))
+    assert n_hot_before > 8
+    cold_inodes = {
+        p.name: os.stat(p).st_ino
+        for p in (snap1 / "period=20240102").rglob("*.parquet")
+    }
+
+    compacted = t.compact_hot_partitions(max_files=8)
+    assert compacted == [("20240101",)]
+    snap2 = t.path / "v00002"
+    assert sum(1 for _ in (snap2 / "period=20240101").rglob("*.parquet")) == 1
+    after = {
+        p.name: os.stat(p).st_ino
+        for p in (snap2 / "period=20240102").rglob("*.parquet")
+    }
+    assert after == cold_inodes  # cold partition linked, not rewritten
+    # data unchanged
+    got = {(r.k, r.period) for r in t.read().collect()}
+    assert got == {(i, 20240101) for i in range(64)} | {
+        (100 + i, 20240102) for i in range(4)}
+    # below-threshold table: no-op
+    assert t.compact_hot_partitions(max_files=8) == []
