@@ -1,0 +1,229 @@
+"""Corpus-level statistics operators for training-data curation.
+
+These complement the per-document column functions in
+``functions/text.py`` with operators whose output depends on the WHOLE
+corpus (two-pass shapes): unigram language-model scoring (the CCNet
+perplexity-bucket filter, with the KenLM model replaced by a corpus
+self-trained unigram LM), TF-IDF salient-term extraction, sliding
+token-window chunking, and cross-document frequent-n-gram
+(boilerplate) detection.
+
+Scale notes (100 TB):
+- Every operator is expressed as native DataFrame transforms — no
+  Python UDFs, no driver-side loops. The only corpus-wide relations
+  built are token/shingle frequency tables, which are Zipf-shaped and
+  orders of magnitude smaller than the corpus.
+- ``unigram_lm_scores`` / ``tfidf_top_terms`` shuffle the exploded
+  token stream once to build the frequency table and once (hash join
+  on token) to score. The frequency relation is usually small enough
+  to broadcast — pass ``broadcast_vocab=True`` (default) to pin a
+  broadcast-hash join and keep the big exploded side shuffle-free on
+  the scoring pass; disable for open-vocab corpora where the token
+  table itself is large (AQE then picks a sort-merge join).
+- ``chunk_documents`` is a pure per-row map (sequence + explode +
+  slice): no shuffle at all.
+- ``boilerplate_ngrams`` shuffles distinct (shingle, doc) pairs — the
+  same volume class as the MinHash band shuffle in
+  ``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.functions.text import tokens
+from cdk_datalake_ingest_spark.operators.dedup import word_shingles
+
+
+def _exploded_tokens(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, tok) rows — one per whitespace token of the normalized
+    text; documents that normalize to empty contribute no rows."""
+    return docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+
+
+def unigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Score each document by its average per-token surprisal (bits
+    per token) under a corpus self-trained additively-smoothed unigram
+    LM — the shape of CCNet's perplexity-bucket quality filter
+    (Wenzek et al. 2020) with the external KenLM model replaced by the
+    corpus itself, so the operator stays closed over its input.
+
+    p(tok) = (count(tok) + alpha) / (N + alpha * V), where N is the
+    corpus token count and V the vocabulary size. Output columns:
+    ``(id_col, n_tokens, bits_per_token)``, bits rounded to 6 so the
+    DuckDB oracle hash-matches despite libm ulp differences.
+
+    Low bits-per-token = repetitive/common-word documents; high =
+    rare-token (often noise) documents — both tails are what quality
+    filters cut.
+    """
+    toks = _exploded_tokens(docs, text_col, id_col)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # N and V are one row; attach them to the (small) vocab relation,
+    # never to the exploded token stream.
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    probs = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            (F.col("c") + F.lit(alpha))
+            / (F.col("n_total") + F.lit(alpha) * F.col("v_size"))
+        ).alias("pr"),
+    )
+    if broadcast_vocab:
+        probs = F.broadcast(probs)
+    return (
+        toks.join(probs, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("pr"))), 6).alias("bits_per_token"),
+        )
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k salient terms per document by smoothed TF-IDF
+    (sklearn's ``idf = ln((N + 1) / (df + 1)) + 1``).
+
+    Output: ``(id_col, term, tf, score, rank)`` with score rounded to
+    6 and rank the dense position by (score desc, term asc) — a total
+    order, so both engines agree on the cut. The ranking window
+    partitions by document id (no global window).
+    """
+    toks = _exploded_tokens(docs, text_col, id_col)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    idf = df_rel.crossJoin(F.broadcast(n_docs)).select(
+        "tok",
+        (
+            F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0)
+        ).alias("idf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(idf), "tok")
+        .select(
+            F.col(id_col),
+            F.col("tok").alias("term"),
+            "tf",
+            F.round(F.col("tf") * F.col("idf"), 6).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping token windows (the
+    pre-training / RAG chunking step): windows of ``size`` tokens
+    whose starts are ``stride`` apart.
+
+    Chunk count is ``1 + ceil(max(0, n - size) / stride)`` — the
+    standard rule (e.g. HuggingFace ``return_overflowing_tokens``):
+    the last chunk may be short, but a chunk fully contained in its
+    predecessor is never emitted. Documents that normalize to empty
+    yield no chunks.
+
+    Pure per-row map (sequence → explode → slice → array_join): no
+    shuffle, safe at any scale; peak row width is bounded by
+    ``size`` tokens. Output: ``(id_col, chunk_id, n_chunk_tokens,
+    chunk_text)`` with chunk_id 0-based.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).filter(F.col("_n") > 0)
+    extra = F.greatest(F.col("_n") - F.lit(size), F.lit(0))
+    # non-negative operands only, so floor(x / stride) == integer
+    # ceil-div in both Spark and DuckDB (values are small enough to be
+    # exact in double)
+    n_chunks = F.lit(1) + F.floor(
+        (extra + F.lit(stride - 1)) / F.lit(stride)
+    ).cast("long")
+    starts = F.sequence(
+        F.lit(1),
+        F.lit(1) + (n_chunks - 1) * F.lit(stride),
+        F.lit(stride),
+    )
+    chunk = F.slice(
+        F.col("_toks"),
+        F.col("start"),
+        F.least(F.lit(size), F.col("_n") - F.col("start") + 1),
+    )
+    return (
+        base.withColumn("start", F.explode(starts))
+        .select(
+            F.col(id_col),
+            F.floor((F.col("start") - 1) / F.lit(stride))
+            .cast("long")
+            .alias("chunk_id"),
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    n: int = 3,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document frequent word-n-gram detection — the C4-style
+    boilerplate census (Raffel et al. 2020 deduplicate three-sentence
+    spans; with no sentence boundaries in this corpus the unit is the
+    word n-gram). An n-gram counts once per document (distinct
+    (shingle, doc) pairs), so ``doc_freq`` is the number of DISTINCT
+    documents containing it; ``total_freq`` counts every occurrence.
+
+    Output: ``(ngram, doc_freq, total_freq)`` for n-grams in at least
+    ``min_doc_freq`` documents. One shuffle of (shingle, doc) pairs —
+    the downstream scrubber joins this (small, frequency-filtered)
+    relation back against the corpus.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram"),
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(
+            F.count_distinct(F.col("_id")).alias("doc_freq"),
+            F.count(F.lit(1)).alias("total_freq"),
+        )
+        .filter(F.col("doc_freq") >= min_doc_freq)
+    )

@@ -1,0 +1,195 @@
+"""Semantic clustering and dedup over embedding columns.
+
+``lloyd_kmeans`` is a deterministic Lloyd's k-means over an
+``array<float>`` column; ``semantic_dedup`` composes it into the
+SemDeDup curation operator (Abbas et al. 2023, arXiv:2303.09540):
+cluster the corpus with coarse k-means, then drop every vector that
+has a more-senior (smaller-id) near-duplicate *within its cluster* —
+the cluster acts as a blocking key so the pairwise cosine check is
+|cluster|-local, never corpus-global.
+
+Determinism contract (what makes the DuckDB oracle able to recompute
+the full algorithm): init centroids are the k smallest ids; every
+distance is rounded to 6 decimals before the argmin with ties broken
+toward the smaller centroid id; refined centroid coordinates are
+rounded to 6 decimals each iteration. Rounding pins the two engines'
+libm/summation-order ulp differences to identical values, so cluster
+assignments — and therefore every downstream row — hash-match.
+
+Scale notes (100 TB):
+- The per-iteration dataflow is: one narrow map over the corpus
+  (nearest-centroid via a broadcast nested-array literal — no
+  shuffle), one partial-aggregated groupBy(cluster) for the new
+  centroids (k×dim doubles cross the wire), one tiny driver collect
+  (k rows — the same driver-side centroid update MLlib's k-means
+  does). The corpus is scanned once per iteration and never shuffled.
+- ``semantic_dedup``'s pair stage is an equi-join on cluster id, so
+  candidate volume is sum(|cluster|²) not |corpus|²; k is the knob
+  that bounds cluster size (k ~ N/target_cluster_size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.functions.similarity import (
+    _as_double,
+    cosine,
+    dot,
+)
+from cdk_datalake_ingest_spark.session import ensure_parallelism
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance as a sequential left-to-right fold
+    (same fold shape as similarity.dot, reproducible in DuckDB)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nearest_struct(vec: Column, centroids: list[list[float]]) -> Column:
+    """(dist, cid) struct of the nearest centroid: smallest
+    round(sq_dist, 6), ties toward the smaller 1-based centroid id
+    (array_sort on (dist, cid) structs — both ascending)."""
+    cents = F.lit([list(c) for c in centroids])
+    scored = F.transform(
+        cents,
+        lambda cv, i: F.struct(
+            F.round(_sq_dist(vec, cv), 6).alias("dist"),
+            (i + 1).cast("integer").alias("cid"),
+        ),
+    )
+    return F.array_sort(scored)[0]
+
+
+def nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """1-based id of the centroid nearest to ``vec`` (see
+    ``_nearest_struct`` for the rounding/tie contract)."""
+    return _nearest_struct(vec, centroids)["cid"]
+
+
+def lloyd_kmeans(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd's k-means. Returns ``(assignments,
+    centroids)`` where assignments has ``(id_col, cluster_id, dist)``
+    (dist = round(sq_dist to own centroid, 6)) under the FINAL
+    centroids, and centroids is the final k×dim (rounded) list.
+
+    Init = the k smallest ids' vectors (a deterministic sample — the
+    k-means++ refinement would slot in here without changing the
+    dataflow). Each refinement computes per-dimension means with one
+    partially-aggregated groupBy and collects only k rows to the
+    driver. A cluster that loses all members keeps its previous
+    centroid (mirrored by the oracle's coalesce).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    init_rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv")
+        )
+        .orderBy("cid")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["cv"]) for r in init_rows]
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    for _ in range(iters):
+        assigned = base.withColumn(
+            "cluster_id", nearest_centroid(F.col("__v"), cents)
+        )
+        mean_rows = (
+            assigned.groupBy("cluster_id")
+            .agg(
+                *[
+                    F.round(F.avg(F.col("__v")[i]), 6).alias(f"d{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cid = {
+            r["cluster_id"]: [r[f"d{i}"] for i in range(dim)]
+            for r in mean_rows
+        }
+        cents = [by_cid.get(cid + 1, cents[cid]) for cid in range(len(cents))]
+    nearest = _nearest_struct(F.col("__v"), cents)
+    out = base.select(
+        F.col(id_col),
+        nearest["cid"].alias("cluster_id"),
+        nearest["dist"].alias("dist"),
+    )
+    return out, cents
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup: drop every vector with a smaller-id same-cluster
+    neighbor whose cosine (rounded to 6) is >= threshold; survivors
+    come back as ``(id_col, cluster_id)``.
+
+    The duplicate test is cluster-local (equi-join on cluster_id with
+    an id inequality), so the quadratic term is bounded by the largest
+    cluster, and the corpus-side scan is reused from the assignment
+    pass.
+    """
+    assigned, _ = lloyd_kmeans(
+        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+    )
+    vecs = corpus.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
+    a = (
+        assigned.join(vecs, id_col)
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col("cluster_id"),
+            F.col("__v").alias("va"),
+            F.col("__n").alias("na"),
+        )
+    )
+    b = (
+        assigned.join(vecs, id_col)
+        .select(
+            F.col(id_col).alias("id_b"),
+            F.col("cluster_id"),
+            F.col("__v").alias("vb"),
+            F.col("__n").alias("nb"),
+        )
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                6,
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(
+        id_col, "cluster_id"
+    )

@@ -1,0 +1,183 @@
+"""Unit tests for operators/corpus.py (corpus-level curation stats):
+hand-computable fixtures for the unigram LM, TF-IDF, chunking, and
+boilerplate-census operators, plus edge cases (empty docs, short docs,
+chunk boundary arithmetic)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.corpus import (
+    boilerplate_ngrams,
+    chunk_documents,
+    tfidf_top_terms,
+    unigram_lm_scores,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, "   "),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_unigram_lm_hand_computed(spark, tiny_docs):
+    rows = {
+        r["doc_id"]: r
+        for r in unigram_lm_scores(tiny_docs, alpha=0.5).collect()
+    }
+    # corpus: a=3, b=1, c=1 -> N=5, V=3; denom = 5 + 0.5*3 = 6.5
+    pa, pb, pc = 3.5 / 6.5, 1.5 / 6.5, 1.5 / 6.5
+    exp1 = -(2 * math.log2(pa) + math.log2(pb)) / 3
+    exp2 = -(math.log2(pa) + math.log2(pc)) / 2
+    assert rows[1]["n_tokens"] == 3
+    assert rows[1]["bits_per_token"] == round(exp1, 6)
+    assert rows[2]["bits_per_token"] == round(exp2, 6)
+    # blank/empty docs contribute no rows
+    assert set(rows) == {1, 2}
+
+
+def test_unigram_lm_common_words_score_lower(spark, sf_docs):
+    out = unigram_lm_scores(sf_docs).collect()
+    bits = [r["bits_per_token"] for r in out]
+    assert len(out) == 500
+    assert all(b > 0 for b in bits)
+    # a closed ~30-word vocab: every doc sits in a narrow bits band
+    assert max(bits) - min(bits) < 3.0
+
+
+def test_tfidf_rare_term_wins(spark, tiny_docs):
+    out = tfidf_top_terms(tiny_docs, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 1: 'b' (df=1) outscores 'a' (tf=2 but df=2):
+    # 2*(ln(3/3)+1)=2.0 < 1*(ln(3/2)+1)=1.405... -> no: 2.0 > 1.405.
+    # With n_docs=4: idf_a = ln(5/3)+1, idf_b = ln(5/2)+1;
+    # a: 2*1.5108=3.0217, b: 1*1.9163=1.9163 -> 'a' wins.
+    assert by_doc[1]["term"] == "a"
+    assert by_doc[1]["rank"] == 1
+    # doc 2: 'c' (df=1, idf ln(5/2)+1=1.9163) beats 'a' (1.5108)
+    assert by_doc[2]["term"] == "c"
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "doc_id long, text string"
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    d1 = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["rank"]
+    )
+    # identical scores -> lexicographic term order decides rank
+    assert [r["term"] for r in d1] == ["x", "y"]
+
+
+@pytest.mark.parametrize(
+    "n_tokens,size,stride,expected_chunks",
+    [
+        (10, 64, 48, 1),   # shorter than one window
+        (64, 64, 48, 1),   # exactly one window
+        (65, 64, 48, 2),   # one token overflow -> second window
+        (112, 64, 48, 2),  # 1 + ceil(48/48)
+        (113, 64, 48, 3),  # 1 + ceil(49/48)
+    ],
+)
+def test_chunk_count_rule(spark, n_tokens, size, stride, expected_chunks):
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(docs, size=size, stride=stride).collect()
+    assert len(out) == expected_chunks
+    # every token position is covered and ids are dense from 0
+    assert sorted(r["chunk_id"] for r in out) == list(
+        range(expected_chunks)
+    )
+    total = {
+        tok for r in out for tok in r["chunk_text"].split(" ")
+    }
+    assert len(total) == n_tokens
+
+
+def test_chunk_overlap_content(spark):
+    text = " ".join(str(i) for i in range(10))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {
+        r["chunk_id"]: r
+        for r in chunk_documents(docs, size=6, stride=4).collect()
+    }
+    assert out[0]["chunk_text"] == "0 1 2 3 4 5"
+    assert out[1]["chunk_text"] == "4 5 6 7 8 9"
+    assert out[1]["n_chunk_tokens"] == 6
+    # 1 + ceil((10-6)/4) = 2 chunks
+    assert len(out) == 2
+
+
+def test_chunk_rejects_bad_params(spark, tiny_docs):
+    with pytest.raises(ValueError):
+        chunk_documents(tiny_docs, size=0, stride=4)
+    with pytest.raises(ValueError):
+        chunk_documents(tiny_docs, size=4, stride=0)
+
+
+def test_boilerplate_counts_distinct_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick fox the quick fox"),
+            (2, "the quick fox jumps"),
+            (3, "the quick fox"),
+            (4, "unrelated words entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["ngram"]: r
+        for r in boilerplate_ngrams(docs, n=3, min_doc_freq=3).collect()
+    }
+    assert set(out) == {"the quick fox"}
+    assert out["the quick fox"]["doc_freq"] == 3
+    # doc 1 contains it twice -> total_freq counts occurrences
+    assert out["the quick fox"]["total_freq"] == 4
+
+
+@pytest.fixture(scope="module")
+def sf_docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_chunks_reassemble_document(spark, sf_docs):
+    """Non-overlapping chunking (stride == size) partitions each
+    document exactly."""
+    chunks = chunk_documents(sf_docs, size=16, stride=16)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("chunk_id", "chunk_text")
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("text2")
+        )
+    )
+    from cdk_datalake_ingest_spark.operators.dedup import normalize_text
+
+    orig = sf_docs.select(
+        "doc_id", normalize_text(F.col("text")).alias("text1")
+    )
+    diff = (
+        orig.join(rebuilt, "doc_id")
+        .filter(F.col("text1") != F.col("text2"))
+        .count()
+    )
+    assert diff == 0

@@ -17,6 +17,10 @@ SUBSET = [
     "exact_dedup_docs",
     "text_metrics_docs",
     "ann_cosine_topk",
+    "q21_waiting_suppliers",
+    "unigram_lm_docs",
+    "chunk_docs_sliding",
+    "semantic_dedup_embeddings",
 ]
 
 

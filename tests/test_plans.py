@@ -187,3 +187,85 @@ def test_scoped_merge_filter_is_partition_pruned(spark, tmp_path):
     assert m and "period" in m.group(1), plan
     dfil = re.search(r"DataFilters: \[([^\]]*)\]", plan)
     assert dfil is None or dfil.group(1).strip() == "", plan
+
+
+def test_new_relational_queries_avoid_cartesians(spark):
+    """q07/q08 (double-role nation dims), q13 (left-join histogram),
+    q15 (max-equality join), q18 (HAVING subquery), q21 (semi+anti
+    correlation): every join must stay hash-based — the suppkey
+    inequality in q21 rides the orderkey equi-join as a secondary
+    condition, never a nested loop."""
+    for q in (
+        "q07_volume_shipping",
+        "q08_market_share",
+        "q13_order_count_distribution",
+        "q15_top_supplier",
+        "q18_large_volume_customers",
+        "q21_waiting_suppliers",
+    ):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_q07_q08_broadcast_both_nation_roles(spark):
+    """Both nation role dims (and region/part in q08) broadcast — the
+    lineitem fact is never shuffled for a dimension."""
+    for q in ("q07_volume_shipping", "q08_market_share"):
+        plan = _plan(spark, q)
+        assert plan.count("BroadcastHashJoin") >= 2, q
+
+
+def test_q22_only_nested_loop_is_the_one_row_average(spark):
+    """q22's scalar-average attach is a 1-row broadcast nested loop
+    (unavoidable and free); the dormancy anti join must be hash."""
+    plan = _plan(spark, "q22_dormant_customers")
+    assert "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree + detail): count
+    # tree lines, which carry the join type suffix
+    assert len(re.findall(r"BroadcastNestedLoopJoin \w+ Build", plan)) == 1
+    # the dormancy test is a hash anti join
+    assert "LeftAnti" in plan
+
+
+def test_chunking_is_shuffle_free_map_stage(spark):
+    """Token-window chunking must pipeline with the scan: no Exchange,
+    no Window, no Python eval — a pure per-row generator at 100 TB."""
+    plan = _plan(spark, "chunk_docs_sliding")
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_unigram_lm_scoring_join_broadcasts_vocab(spark):
+    """The Zipf-sized token-probability relation must broadcast back
+    onto the exploded token stream — the corpus-sized side is shuffled
+    only once (the per-doc combine), never for the join."""
+    plan = _plan(spark, "unigram_lm_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_idf_join_broadcasts(spark):
+    plan = _plan(spark, "tfidf_top_terms_docs")
+    assert "BroadcastHashJoin" in plan
+    # ranking window partitions by doc_id — never a global window
+    for spec in _window_specs(plan):
+        assert "doc_id" in spec
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """Centroid assignment is a literal-array expression: the only
+    exchange in the histogram plan is the final k-row combine — the
+    corpus is scanned, never joined or shuffled wide."""
+    plan = _plan(spark, "kmeans_clusters_embeddings")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_pairs_are_cluster_blocked(spark):
+    """The SemDeDup pair stage must be an equi-join on cluster_id (plus
+    id inequality) — quadratic only within a cluster, never corpus-wide."""
+    plan = _plan(spark, "semantic_dedup_embeddings")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,129 @@
+"""Unit tests for operators/semantic.py (deterministic Lloyd k-means
+and SemDeDup): convergence behavior on a separable fixture, the
+empty-cluster keep-previous-centroid rule, and the smallest-id-survives
+dedup contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.semantic import (
+    lloyd_kmeans,
+    nearest_centroid,
+    semantic_dedup,
+)
+
+
+def _emb_df(spark, rows, dim):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def separable(spark):
+    """Two well-separated 4-d blobs; ids 0-2 near the origin-corner,
+    ids 3-5 near the opposite corner."""
+    rows = [
+        (0, [0.0, 0.1, 0.0, 0.1]),
+        (1, [0.1, 0.0, 0.1, 0.0]),
+        (2, [0.05, 0.05, 0.0, 0.1]),
+        (3, [5.0, 5.1, 5.0, 4.9]),
+        (4, [5.1, 5.0, 4.9, 5.0]),
+        (5, [4.9, 5.0, 5.1, 5.0]),
+    ]
+    return _emb_df(spark, rows, 4)
+
+
+def test_kmeans_separates_blobs(spark, separable):
+    assigned, cents = lloyd_kmeans(separable, k=2, iters=2, dim=4)
+    rows = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert rows[0] == rows[1] == rows[2]
+    assert rows[3] == rows[4] == rows[5]
+    assert rows[0] != rows[3]
+    # refined centroids are the blob means (rounded to 6)
+    assert len(cents) == 2
+    blob_a = [0.05, 0.05, 0.033333, 0.066667]
+    got = cents[rows[0] - 1]
+    assert got == pytest.approx(blob_a, abs=1e-4)
+
+
+def test_kmeans_iters_zero_is_seed_assignment(spark, separable):
+    """iters=0 assigns against the raw seed vectors (ids 0 and 1) —
+    the IVF coarse-quantizer special case."""
+    assigned, cents = lloyd_kmeans(separable, k=2, iters=0, dim=4)
+    rows = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    # seeds assign to themselves (distance 0)
+    assert rows[0] == 1 and rows[1] == 2
+    assert [round(c, 4) for c in cents[0]] == [0.0, 0.1, 0.0, 0.1]
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    """k=3 over two tight blobs: one seed centroid loses all points
+    after the first refinement but must survive as-is."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.01, 0.0]),
+        (2, [0.0, 0.01]),
+        (3, [9.0, 9.0]),
+        (4, [9.01, 9.0]),
+    ]
+    df = _emb_df(spark, rows, 2)
+    assigned, cents = lloyd_kmeans(df, k=3, iters=2, dim=2)
+    assert len(cents) == 3
+    counts = {
+        r["cluster_id"]: r["cnt"]
+        for r in assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # all 5 points assigned, no crash from the emptied cluster
+    assert sum(counts.values()) == 5
+
+
+def test_kmeans_rejects_negative_iters(spark, separable):
+    with pytest.raises(ValueError):
+        lloyd_kmeans(separable, k=2, iters=-1, dim=4)
+
+
+def test_nearest_centroid_tie_breaks_low_cid(spark):
+    df = spark.createDataFrame([([1.0, 0.0],)], "v array<double>")
+    # both centroids equidistant -> cid 1 wins
+    out = df.select(
+        nearest_centroid(
+            F.col("v"), [[0.0, 1.0], [0.0, -1.0]]
+        ).alias("cid")
+    ).collect()
+    assert out[0]["cid"] == 1
+
+
+def test_semantic_dedup_smallest_id_survives(spark):
+    """Two identical vectors + one orthogonal: the larger duplicate id
+    drops, everything else survives."""
+    rows = [
+        (10, [1.0, 0.0, 0.0, 0.0]),
+        (20, [1.0, 0.0, 0.0, 0.0]),
+        (30, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = _emb_df(spark, rows, 4)
+    out = semantic_dedup(df, k=1, iters=1, threshold=0.9, dim=4)
+    assert sorted(r["vec_id"] for r in out.collect()) == [10, 30]
+
+
+def test_semantic_dedup_cluster_blocks_pairs(spark, separable):
+    """threshold 0 drops every non-minimal vector WITHIN a cluster but
+    never across clusters (the blocking contract)."""
+    out = semantic_dedup(separable, k=2, iters=2, threshold=-1.0, dim=4)
+    survivors = sorted(r["vec_id"] for r in out.collect())
+    # one survivor per cluster: min id of each blob
+    assert survivors == [0, 3]
+
+
+def test_semantic_dedup_on_fixture_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    total = emb.count()
+    out = semantic_dedup(emb, k=8, iters=2, threshold=0.4)
+    kept = out.count()
+    assert 0 < kept <= total
+    # survivors are a subset of the corpus with their final clusters
+    assert out.select("vec_id").distinct().count() == kept

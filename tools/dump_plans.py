@@ -108,6 +108,45 @@ NOTES = {
         "corpus is read twice (count pass + keep pass), both passes "
         "column-pruned to 3 columns."
     ),
+    "q08_market_share": (
+        "7-relation star with nation in two roles: part/nation/nation/"
+        "region all BroadcastHashJoin, orders and customer hash-joined "
+        "once each, lineitem never shuffled for a dimension; the "
+        "conditional market-share ratio folds into the final per-year "
+        "combine (2 rows). The widest relational plan in the suite — "
+        "the one to watch when join reordering changes."
+    ),
+    "q21_waiting_suppliers": (
+        "EXISTS + NOT EXISTS double correlation: both compile to "
+        "hash semi/anti joins on the orderkey equi-condition with the "
+        "suppkey inequality as a join-condition rider — no nested "
+        "loop, no cartesian (pinned in tests/test_plans.py). The late "
+        "set is filtered before either probe, so the semi/anti build "
+        "sides are the small late fraction, not all of lineitem."
+    ),
+    "unigram_lm_docs": (
+        "Two-pass corpus LM scoring: the exploded token stream "
+        "shuffles once to build the Zipf-sized vocab; the probability "
+        "relation then broadcasts back onto a RE-EXPLODED stream "
+        "(BroadcastHashJoin — the corpus-sized side is never shuffled "
+        "for the join), and the per-doc combine is the only remaining "
+        "exchange. At 100 TB the vocab table is MBs, the stream TBs — "
+        "the broadcast direction is the whole ballgame."
+    ),
+    "chunk_docs_sliding": (
+        "Pure per-row generator: sequence → explode → slice with no "
+        "Exchange, no Window, no Python eval (pinned in CI). Chunking "
+        "100 TB is embarrassingly parallel and this plan keeps it so — "
+        "it pipelines with the scan and the downstream write."
+    ),
+    "semantic_dedup_embeddings": (
+        "SemDeDup: k-means assignment is a broadcast-literal narrow "
+        "map (no join, one corpus scan per Lloyd iteration, k-row "
+        "driver collect); the near-dup pair stage is an equi-join on "
+        "cluster_id so candidate volume is sum(|cluster|^2), bounded "
+        "by the k knob — never the corpus-global cross join the naive "
+        "formulation implies."
+    ),
 }
 
 #: appended verbatim — control-plane-dominated chain whose interesting

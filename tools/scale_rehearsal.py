@@ -62,6 +62,9 @@ QUERIES = [
     "streaming_windowed_counts",
     "merge_upsert_events",
     "merge_delete_window_events",
+    # round-5 corpus-stats additions (documents scale linearly)
+    "unigram_lm_docs",
+    "boilerplate_ngrams_docs",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
@@ -147,6 +150,36 @@ def build_corpus(spark) -> None:
         out = out.unionByName(p)
     out.repartition(32).write.mode("overwrite").parquet(
         f"{SCALE_DIR}/lineitem.parquet"
+    )
+
+    # embeddings: vec_id shifted per copy; coordinates circularly
+    # rotated by the copy index — norm-preserving and intra-copy
+    # geometry-preserving (each copy has the 1x corpus's near-dup
+    # structure), while cross-copy cosines scatter instead of
+    # collapsing to 1.0 (plain replication would make every vector a
+    # 10-clique member and turn SemDeDup's within-cluster pair scan
+    # quadratic in COPIES).
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = 64
+    parts = []
+    for k in range(COPIES):
+        vec = F.col("embedding")
+        if k:
+            vec = F.concat(
+                F.slice(vec, k + 1, dim - k), F.slice(vec, 1, k)
+            )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                vec.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/embeddings.parquet"
     )
 
     for t in TABLES:
