@@ -162,6 +162,12 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # with a gap between windows the chunk-count rule can place a
+        # start past the end of a short document (negative slice
+        # length); sliding windows mean overlap — same constraint as
+        # HF tokenizers' stride < max_length
+        raise ValueError("stride must be <= size (overlapping windows)")
     toks = tokens(F.col(text_col))
     base = docs.select(
         F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n")

@@ -149,32 +149,36 @@ def semantic_dedup(
 
     The duplicate test is cluster-local (equi-join on cluster_id with
     an id inequality), so the quadratic term is bounded by the largest
-    cluster, and the corpus-side scan is reused from the assignment
-    pass.
+    cluster. The cluster id is recomputed inline as a narrow
+    expression on each self-join branch (k*dim flops/row against the
+    broadcast centroid literal) instead of joining the assignment
+    relation back by id — the expression is cheaper than the two
+    corpus-wide id shuffles that join would cost.
     """
-    assigned, _ = lloyd_kmeans(
+    _, cents = lloyd_kmeans(
         corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
     )
-    vecs = corpus.select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
-    ).withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
-    a = (
-        assigned.join(vecs, id_col)
-        .select(
-            F.col(id_col).alias("id_a"),
-            F.col("cluster_id"),
-            F.col("__v").alias("va"),
-            F.col("__n").alias("na"),
+    rel = (
+        corpus.select(
+            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
         )
+        .withColumn(
+            "cluster_id", _nearest_struct(F.col("__v"), cents)["cid"]
+        )
+        .withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
     )
-    b = (
-        assigned.join(vecs, id_col)
-        .select(
-            F.col(id_col).alias("id_b"),
-            F.col("cluster_id"),
-            F.col("__v").alias("vb"),
-            F.col("__n").alias("nb"),
-        )
+    assigned = rel.select(id_col, "cluster_id")
+    a = rel.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id"),
+        F.col("__v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = rel.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id"),
+        F.col("__v").alias("vb"),
+        F.col("__n").alias("nb"),
     )
     dropped = (
         a.join(b, "cluster_id")

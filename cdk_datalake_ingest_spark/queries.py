@@ -4005,7 +4005,9 @@ def unigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
-UNIGRAM_LM_SQL = f"""
+#: shared CTE body: per-doc (doc_id, n_tokens, bits_per_token) under
+#: the corpus unigram LM — reused by the perplexity-bucket oracle
+_UNIGRAM_CTES = f"""
 WITH toks AS (
   SELECT doc_id, unnest({_SQL_TOKENS}) AS tok
   FROM documents WHERE {_SQL_NORM} <> ''
@@ -4016,11 +4018,15 @@ WITH toks AS (
 ), p AS (
   SELECT tok, (c + 0.5) / (n_total + 0.5 * v_size) AS pr
   FROM vocab CROSS JOIN tot
-)
-SELECT doc_id, count(*) AS n_tokens,
-  round(avg(-log2(pr)), 6) AS bits_per_token
-FROM toks JOIN p USING (tok)
-GROUP BY doc_id
+), doc_bits AS (
+  SELECT doc_id, count(*) AS n_tokens,
+    round(avg(-log2(pr)), 6) AS bits_per_token
+  FROM toks JOIN p USING (tok)
+  GROUP BY doc_id
+)"""
+
+UNIGRAM_LM_SQL = _UNIGRAM_CTES + """
+SELECT doc_id, n_tokens, bits_per_token FROM doc_bits
 """
 
 
@@ -4116,6 +4122,123 @@ WITH toksl AS (
 SELECT ngram, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_freq
 FROM sh GROUP BY ngram
 HAVING count(DISTINCT doc_id) >= 3
+"""
+
+
+def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity-bucket partition (Wenzek et al. 2020 §4.3):
+    split the corpus into head/middle/tail thirds by LM surprisal.
+    The tertile cutoffs are an EXACT interpolated percentile over the
+    per-doc score relation (1 row per document — orders of magnitude
+    smaller than the corpus; at extreme scale CCNet itself samples the
+    cutoffs) broadcast back as a 1-row relation; the bucket label is
+    then a stateless map. Both engines compute identical cutoffs from
+    identical rounded-6 inputs via the same (n-1)*p linear
+    interpolation, so the bucket SET is exact, not approximate."""
+    scores = unigram_lm_scores(_t(spark, sf_dir, "documents"))
+    cuts = scores.agg(
+        F.expr(
+            "percentile(bits_per_token,"
+            " array(0.3333333333333333D, 0.6666666666666666D))"
+        ).alias("c")
+    ).select(F.col("c")[0].alias("q1"), F.col("c")[1].alias("q2"))
+    return scores.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "bits_per_token",
+        F.when(F.col("bits_per_token") <= F.col("q1"), "head")
+        .when(F.col("bits_per_token") <= F.col("q2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+PERPLEXITY_BUCKETS_SQL = _UNIGRAM_CTES + """,
+cuts AS (
+  SELECT quantile_cont(bits_per_token, 0.3333333333333333) AS q1,
+         quantile_cont(bits_per_token, 0.6666666666666666) AS q2
+  FROM doc_bits
+)
+SELECT doc_id, bits_per_token,
+  CASE WHEN bits_per_token <= q1 THEN 'head'
+       WHEN bits_per_token <= q2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM doc_bits CROSS JOIN cuts
+"""
+
+
+def events_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (§2.8 set-shape completeness, the inverse of
+    events_pivot_by_type): per-user wide metrics melted to
+    (user_id, metric, metric_value) long form with Spark's native
+    ``DataFrame.unpivot`` — a zero-shuffle expand on top of the
+    aggregate. Metrics are pre-cast to a uniform double so the melt
+    needs no lossy value coercion."""
+    ev = _events(spark, sf_dir)
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.sum(_dec("value")).cast("double").alias("total_value"),
+        F.count_distinct("event_type").cast("double").alias("n_types"),
+    )
+    return wide.unpivot(
+        ["user_id"],
+        ["n_events", "total_value", "n_types"],
+        "metric",
+        "metric_value",
+    )
+
+
+UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT user_id,
+    CAST(COUNT(*) AS DOUBLE) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT user_id, metric, metric_value FROM (
+  SELECT user_id, 'n_events' AS metric, n_events AS metric_value FROM wide
+  UNION ALL
+  SELECT user_id, 'total_value', total_value FROM wide
+  UNION ALL
+  SELECT user_id, 'n_types', n_types FROM wide
+) t
+"""
+
+
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (the sketch gate `user_engagement_approx`
+    covers the approximate path; this is the exact complement): per
+    event type, interpolated p25/p50/p75/p95 of the value column via
+    Spark's sort-based ``percentile`` — semantics identical to
+    DuckDB's ``quantile_cont`` ((n-1)*p linear interpolation), rounded
+    to 6 for cross-libm stability. One shuffle on the (5-row) group
+    key; at 100 TB the per-group sort is the cost — use the
+    approx-sketch twin when rank error is tolerable."""
+    ev = _events(spark, sf_dir)
+    pct = F.expr(
+        "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"
+    ).alias("p")
+    wide = ev.groupBy("event_type").agg(
+        pct, F.count(F.lit(1)).alias("n")
+    )
+    return wide.select(
+        "event_type",
+        F.round(F.col("p")[0], 6).alias("p25"),
+        F.round(F.col("p")[1], 6).alias("p50"),
+        F.round(F.col("p")[2], 6).alias("p75"),
+        F.round(F.col("p")[3], 6).alias("p95"),
+        "n",
+    )
+
+
+PERCENTILES_SQL = """
+SELECT event_type,
+  round(quantile_cont(value, 0.25), 6) AS p25,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.75), 6) AS p75,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  COUNT(*) AS n
+FROM events GROUP BY event_type
 """
 
 
@@ -4269,6 +4392,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "events_value_percentiles": events_value_percentiles,
     # (b) last driver row is r3
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -4304,13 +4430,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "decontaminate_docs": decontaminate_docs,
-    "embedding_near_dup": embedding_near_dup,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "ann_ivf_topk": ann_ivf_topk,
     "streaming_windowed_counts": streaming_windowed_counts,
     "streaming_sessionize_events": streaming_sessionize_events,
     # ---- tail: beyond the driver's 50-entry window (all r4 green,
     # ---- untouched this round; pytest + local parity still cover them)
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_ivf_topk": ann_ivf_topk,
     "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
     "salesforce_stage_orders": salesforce_stage_orders,
@@ -4357,6 +4483,9 @@ ORACLES: dict[str, str] = {
     "boilerplate_ngrams_docs": BOILERPLATE_SQL,
     "kmeans_clusters_embeddings": KMEANS_SQL,
     "semantic_dedup_embeddings": SEMANTIC_DEDUP_SQL,
+    "perplexity_buckets_docs": PERPLEXITY_BUCKETS_SQL,
+    "events_unpivot_metrics": UNPIVOT_SQL,
+    "events_value_percentiles": PERCENTILES_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,

@@ -123,6 +123,10 @@ def test_chunk_rejects_bad_params(spark, tiny_docs):
         chunk_documents(tiny_docs, size=0, stride=4)
     with pytest.raises(ValueError):
         chunk_documents(tiny_docs, size=4, stride=0)
+    with pytest.raises(ValueError):
+        # gap sampling (stride > size) can start a chunk past a short
+        # document's end — rejected, windows must overlap
+        chunk_documents(tiny_docs, size=4, stride=5)
 
 
 def test_boilerplate_counts_distinct_docs(spark):

@@ -269,3 +269,30 @@ def test_semantic_dedup_pairs_are_cluster_blocked(spark):
     plan = _plan(spark, "semantic_dedup_embeddings")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_is_expand_no_extra_shuffle(spark):
+    """The melt must compile to a single Expand over the aggregate —
+    one exchange total (the groupBy), none for the unpivot itself."""
+    plan = _plan(spark, "events_unpivot_metrics")
+    assert "Expand" in plan
+    # two exchanges belong to the exact count_distinct (partial on
+    # (user, type), final on user) — none to the melt itself: the
+    # Expand must sit at the top of the plan, above the last exchange
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    tree = plan.split("(1) ")[0]
+    assert re.search(r"AdaptiveSparkPlan.*\n\+- Expand", tree), tree
+
+
+def test_perplexity_buckets_broadcast_cutoffs(spark):
+    """The tertile cutoffs and LM totals are 1-row relations attached
+    by broadcast nested loop (free); the bucket label is a stateless
+    map over the score relation and the token-probability join stays a
+    broadcast hash join — never a sort-merge of the exploded stream."""
+    plan = _plan(spark, "perplexity_buckets_docs")
+    assert "CartesianProduct" not in plan
+    # 1-row crosses only: the LM totals (x2 — the score relation feeds
+    # both the cutoff agg and the labeling branch) and the cutoffs
+    assert len(re.findall(r"BroadcastNestedLoopJoin \w+ Build", plan)) <= 3
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -389,3 +389,126 @@ def test_rate_next_fire_aligned_and_minimal(hours, offset_minutes):
         assert nxt == anchor
     else:
         assert nxt - r.interval <= after  # minimal on the lattice
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=200),  # doc token counts
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=40),  # size
+    st.integers(min_value=1, max_value=40),  # stride (clamped <= size)
+)
+@settings(**_SLOW)
+def test_chunking_matches_python_reference(spark, lens, size, stride):
+    """chunk_documents equals the plain-Python sliding-window reference
+    for arbitrary (doc length, size, stride <= size): same chunk
+    count, same chunk text, full coverage. (stride > size is rejected
+    by the operator — found by an earlier draft of this test: a gap
+    between windows can place a start past a short document's end.)"""
+    from cdk_datalake_ingest_spark.operators.corpus import chunk_documents
+
+    stride = min(stride, size)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(n)))
+         for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"])
+        for r in chunk_documents(docs, size=size, stride=stride).collect()
+    }
+    expected = {}
+    for i, n in enumerate(lens):
+        toks = [f"w{i}x{j}" for j in range(n)]
+        if n == 0:
+            continue
+        n_chunks = 1 + max(0, -(-(n - size) // stride)) if n > size else 1
+        for c in range(n_chunks):
+            piece = toks[c * stride : c * stride + size]
+            expected[(i, c)] = (len(piece), " ".join(piece))
+    assert got == expected
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SLOW)
+def test_unigram_lm_matches_python_reference(spark, token_lists):
+    """bits_per_token equals the plain-Python smoothed unigram LM for
+    arbitrary small corpora (single-char tokens, so normalization is
+    the identity)."""
+    import math
+    from collections import Counter
+
+    from cdk_datalake_ingest_spark.operators.corpus import unigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in unigram_lm_scores(docs, alpha=0.5).collect()
+    }
+    counts = Counter(t for toks in token_lists for t in toks)
+    n_total, v_size = sum(counts.values()), len(counts)
+    expected = {}
+    for i, toks in enumerate(token_lists):
+        if not toks:
+            continue
+        bits = [
+            -math.log2((counts[t] + 0.5) / (n_total + 0.5 * v_size))
+            for t in toks
+        ]
+        expected[i] = (len(toks), round(sum(bits) / len(bits), 6))
+    assert set(got) == set(expected)
+    for i, (n, b) in expected.items():
+        assert got[i][0] == n
+        assert abs(got[i][1] - b) < 2e-6, (i, got[i], b)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=tuple,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+@settings(**_SLOW)
+def test_kmeans_assignment_is_argmin(spark, vecs, k):
+    """Every vector's final cluster minimizes the rounded distance to
+    the final centroids (ties toward the smaller cid) — the assignment
+    really is the argmin of what lloyd_kmeans returns."""
+    from cdk_datalake_ingest_spark.operators.semantic import lloyd_kmeans
+
+    k = min(k, len(vecs))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, cents = lloyd_kmeans(df, k=k, iters=2, dim=4)
+    emb = {r["vec_id"]: r for r in df.collect()}
+    for row in assigned.collect():
+        v = [float(x) for x in emb[row["vec_id"]]["embedding"]]
+        dists = [
+            (round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6), i + 1)
+            for i, c in enumerate(cents)
+        ]
+        best = min(dists)
+        assert row["cluster_id"] == best[1], (row, dists)
+        assert row["dist"] == best[0]

@@ -324,6 +324,16 @@ def main() -> None:
         "versioned-parquet analogue of Delta's file-level rewrite), so a",
         "merge costs O(touched partitions), not O(table).",
         "",
+        "SemDeDup (`semantic_dedup_embeddings`) is deliberately NOT a",
+        "fixed-parameter rehearsal row: its pair stage is",
+        "sum(|cluster|^2) = N^2/k for balanced clusters, so scaling N",
+        "with k held constant is quadratic BY CONTRACT — the operator's",
+        "scale knob is k ~ N / target_cluster_size (hold cluster size",
+        "constant and the pair stage is linear in N). The k-means",
+        "assignment underneath it is linear per iteration at any k (one",
+        "narrow corpus scan against a broadcast centroid literal; see",
+        "tests/test_plans.py:test_kmeans_assignment_is_narrow).",
+        "",
     ]
     md += _profile_section()
     Path("/root/repo/SCALE.md").write_text("\n".join(md))
