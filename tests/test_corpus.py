@@ -185,3 +185,42 @@ def test_chunks_reassemble_document(spark, sf_docs):
         .count()
     )
     assert diff == 0
+
+
+def test_sql_interface_matches_dataframe_twin(spark, sf_dir):
+    """run_sql(Q13_SQL) row-set == the q13 DataFrame implementation."""
+    from cdk_datalake_ingest_spark.queries import (
+        q13_order_count_distribution,
+    )
+    from cdk_datalake_ingest_spark.queries import Q13_SQL
+    from cdk_datalake_ingest_spark.sql import run_sql
+
+    a = sorted(
+        map(tuple, q13_order_count_distribution(spark, sf_dir).collect())
+    )
+    b = sorted(map(tuple, run_sql(spark, sf_dir, Q13_SQL).collect()))
+    assert a == b
+
+
+def test_gap_fill_dense_and_monotone(spark, sf_dir):
+    """The filled series has one row per hour per user (dense grid),
+    and the forward-filled cumulative value never decreases."""
+    from cdk_datalake_ingest_spark.queries import gap_fill_user_hours
+
+    rows = gap_fill_user_hours(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["hour"], r["cum_value"])
+        )
+    for u, series in by_user.items():
+        series.sort()
+        hours = [h for h, _ in series]
+        # dense: consecutive hours, no holes
+        deltas = {
+            int((b - a).total_seconds()) for a, b in zip(hours, hours[1:])
+        }
+        assert deltas <= {3600}, (u, deltas)
+        vals = [v for _, v in series]
+        assert all(v is not None for v in vals)
+        assert all(b >= a for a, b in zip(vals, vals[1:])), u

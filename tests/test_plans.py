@@ -296,3 +296,25 @@ def test_perplexity_buckets_broadcast_cutoffs(spark):
     assert len(re.findall(r"BroadcastNestedLoopJoin \w+ Build", plan)) <= 3
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_gap_fill_windows_partition_by_user(spark):
+    """Resample + forward-fill: every window (cumsum and locf) must
+    partition by user_id — a global-window gap fill would serialize
+    the whole grid through one task. The grid attach is an equi-join."""
+    plan = _plan(spark, "gap_fill_user_hours")
+    specs = _window_specs(plan)
+    assert specs, "expected Window nodes"
+    assert all("user_id" in s for s in specs), specs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sql_surface_gets_same_plan_quality(spark):
+    """The raw-SQL path goes through the same Catalyst pipeline: the
+    q13 SQL text must plan its LEFT JOIN as a hash join with no
+    cartesian, exactly like the DataFrame twin."""
+    plan = _plan(spark, "sql_interface_q13")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
