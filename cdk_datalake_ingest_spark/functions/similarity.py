@@ -170,28 +170,36 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     exclude_self: bool = True,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into
     inverted lists by nearest coarse centroid; each query scans only
     its ``n_probe`` closest lists.
 
-    Centroids are a deterministic corpus sample (the ``n_centroids``
-    smallest ids) — a k-means refinement would drop in here without
-    changing the dataflow. The centroid set is tiny and broadcast; the
-    corpus→list assignment is one narrow projection (no shuffle), and
-    the probe join is a broadcast hash join on list id, so the corpus
-    is scanned exactly once regardless of query count.
+    Default centroids are a deterministic corpus sample (the
+    ``n_centroids`` smallest ids); pass ``centroids`` (e.g. from
+    ``operators.semantic.lloyd_kmeans``) for the k-means-refined
+    quantizer — balanced lists, same dataflow. The centroid set is
+    tiny and broadcast; the corpus→list assignment is one narrow
+    projection (no shuffle), and the probe join is a broadcast hash
+    join on list id, so the corpus is scanned exactly once regardless
+    of query count.
     """
-    cent_rows = (  # TakeOrdered (no global shuffle), n_centroids rows
-        corpus.select(F.col(id_col).alias("cid"), _as_double(F.col(vec_col)).alias("cv"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
+    if centroids is None:
+        cent_rows = (  # TakeOrdered (no global shuffle), n_centroids rows
+            corpus.select(
+                F.col(id_col).alias("cid"),
+                _as_double(F.col(vec_col)).alias("cv"),
+            )
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [list(r["cv"]) for r in cent_rows]
     # ONE nested-array literal — compact codegen; the per-row centroid
     # ranking is a narrow expression, so corpus→list assignment needs
     # no shuffle (the property that matters at 100 TB).
-    cents = F.lit([list(r["cv"]) for r in cent_rows])
+    cents = F.lit([list(c) for c in centroids])
 
     def _nearest_lists(vec: Column, n: int) -> Column:
         """array of the n list ids (1-based) with highest cosine."""

@@ -4443,6 +4443,61 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the k-means-refined coarse quantizer (the refinement
+    ivf_topk's seed-sample default stands in for): lists are Lloyd
+    centroids (k=16, 2 iterations), so list populations are balanced —
+    bounding the worst-case probe scan, which is what matters when one
+    seed would otherwise capture a dense region. Identical dataflow;
+    recall at this fixture scale is equivalent to the seed quantizer
+    (both >= 0.8, pinned in tests/test_text_similarity.py). The oracle
+    recomputes k-means AND the list-probe search end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    _, cents = lloyd_kmeans(emb, k=16, iters=_KM_ITERS, dim=_KM_DIM)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = ivf_topk(emb, queries, k=5, centroids=cents, n_probe=4)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_IVF_KM_COS = (
+    f"({_km_dot_sql('c.v', 'ct.cv')} / "
+    f"(sqrt({_km_dot_sql('c.v', 'c.v')}) * sqrt({_km_dot_sql('ct.cv', 'ct.cv')})))"
+)
+
+# k-means CTEs (k=16) then the IVF probe logic of ANN_IVF_SQL with
+# cent2 as the centroid relation; ties in the cosine list ranking
+# break toward the LARGER cid, mirroring ivf_topk's
+# reverse(array_sort) on (cos, list_id) structs.
+ANN_IVF_KMEANS_SQL = _kmeans_ctes(16, _KM_ITERS) + f""",
+ranked AS (
+  SELECT c.vec_id, c.v, ct.cid,
+    row_number() OVER (
+      PARTITION BY c.vec_id ORDER BY {_IVF_KM_COS} DESC, ct.cid DESC
+    ) AS rn
+  FROM c CROSS JOIN cent{_KM_ITERS} ct
+), assign AS (
+  SELECT vec_id, v, sqrt({_km_dot_sql('v', 'v')}) AS nrm, cid
+  FROM ranked WHERE rn = 1
+), probe AS (
+  SELECT vec_id AS query_id, v AS qv,
+         sqrt({_km_dot_sql('v', 'v')}) AS qn, cid
+  FROM ranked WHERE vec_id < 8 AND rn <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+    {_km_dot_sql('p.qv', 'a.v')} / (p.qn * a.nrm) AS cosine
+  FROM probe p JOIN assign a
+    ON p.cid = a.cid AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+WHERE rank <= 5
+"""
+
+
 SEMANTIC_DEDUP_SQL = _kmeans_ctes(_KM_K, _KM_ITERS) + f""",
 nn AS (
   SELECT vec_id, v, cid, sqrt({_km_dot_sql('v', 'v')}) AS nrm FROM af
@@ -4496,6 +4551,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_percentiles": events_value_percentiles,
     "sql_interface_q13": sql_interface_q13,
     "gap_fill_user_hours": gap_fill_user_hours,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     # (b) last driver row is r3
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -4524,7 +4580,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_multi_table_run": planner_multi_table_run,
     "streaming_dedup_ingest": streaming_dedup_ingest,
     # (d) r4-green stable
-    "watermark_events": watermark_events,
     "incremental_between_events": incremental_between_events,
     "curate_documents": curate_documents,
     "minhash_near_dup_docs": minhash_near_dup_docs,
@@ -4538,6 +4593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "decontaminate_docs": decontaminate_docs,
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
+    "watermark_events": watermark_events,
     "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
     "salesforce_stage_orders": salesforce_stage_orders,
@@ -4589,6 +4645,7 @@ ORACLES: dict[str, str] = {
     "events_value_percentiles": PERCENTILES_SQL,
     "sql_interface_q13": Q13_SQL,
     "gap_fill_user_hours": GAP_FILL_SQL,
+    "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,

@@ -318,3 +318,37 @@ def test_sql_surface_gets_same_plan_quality(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashAggregate" in plan
+
+
+def test_new_q_series_pushdown_and_pruning(spark):
+    """q07: the shipdate window reaches the lineitem scan AND Catalyst
+    infers the NATION_1/NATION_2 disjunction into both nation scans
+    from the post-join pair filter; lineitem reads 5 columns. q15:
+    both quarter-window branches push. q18: the HAVING subquery reads
+    exactly (l_orderkey, l_quantity)."""
+    plan = _plan(spark, "q07_volume_shipping")
+    pushed = " ".join(_pushed(plan))
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in pushed
+    assert "EqualTo(n_name,NATION_1)" in pushed
+    li_schema = [
+        m
+        for m in re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        if "l_orderkey" in m
+    ]
+    assert li_schema and all(m.count(":") == 5 for m in li_schema)
+
+    plan = _plan(spark, "q15_top_supplier")
+    assert "GreaterThanOrEqual(l_shipdate,1997-01-01" in " ".join(
+        _pushed(plan)
+    )
+
+    plan = _plan(spark, "q18_large_volume_customers")
+    sub = [
+        m
+        for m in re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        if "l_quantity" in m
+    ]
+    assert sub and all(
+        set(re.findall(r"(\w+):", m)) == {"l_orderkey", "l_quantity"}
+        for m in sub
+    )

@@ -250,3 +250,22 @@ def test_decontaminate_planted_overlap(spark, tmp_path):
     assert got[2] == (1, True)
     assert got[3] == (0, False)
     assert got[4] == (0, False)
+
+
+def test_ivf_kmeans_recall_floor(spark, sf_dir):
+    """Both IVF quantizers (seed-sample and k-means-refined) keep
+    recall@5 >= 0.8 against the exact brute-force top-k, and the
+    k-means variant returns a full result set (balanced lists)."""
+    from cdk_datalake_ingest_spark.queries import QUERIES
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    }
+    for name in ("ann_ivf_topk", "ann_ivf_kmeans_topk"):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in QUERIES[name](spark, sf_dir).collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, (name, recall)
