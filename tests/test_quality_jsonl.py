@@ -1,0 +1,105 @@
+"""Unit tests for operators/quality.py (expectations, quarantine, FK
+checks) and sources/jsonl.py (training-data delivery roundtrip)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.operators.quality import (
+    Rule,
+    fk_violations,
+    quarantine,
+    validation_report,
+)
+from cdk_datalake_ingest_spark.sources.jsonl import read_jsonl, write_jsonl
+
+
+@pytest.fixture(scope="module")
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, 10.0, "A"),
+            (2, -5.0, "A"),
+            (3, None, "B"),
+            (4, 7.5, "Z"),
+        ],
+        "id long, amount double, code string",
+    )
+
+
+RULES = [
+    Rule("amount_positive", "amount > 0"),
+    Rule("code_known", "code IN ('A','B')"),
+]
+
+
+def test_report_counts_nulls_as_violations(spark, dirty):
+    rows = {
+        r["rule"]: r for r in validation_report(dirty, RULES).collect()
+    }
+    # amount: -5 fails, NULL fails (unknown is not a pass)
+    assert rows["amount_positive"]["n_violations"] == 2
+    assert rows["amount_positive"]["n_rows"] == 4
+    assert rows["amount_positive"]["violation_rate"] == 0.5
+    assert rows["code_known"]["n_violations"] == 1
+
+
+def test_report_requires_rules(spark, dirty):
+    with pytest.raises(ValueError):
+        validation_report(dirty, [])
+
+
+def test_quarantine_routes_and_names_failures(spark, dirty):
+    good, bad = quarantine(dirty, RULES)
+    assert sorted(r["id"] for r in good.collect()) == [1]
+    bad_rows = {r["id"]: r["__failed_rules"] for r in bad.collect()}
+    assert bad_rows[2] == ["amount_positive"]
+    assert bad_rows[3] == ["amount_positive"]
+    assert bad_rows[4] == ["code_known"]
+    # quarantine preserves the original columns
+    assert set(good.columns) == {"id", "amount", "code"}
+
+
+def test_fk_violations_catches_orphans_and_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id long, pid int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    bad = fk_violations(child, parent, {"pid": "pk"})
+    assert sorted(r["id"] for r in bad.collect()) == [2, 3]
+
+
+def test_rule_evaluation_is_jvm_native(spark, dirty):
+    """The report plan must contain no Python evaluation — rules fuse
+    into the scan."""
+    plan = validation_report(dirty, RULES)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            (1, 'tricky "quoted" text\twith\ttabs', 3),
+            (2, "unicode: ünïcodé — ok", None),
+            (3, "", 0),
+        ],
+        "id long, text string, n int",
+    )
+    path = str(tmp_path / "docs")
+    write_jsonl(df, path, shards=2)
+    back = read_jsonl(spark, path, "id long, text string, n int")
+    got = sorted(map(tuple, back.collect()))
+    assert got == sorted(map(tuple, df.collect()))
+    # deterministic shard count
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.gz")) == 2
+
+
+def test_jsonl_schema_explicit_keeps_long_ids(spark, tmp_path):
+    df = spark.createDataFrame([(2**40, "x")], "id long, text string")
+    path = str(tmp_path / "big")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "id long, text string")
+    assert back.collect()[0]["id"] == 2**40
+    assert dict(back.dtypes)["id"] == "bigint"
