@@ -4135,7 +4135,15 @@ def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a stateless map. Both engines compute identical cutoffs from
     identical rounded-6 inputs via the same (n-1)*p linear
     interpolation, so the bucket SET is exact, not approximate."""
-    scores = unigram_lm_scores(_t(spark, sf_dir, "documents"))
+    from pyspark import StorageLevel
+
+    # the score relation (1 row/doc — metadata-sized next to the
+    # corpus) feeds BOTH the cutoff aggregate and the labeling branch;
+    # persist so the enrich pipeline (explode + vocab join) runs once,
+    # not twice
+    scores = unigram_lm_scores(_t(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cuts = scores.agg(
         F.expr(
             "percentile(bits_per_token,"
@@ -4239,6 +4247,60 @@ SELECT event_type,
   round(quantile_cont(value, 0.95), 6) AS p95,
   COUNT(*) AS n
 FROM events GROUP BY event_type
+"""
+
+
+def window_rank_suite_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function breadth in one gate: rank, dense_rank, ntile,
+    percent_rank and cume_dist per event type over (value, event_id) —
+    a TOTAL order (event_id breaks value ties), so every rank is
+    deterministic cross-engine. Retains one row per decile boundary
+    (ntile change) to keep the gated relation small; all windows
+    partition by event_type, never global."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+    w_prev = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return ranked.withColumn(
+        "prev_decile", F.lag("decile").over(w_prev)
+    ).filter(
+        F.col("prev_decile").isNull()
+        | (F.col("decile") != F.col("prev_decile"))
+    ).drop("prev_decile")
+
+
+WINDOW_RANK_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+    rank() OVER w AS rnk,
+    dense_rank() OVER w AS drnk,
+    ntile(10) OVER w AS decile,
+    round(percent_rank() OVER w, 6) AS pct_rank,
+    round(cume_dist() OVER w, 6) AS cume
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+), flagged AS (
+  SELECT *, lag(decile) OVER (
+    PARTITION BY event_type ORDER BY value ASC, event_id ASC
+  ) AS prev_decile
+  FROM ranked
+)
+SELECT event_type, event_id, value, rnk, drnk, decile, pct_rank, cume
+FROM flagged
+WHERE prev_decile IS NULL OR decile <> prev_decile
 """
 
 
@@ -4662,6 +4724,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "dq_validate_orders": dq_validate_orders,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "window_rank_suite_events": window_rank_suite_events,
     # (b) last driver row is r3
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -4691,7 +4754,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_ingest": streaming_dedup_ingest,
     # (d) r4-green stable
     "curate_documents": curate_documents,
-    "minhash_near_dup_docs": minhash_near_dup_docs,
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "streaming_windowed_counts": streaming_windowed_counts,
     # ---- tail: beyond the driver's 50-entry window (all r4 green,
@@ -4704,6 +4766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watermark_events": watermark_events,
     "incremental_between_events": incremental_between_events,
     "streaming_sessionize_events": streaming_sessionize_events,
+    "minhash_near_dup_docs": minhash_near_dup_docs,
     "multimodal_media_pipeline": multimodal_media_pipeline,
     "dsl_flags_orders": dsl_flags_orders,
     "salesforce_stage_orders": salesforce_stage_orders,
@@ -4758,6 +4821,7 @@ ORACLES: dict[str, str] = {
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
     "dq_validate_orders": DQ_VALIDATE_SQL,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_SQL,
+    "window_rank_suite_events": WINDOW_RANK_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
