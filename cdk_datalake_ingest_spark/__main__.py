@@ -1,0 +1,103 @@
+"""Command-line entry point — the operational surface the reference
+exposes through Glue job invocations / Step Functions inputs, here as
+one module runnable with ``python -m cdk_datalake_ingest_spark``.
+
+Subcommands:
+  query <name> [--sf-dir DIR] [--limit N] [--explain]
+      Run a registry query (one per operator; see ``list``) and print
+      rows as JSON lines — or the formatted physical plan.
+  sql <file-or-text> [--sf-dir DIR] [--limit N]
+      Run raw ANSI SQL over the registered lake tables (sql.py).
+  list
+      List registry query names.
+  validate [--sf-dir DIR]
+      Run the data-quality expectation report for orders.
+
+Exit code is 0 on success, 1 on a failed query — scriptable the same
+way the reference's job status checks are.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(shuffle: int | None):
+    from cdk_datalake_ingest_spark.session import get_spark
+
+    return get_spark("cdk-datalake-ingest-cli", shuffle_partitions=shuffle)
+
+
+def _emit(df, limit: int | None) -> None:
+    it = df.limit(limit).toJSON() if limit else df.toJSON()
+    for line in it.toLocalIterator():
+        print(line)
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cdk_datalake_ingest_spark")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a registry query by name")
+    q.add_argument("name")
+    q.add_argument("--limit", type=int, default=None)
+    q.add_argument("--explain", action="store_true")
+
+    s = sub.add_parser("sql", help="run raw SQL (text or @file)")
+    s.add_argument("text")
+    s.add_argument("--limit", type=int, default=None)
+
+    sub.add_parser("list", help="list registry query names")
+    sub.add_parser("validate", help="orders data-quality report")
+
+    a = ap.parse_args(argv)
+
+    if a.cmd == "list":
+        from cdk_datalake_ingest_spark.queries import QUERIES
+
+        for name in QUERIES:
+            print(name)
+        return 0
+
+    spark = _spark(a.shuffle_partitions)
+    try:
+        if a.cmd == "query":
+            from cdk_datalake_ingest_spark.queries import QUERIES
+
+            if a.name not in QUERIES:
+                print(f"unknown query: {a.name}", file=sys.stderr)
+                return 1
+            df = QUERIES[a.name](spark, a.sf_dir)
+            if a.explain:
+                df.explain("formatted")
+            else:
+                _emit(df, a.limit)
+        elif a.cmd == "sql":
+            from cdk_datalake_ingest_spark.sql import run_sql
+
+            text = a.text
+            if text.startswith("@"):
+                with open(text[1:]) as fh:
+                    text = fh.read()
+            _emit(run_sql(spark, a.sf_dir, text), a.limit)
+        elif a.cmd == "validate":
+            from cdk_datalake_ingest_spark.queries import dq_validate_orders
+
+            rows = dq_validate_orders(spark, a.sf_dir).collect()
+            worst = 0.0
+            for r in rows:
+                print(json.dumps(r.asDict(), default=str))
+                worst = max(worst, r["violation_rate"])
+            return 0 if worst == 0 else 1
+        return 0
+    except Exception as e:  # surface as job failure, not a stack dump
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -21,6 +21,9 @@ SUBSET = [
     "unigram_lm_docs",
     "chunk_docs_sliding",
     "semantic_dedup_embeddings",
+    "dq_validate_orders",
+    "jsonl_roundtrip_docs",
+    "gap_fill_user_hours",
 ]
 
 

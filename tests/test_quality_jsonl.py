@@ -103,3 +103,46 @@ def test_jsonl_schema_explicit_keeps_long_ids(spark, tmp_path):
     back = read_jsonl(spark, path, "id long, text string")
     assert back.collect()[0]["id"] == 2**40
     assert dict(back.dtypes)["id"] == "bigint"
+
+
+def test_cli_list_query_sql_validate(spark, sf_dir):
+    """The __main__ CLI surface: list names, run a query, run raw SQL,
+    and the validate exit contract (non-zero when any rule fails)."""
+    import contextlib
+    import io
+
+    from cdk_datalake_ingest_spark.__main__ import main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["list"]) == 0
+    assert "q13_order_count_distribution" in buf.getvalue().split()
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            ["--sf-dir", sf_dir, "query", "q15_top_supplier"]
+        )
+    assert rc == 0
+    import json as _json
+
+    rows = [_json.loads(l) for l in buf.getvalue().splitlines()]
+    assert rows and "total_revenue" in rows[0]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            ["--sf-dir", sf_dir, "sql", "SELECT COUNT(*) AS n FROM nation"]
+        )
+    assert rc == 0
+    assert _json.loads(buf.getvalue())["n"] == 25
+
+    # unknown query -> failure exit, not a stack dump
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["query", "nope"]) == 1
+    assert "unknown query" in err.getvalue()
+
+    # orders fixture genuinely violates price_cap/recent_order -> 1
+    with contextlib.redirect_stdout(io.StringIO()):
+        assert main(["--sf-dir", sf_dir, "validate"]) == 1
