@@ -134,6 +134,26 @@ def lloyd_kmeans(
     return out, cents
 
 
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster_id, dist) under FIXED centroids — the
+    assignment-only narrow map (reuse a trained quantizer without
+    re-running Lloyd)."""
+    base = ensure_parallelism(corpus).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+    )
+    nearest = _nearest_struct(F.col("__v"), centroids)
+    return base.select(
+        F.col(id_col),
+        nearest["cid"].alias("cluster_id"),
+        nearest["dist"].alias("dist"),
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     k: int = 8,
@@ -142,6 +162,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup: drop every vector with a smaller-id same-cluster
     neighbor whose cosine (rounded to 6) is >= threshold; survivors
@@ -154,10 +175,21 @@ def semantic_dedup(
     broadcast centroid literal) instead of joining the assignment
     relation back by id — the expression is cheaper than the two
     corpus-wide id shuffles that join would cost.
+
+    Pass ``centroids`` (e.g. from a prior ``lloyd_kmeans``) to reuse a
+    trained quantizer and skip the Lloyd iterations entirely.
     """
-    _, cents = lloyd_kmeans(
-        corpus, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
-    )
+    if centroids is not None:
+        cents = [list(c) for c in centroids]
+    else:
+        _, cents = lloyd_kmeans(
+            corpus,
+            k=k,
+            iters=iters,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
     rel = (
         corpus.select(
             F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
