@@ -233,3 +233,68 @@ def boilerplate_ngrams(
         )
         .filter(F.col("doc_freq") >= min_doc_freq)
     )
+
+
+def scrub_boilerplate(
+    docs: DataFrame,
+    n: int = 3,
+    min_doc_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate REMOVAL (the scrub half of C4's repeated-span
+    dedup, Raffel et al. 2020 §2.2 — there spans are three-sentence
+    windows, here word n-grams): delete from every document each
+    token covered by an occurrence of a corpus-frequent n-gram (the
+    ``boilerplate_ngrams`` census), then reassemble the text.
+
+    Dataflow: the frequency-filtered n-gram relation is Zipf-small and
+    broadcast; positions are recovered with one posexplode pass,
+    covered positions aggregated per doc (shuffle keyed by doc id),
+    and the rewrite is a native filter-by-position + array_join — no
+    UDFs. Documents with no flagged spans pass through unchanged
+    (left join). Output: ``(id_col, clean_text, n_removed_tokens)``.
+    """
+    frequent = F.broadcast(
+        boilerplate_ngrams(
+            docs,
+            n=n,
+            min_doc_freq=min_doc_freq,
+            text_col=text_col,
+            id_col=id_col,
+        ).select("ngram")
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(F.col(text_col), n)).alias(
+            "pos", "ngram"
+        ),
+    )
+    covered = (
+        toks.join(frequent, "ngram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("cpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("__covered"))
+    )
+    from cdk_datalake_ingest_spark.functions.text import tokens
+
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    joined = base.join(covered, id_col, "left").withColumn(
+        "__covered",
+        F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
+    )
+    # posexplode is 0-based; filter's lambda index mirrors it
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(F.col("__covered"), i),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed_tokens"),
+    )

@@ -3998,6 +3998,48 @@ GROUP BY c_nationkey
 # --------------------------------------------------------------------------
 
 
+def scrub_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate REMOVAL (the scrub half of the C4 repeated-span
+    pipeline; detection is `boilerplate_ngrams_docs`): every token
+    covered by a corpus-frequent 3-gram occurrence is deleted and the
+    text reassembled — see operators/corpus.py:scrub_boilerplate. A
+    fully-boilerplate document scrubs to the empty string (two such
+    docs exist in this corpus — the oracle coalesces DuckDB's
+    NULL-on-empty-list array_to_string to match)."""
+    from cdk_datalake_ingest_spark.operators.corpus import scrub_boilerplate
+
+    return scrub_boilerplate(
+        _t(spark, sf_dir, "documents"), n=3, min_doc_freq=3
+    )
+
+
+SCRUB_BOILERPLATE_SQL = f"""
+WITH toksl AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, u.i - 1 AS pos,
+    t[u.i] || ' ' || t[u.i+1] || ' ' || t[u.i+2] AS ngram
+  FROM toksl, unnest(range(1, GREATEST(len(t) - 2, 0) + 1)) AS u(i)
+), freq AS (
+  SELECT ngram FROM sh GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+), cov AS (
+  SELECT doc_id, list(DISTINCT c) AS covered FROM (
+    SELECT doc_id, unnest(range(pos, pos + 3)) AS c
+    FROM sh JOIN freq USING (ngram)
+  ) GROUP BY doc_id
+), kept AS (
+  SELECT tl.doc_id, tl.t,
+    list_filter(tl.t, (x, i) ->
+      NOT list_contains(coalesce(cov.covered, []), i - 1)) AS k
+  FROM toksl tl LEFT JOIN cov ON tl.doc_id = cov.doc_id
+)
+SELECT doc_id,
+  coalesce(array_to_string(k, ' '), '') AS clean_text,
+  len(t) - len(k) AS n_removed_tokens
+FROM kept
+"""
+
+
 def unigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self-trained unigram-LM surprisal per document (the
     CCNet perplexity-bucket quality signal) — see
@@ -4784,6 +4826,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
     "window_rank_suite_events": window_rank_suite_events,
     "streaming_corpus_stats": streaming_corpus_stats,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
     # (b) last driver row is r3
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -4813,9 +4856,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_ingest": streaming_dedup_ingest,
     # (d) r4-green stable
     "curate_documents": curate_documents,
-    "streaming_windowed_counts": streaming_windowed_counts,
     # ---- tail: beyond the driver's 50-entry window (all r4 green,
     # ---- untouched this round; pytest + local parity still cover them)
+    "streaming_windowed_counts": streaming_windowed_counts,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ann_ivf_topk": ann_ivf_topk,
@@ -4882,6 +4925,7 @@ ORACLES: dict[str, str] = {
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_SQL,
     "window_rank_suite_events": WINDOW_RANK_SQL,
     "streaming_corpus_stats": STREAMING_CORPUS_SQL,
+    "scrub_boilerplate_docs": SCRUB_BOILERPLATE_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,

@@ -224,3 +224,49 @@ def test_gap_fill_dense_and_monotone(spark, sf_dir):
         vals = [v for _, v in series]
         assert all(v is not None for v in vals)
         assert all(b >= a for a, b in zip(vals, vals[1:])), u
+
+
+def test_scrub_boilerplate_removes_covered_spans(spark):
+    from cdk_datalake_ingest_spark.operators.corpus import scrub_boilerplate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x the quick fox y"),
+            (2, "the quick fox jumps"),
+            (3, "pre the quick fox"),
+            (4, "all clean words here"),
+            (5, "the quick fox"),  # fully boilerplate -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate(docs, n=3, min_doc_freq=3).collect()
+    }
+    assert out[1]["clean_text"] == "x y"
+    assert out[1]["n_removed_tokens"] == 3
+    assert out[2]["clean_text"] == "jumps"
+    assert out[3]["clean_text"] == "pre"
+    # untouched doc passes through unchanged (left join path)
+    assert out[4]["clean_text"] == "all clean words here"
+    assert out[4]["n_removed_tokens"] == 0
+    assert out[5]["clean_text"] == ""
+    assert out[5]["n_removed_tokens"] == 3
+
+
+def test_scrub_overlapping_spans_union_coverage(spark):
+    """Overlapping frequent 3-grams cover the UNION of their spans —
+    'a b c d' with both 'a b c' and 'b c d' frequent scrubs fully."""
+    from cdk_datalake_ingest_spark.operators.corpus import scrub_boilerplate
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(3)] + [(9, "zz yy xx ww")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in scrub_boilerplate(docs, n=3, min_doc_freq=3).collect()
+    }
+    assert out[0]["clean_text"] == ""
+    assert out[0]["n_removed_tokens"] == 4
+    assert out[9]["clean_text"] == "zz yy xx ww"

@@ -65,6 +65,10 @@ QUERIES = [
     # round-5 corpus-stats additions (documents scale linearly)
     "unigram_lm_docs",
     "boilerplate_ngrams_docs",
+    # scrub scales with documents; gap_fill (user<25 slice) and
+    # dq_validate (orders is dimension-symlinked, not scaled) would
+    # measure nothing at 10x and are deliberately absent
+    "scrub_boilerplate_docs",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
