@@ -4040,6 +4040,54 @@ FROM kept
 """
 
 
+def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embeddings (functions/embed.py — the
+    hashing trick): md5-bucketed token histograms, verified VECTOR-
+    EXACT cross-engine by emitting the integral count histogram as a
+    comma-joined string (float formatting never touches the hash) plus
+    the rounded L2 norm. Zero-shuffle map stage — the documents ->
+    vectors featurizer feeding the semantic operators."""
+    from cdk_datalake_ingest_spark.functions.embed import hash_embed_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = hash_embed_counts(F.col("text"), 64)
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(counts, lambda x: x.cast("int").cast("string")),
+            ",",
+        ).alias("vec_counts"),
+        F.round(
+            F.sqrt(F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x)),
+            6,
+        ).alias("l2_norm"),
+    )
+
+
+HASH_EMBED_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+         ELSE {_SQL_TOKENS} END AS toks
+  FROM documents
+), bucketed AS (
+  SELECT doc_id,
+    list_transform(toks, t -> {_hashing.md5_bucket_sql('t', 64)}) AS bk
+  FROM base
+), vec AS (
+  SELECT doc_id,
+    list_transform(range(0, 64),
+      d -> CAST(len(list_filter(bk, b -> b = d)) AS DOUBLE)) AS v
+  FROM bucketed
+)
+SELECT doc_id,
+  array_to_string(list_transform(v, x -> x::INT::VARCHAR), ',')
+    AS vec_counts,
+  round(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm
+FROM vec
+"""
+
+
 def unigram_lm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus self-trained unigram-LM surprisal per document (the
     CCNet perplexity-bucket quality signal) — see
@@ -4827,6 +4875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_suite_events": window_rank_suite_events,
     "streaming_corpus_stats": streaming_corpus_stats,
     "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "hash_embed_docs": hash_embed_docs,
     # (b) last driver row is r3
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -4855,10 +4904,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "planner_multi_table_run": planner_multi_table_run,
     "streaming_dedup_ingest": streaming_dedup_ingest,
     # (d) r4-green stable
-    "curate_documents": curate_documents,
     # ---- tail: beyond the driver's 50-entry window (all r4 green,
     # ---- untouched this round; pytest + local parity still cover them)
     "streaming_windowed_counts": streaming_windowed_counts,
+    "curate_documents": curate_documents,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ann_ivf_topk": ann_ivf_topk,
@@ -4926,6 +4975,7 @@ ORACLES: dict[str, str] = {
     "window_rank_suite_events": WINDOW_RANK_SQL,
     "streaming_corpus_stats": STREAMING_CORPUS_SQL,
     "scrub_boilerplate_docs": SCRUB_BOILERPLATE_SQL,
+    "hash_embed_docs": HASH_EMBED_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,

@@ -270,3 +270,66 @@ def test_scrub_overlapping_spans_union_coverage(spark):
     assert out[0]["clean_text"] == ""
     assert out[0]["n_removed_tokens"] == 4
     assert out[9]["clean_text"] == "zz yy xx ww"
+
+
+def test_hash_embed_histogram_and_norm(spark):
+    from cdk_datalake_ingest_spark.functions.embed import (
+        hash_embed,
+        hash_embed_counts,
+    )
+    from cdk_datalake_ingest_spark.functions.hashing import md5_bucket
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "")], "doc_id long, text string"
+    )
+    out = docs.select(
+        "doc_id",
+        hash_embed_counts(F.col("text"), 8).alias("c"),
+        hash_embed(F.col("text"), 8).alias("v"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    buckets = {
+        r["t"]: r["b"]
+        for r in spark.createDataFrame([("aa",), ("bb",)], "t string")
+        .select("t", md5_bucket(F.col("t"), 8).alias("b"))
+        .collect()
+    }
+    c1 = rows[1]["c"]
+    assert sum(c1) == 3
+    assert c1[buckets["aa"]] == 2.0 and c1[buckets["bb"]] == 1.0
+    # normalized vector has unit norm
+    import math
+
+    assert math.isclose(
+        math.sqrt(sum(x * x for x in rows[1]["v"])), 1.0, rel_tol=1e-9
+    )
+    # empty doc: all-zero (not NULL) in both forms
+    assert sum(rows[2]["c"]) == 0 and sum(rows[2]["v"]) == 0
+
+
+def test_hash_embed_is_shuffle_free(spark, sf_docs):
+    from cdk_datalake_ingest_spark.functions.embed import hash_embed
+
+    plan = (
+        sf_docs.select(hash_embed(F.col("text")).alias("v"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hash_embed_feeds_semantic_ops(spark, sf_docs):
+    """The hashed vectors are a drop-in corpus for the semantic
+    operators: k-means over them assigns every document."""
+    from cdk_datalake_ingest_spark.functions.embed import hash_embed
+    from cdk_datalake_ingest_spark.operators.semantic import lloyd_kmeans
+
+    corpus = sf_docs.select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed(F.col("text"), 16).alias("embedding"),
+    )
+    assigned, cents = lloyd_kmeans(corpus, k=4, iters=1, dim=16)
+    assert assigned.count() == sf_docs.count()
+    assert len(cents) == 4
