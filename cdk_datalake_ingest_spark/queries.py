@@ -4682,12 +4682,22 @@ def _km_dot_sql(a: str, b: str) -> str:
     )
 
 
-def _kmeans_ctes(k: int, iters: int) -> str:
+_KM_EMBEDDINGS_SOURCE = (
+    "c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
+    " AS v FROM embeddings)"
+)
+
+
+def _kmeans_ctes(
+    k: int, iters: int, source_cte: str = _KM_EMBEDDINGS_SOURCE
+) -> str:
     """WITH-clause recomputing lloyd_kmeans: ends with ``af``
-    (vec_id, v, cid, d) under the final centroids."""
+    (vec_id, v, cid, d) under the final centroids. ``source_cte``
+    must define ``c`` with columns (vec_id, v double-list) — the
+    default reads the embeddings table; the hashed-documents gate
+    substitutes the feature-hashing featurizer."""
     parts = [
-        "c AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)"
-        " AS v FROM embeddings)",
+        source_cte,
         "cent0 AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid,"
         f" v AS cv FROM (SELECT * FROM c ORDER BY vec_id LIMIT {k}))",
     ]
@@ -4722,6 +4732,66 @@ def _kmeans_ctes(k: int, iters: int) -> str:
     )
     parts.append("af AS (SELECT vec_id, v, cid, d FROM rf WHERE rn = 1)")
     return "WITH " + ",\n".join(parts)
+
+
+def semantic_dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end semantic curation chain FROM RAW TEXT: documents
+    -> feature-hashing embeddings (functions/embed.py, zero-shuffle)
+    -> deterministic k-means blocking -> within-cluster cosine dedup,
+    min-id survivor. No pretrained model anywhere, so the oracle
+    recomputes the ENTIRE chain — featurizer, Lloyd iterations, pair
+    scan — and the gate hash-checks the survivor set exactly. The
+    SemDeDup threshold is 0.9: hashed histograms of a shared-vocab
+    corpus are naturally high-cosine, so the bar sits near the top of
+    the distribution (drops ~28% of this corpus)."""
+    from cdk_datalake_ingest_spark.functions.embed import hash_embed
+
+    corpus = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed(F.col("text"), _KM_DIM).alias("embedding"),
+    )
+    out = semantic_dedup(
+        corpus, k=_KM_K, iters=_KM_ITERS, threshold=0.9, dim=_KM_DIM
+    )
+    return out.select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+
+
+_KM_HASHDOC_SOURCE = f"""c AS (
+  WITH hb AS (
+    SELECT doc_id,
+      CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+           ELSE {_SQL_TOKENS} END AS toks
+    FROM documents
+  ), hv AS (
+    SELECT doc_id,
+      list_transform(range(0, {_KM_DIM}), d -> CAST(len(list_filter(
+        list_transform(toks, t -> {_hashing.md5_bucket_sql('t', _KM_DIM)}),
+        b -> b = d)) AS DOUBLE)) AS cv
+    FROM hb
+  )
+  SELECT doc_id AS vec_id,
+    CASE WHEN sqrt(list_sum(list_transform(cv, x -> x * x))) = 0 THEN cv
+         ELSE list_transform(cv,
+           x -> x / sqrt(list_sum(list_transform(cv, y -> y * y))))
+    END AS v
+  FROM hv
+)"""
+
+SEMANTIC_DEDUP_HASH_SQL = _kmeans_ctes(
+    _KM_K, _KM_ITERS, source_cte=_KM_HASHDOC_SOURCE
+) + f""",
+nn AS (
+  SELECT vec_id, v, cid, sqrt({_km_dot_sql('v', 'v')}) AS nrm FROM af
+), pr AS (
+  SELECT b.vec_id AS dropped
+  FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({_km_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6) >= 0.9
+)
+SELECT vec_id AS doc_id, cid AS cluster_id FROM af
+WHERE vec_id NOT IN (SELECT dropped FROM pr)
+"""
 
 
 def kmeans_clusters_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4867,7 +4937,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets_docs": perplexity_buckets_docs,
     "events_unpivot_metrics": events_unpivot_metrics,
     "events_value_percentiles": events_value_percentiles,
-    "sql_interface_q13": sql_interface_q13,
     "gap_fill_user_hours": gap_fill_user_hours,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "dq_validate_orders": dq_validate_orders,
@@ -4876,6 +4945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_corpus_stats": streaming_corpus_stats,
     "scrub_boilerplate_docs": scrub_boilerplate_docs,
     "hash_embed_docs": hash_embed_docs,
+    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
     # (b) last driver row is r3
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -4906,6 +4976,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (d) r4-green stable
     # ---- tail: beyond the driver's 50-entry window (all r4 green,
     # ---- untouched this round; pytest + local parity still cover them)
+    # sql_interface_q13 parks here: its oracle text and plan are
+    # q13's (in-window); pytest pins the view-registration path
+    "sql_interface_q13": sql_interface_q13,
     "streaming_windowed_counts": streaming_windowed_counts,
     "curate_documents": curate_documents,
     "embedding_near_dup": embedding_near_dup,
@@ -4976,6 +5049,7 @@ ORACLES: dict[str, str] = {
     "streaming_corpus_stats": STREAMING_CORPUS_SQL,
     "scrub_boilerplate_docs": SCRUB_BOILERPLATE_SQL,
     "hash_embed_docs": HASH_EMBED_SQL,
+    "semantic_dedup_hash_docs": SEMANTIC_DEDUP_HASH_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,
     "q05_region_revenue": Q05_SQL,
