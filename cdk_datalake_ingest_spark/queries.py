@@ -4909,16 +4909,19 @@ WHERE vec_id NOT IN (SELECT dropped FROM pr)
 # round — or that has never had a driver row — inside the first 50, and
 # rotate long-stable green queries (hash-green last round, untouched
 # since) to the tail.  Tail entries keep their pytest + local-parity
-# coverage.  Round-5 window, in priority order: (a) 18 entries new
-# this round (TPC-H q07/q08/q13/q15/q18/q21/q22, corpus stats,
-# k-means/SemDeDup, perplexity buckets, unpivot, exact percentiles,
-# raw-SQL surface, gap fill) — never driver-gated; (b) the 17 entries
-# whose last driver row is r3 (rotated back per the r4 verdict); (c) 8
-# entries over code that changed this round (partition-scoped merge in
-# ManagedTable, landing/replication/planner hardening); (d) 7
-# r4-green stable entries.  35 r4-green stable entries sit in the
-# tail — rotate them back over the next rounds so no driver row goes
-# stale by more than a round or two.
+# coverage.  Round-5 window, in priority order: (a) 25 entries new
+# this round — TPC-H q07/q08/q13/q15/q18/q21/q22, corpus stats
+# (unigram LM, TF-IDF, chunking, boilerplate census+scrub), k-means/
+# SemDeDup (+ the raw-text hashed-embedding chain), perplexity
+# buckets, unpivot, exact percentiles, ranking suite, gap fill,
+# data-quality report, JSONL roundtrip, streaming corpus stats,
+# k-means IVF, hash embeddings — never driver-gated; (b) the 17
+# entries whose last driver row is r3 (rotated back per the r4
+# verdict); (c) 8 entries over code that changed this round
+# (partition-scoped merge in ManagedTable, landing/replication/
+# planner hardening, streaming sink).  43 stable entries sit in the
+# tail (sql_interface_q13 deliberately — its oracle text and plan are
+# q13's, which is in-window); rotate them back over the next rounds.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) new this round
     "q07_volume_shipping": q07_volume_shipping,

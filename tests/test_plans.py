@@ -352,3 +352,19 @@ def test_new_q_series_pushdown_and_pruning(spark):
         set(re.findall(r"(\w+):", m)) == {"l_orderkey", "l_quantity"}
         for m in sub
     )
+
+
+def test_hash_embed_gate_is_map_side_until_output(spark):
+    """The hashed-embedding gate is a pure map over the documents scan
+    — no Exchange, no Python eval, no Window anywhere."""
+    plan = _plan(spark, "hash_embed_docs")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_hash_chain_stays_cluster_blocked(spark):
+    """The raw-text semantic chain keeps the SemDeDup shape: pair scan
+    is an equi-join on cluster_id, never a corpus cross join."""
+    plan = _plan(spark, "semantic_dedup_hash_docs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
