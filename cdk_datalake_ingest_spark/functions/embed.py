@@ -48,11 +48,20 @@ def hash_embed_counts(text_col: Column, dim: int = 64) -> Column:
 def hash_embed(text_col: Column, dim: int = 64) -> Column:
     """L2-normalized hashing-trick embedding (all-zero for empty
     documents rather than NULL, so downstream cosine math sees a
-    well-typed vector)."""
+    well-typed vector).
+
+    The divide is a zip_with against ``array_repeat(nrm, dim)`` — NOT
+    ``transform(counts, x -> x / nrm)``: an outer expression captured
+    in a higher-order-function lambda is re-evaluated per element
+    (same pitfall as operators/dedup.py:word_shingles), and ``nrm``
+    embeds the whole O(tokens*dim) counting fold — the capture form
+    measured 9x the entire featurize cost at sf0.1."""
     counts = hash_embed_counts(text_col, dim)
     nrm = F.sqrt(
         F.aggregate(counts, F.lit(0.0), lambda a, x: a + x * x)
     )
     return F.when(nrm == 0.0, counts).otherwise(
-        F.transform(counts, lambda x: x / nrm)
+        F.zip_with(
+            counts, F.array_repeat(nrm, dim), lambda x, n: x / n
+        )
     )

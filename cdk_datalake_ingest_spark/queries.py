@@ -4750,8 +4750,19 @@ def semantic_dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("vec_id"),
         hash_embed(F.col("text"), _KM_DIM).alias("embedding"),
     )
+    # Materialize the featurized corpus ONCE (N x dim doubles — the
+    # "write the embeddings table" step of a real pipeline): the
+    # k-means iterations, both pair-join branches, and the survivor
+    # anti-join all re-derive from `corpus`, and without this each
+    # consumer would re-run the O(tokens*dim) featurizer fold —
+    # measured ~7x the whole gate's cost at sf0.1.
+    corpus = corpus.localCheckpoint()
+    # k=32 (vs the embedding gate's 8): the pair stage is N^2/k, and
+    # this corpus is 2.5x the embeddings table at every sf — harder
+    # blocking keeps the gate inside the bench envelope and is the
+    # k ~ N/cluster_size contract in action (SCALE.md).
     out = semantic_dedup(
-        corpus, k=_KM_K, iters=_KM_ITERS, threshold=0.9, dim=_KM_DIM
+        corpus, k=32, iters=_KM_ITERS, threshold=0.9, dim=_KM_DIM
     )
     return out.select(
         F.col("vec_id").alias("doc_id"), "cluster_id"
@@ -4780,7 +4791,7 @@ _KM_HASHDOC_SOURCE = f"""c AS (
 )"""
 
 SEMANTIC_DEDUP_HASH_SQL = _kmeans_ctes(
-    _KM_K, _KM_ITERS, source_cte=_KM_HASHDOC_SOURCE
+    32, _KM_ITERS, source_cte=_KM_HASHDOC_SOURCE
 ) + f""",
 nn AS (
   SELECT vec_id, v, cid, sqrt({_km_dot_sql('v', 'v')}) AS nrm FROM af
