@@ -28,9 +28,12 @@ from cdk_datalake_ingest_spark.functions.text import tokens
 
 def hash_embed_counts(text_col: Column, dim: int = 64) -> Column:
     """array<double> of per-bucket token counts (the raw histogram —
-    integral values, exact in both engines)."""
+    integral values, exact in both engines). NULL text embeds like
+    empty text (all-zero histogram, never a NULL vector — downstream
+    clustering would silently drop NULL rows)."""
     buckets = F.transform(
-        tokens(text_col), lambda t: md5_bucket(t, dim)
+        tokens(F.coalesce(text_col, F.lit(""))),
+        lambda t: md5_bucket(t, dim),
     )
     zero = F.array_repeat(F.lit(0.0), dim)
     return F.aggregate(

@@ -112,9 +112,18 @@ def promote(
 
     Returns the lambda's result contract: ``{'result': 'SUCCESS',
     'status': 'Complete', 'target_path': ...}`` (also for the
-    idempotent already-promoted re-run, where no source prefix
-    resolves) or ``{'result': 'FAILED', 'reason': 'nothing to move
-    on'}`` (a source prefix matched but lists no objects).
+    already-promoted re-run, where no source prefix resolves) or
+    ``{'result': 'FAILED', 'reason': 'nothing to move on'}`` (a
+    source prefix matched but lists no objects).
+
+    Bug-compatible caveat, stated plainly: like the reference
+    (MigrateData.py:105-110 deletes the target prefix BEFORE the
+    already-loaded branch), a re-run on the SAME DAY as a successful
+    promotion clears that day's dated target prefix and then reports
+    SUCCESS — the step-function contract survives a retry, the data
+    does not. Orchestrators must not re-invoke promote after success
+    within the day (the run planner doesn't); a next-day re-run is
+    harmless (fresh dated prefix).
     """
     clock = clock or dt.datetime.now
     bd = bd_type.strip().lower()

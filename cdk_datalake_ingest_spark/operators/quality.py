@@ -17,20 +17,34 @@ left-anti join — broadcast when the parent key side is dimension-sized.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: rule names become column names and stack() string literals — keep
+#: them identifier-shaped so they can never break (or inject into) the
+#: generated expressions
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
 
 @dataclass(frozen=True)
 class Rule:
     """A row-level expectation: ``expr`` is a SQL boolean expression
     (or Column) that is True for GOOD rows. NULL evaluations count as
-    violations (an unknown is not a pass)."""
+    violations (an unknown is not a pass). ``name`` must be a plain
+    identifier (it is spliced into generated column names and a
+    ``stack()`` expression)."""
 
     name: str
     expr: str | Column
+
+    def __post_init__(self) -> None:
+        if not _NAME_RE.match(self.name):
+            raise ValueError(
+                f"rule name must match {_NAME_RE.pattern!r}: {self.name!r}"
+            )
 
     def col(self) -> Column:
         c = F.expr(self.expr) if isinstance(self.expr, str) else self.expr

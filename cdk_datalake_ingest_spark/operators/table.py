@@ -443,7 +443,7 @@ class ManagedTable:
             delete_predicate=delete_predicate,
             broadcast_source=broadcast_source,
         )
-        self._write_scoped(m, pby, touched_set, merged)
+        self._write_scoped(m, pby, touched_set, merged, by_name)
         return True
 
     def _delete_partition_scoped(
@@ -474,8 +474,47 @@ class ManagedTable:
             return True
         kept = target.filter(cond).filter(~hit)
         touched_set = {tuple(str(v) for v in t) for t in touched}
-        self._write_scoped(m, pby, touched_set, kept)
+        self._write_scoped(m, pby, touched_set, kept, by_name)
         return True
+
+    #: Spark's sentinel leaf for NULL partition values
+    HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+
+    _INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+    @classmethod
+    def _canon_vals(
+        cls,
+        pby: list[str],
+        by_name: dict[str, str],
+        vals: tuple[str, ...],
+    ) -> tuple[str, ...] | None:
+        """Canonical string form of decoded leaf-dir values under the
+        READ schema's types, comparable against ``str(collected)``.
+
+        Integral columns parse-then-print so a zero-padded dir name
+        ('p=05', written from a string value that partition-type
+        inference later reads back as int 5) matches its collected
+        value — comparing raw dir text against str(5) would silently
+        treat the leaf as untouched and hard-link it forward NEXT TO
+        its rewrite, duplicating (merge) or resurrecting (delete)
+        rows. Returns None for a leaf that cannot correspond to any
+        collected non-NULL value (the hive NULL sentinel, or
+        unparseable text under an integral column) — such leaves are
+        always linked forward unchanged.
+        """
+        out: list[str] = []
+        for c, v in zip(pby, vals):
+            if v == cls.HIVE_DEFAULT:
+                return None
+            if by_name.get(c) in cls._INT_TYPES:
+                try:
+                    out.append(str(int(v)))
+                except ValueError:
+                    return None
+            else:
+                out.append(v)
+        return tuple(out)
 
     @staticmethod
     def _partition_cond(
@@ -497,18 +536,25 @@ class ManagedTable:
         pby: list[str],
         touched_set: set[tuple[str, ...]],
         df: DataFrame,
+        by_name: dict[str, str] | None = None,
     ) -> None:
         """Write ``df`` (the rewritten touched partitions) as a new
         snapshot, carry every untouched partition forward by hard link
         (O(#files) metadata, zero data movement), and CAS-commit
-        anchored on the pinned read version."""
+        anchored on the pinned read version. ``touched_set`` holds
+        CANONICAL value tuples (``str(collected)``); leaf dirs are
+        canonicalized through ``_canon_vals`` before the membership
+        test so dir-text variants of the same value never slip into
+        the linked set."""
         base_version = int(m["version"])
         version, data_dir = self._claim_snapshot(base_version)
         new_dir = self.path / data_dir
         df.write.mode("overwrite").partitionBy(*pby).parquet(str(new_dir))
         old_dir = self.path / m["data_dir"]
+        by_name = by_name or {}
         for leaf, vals in self._leaf_partitions(old_dir, pby):
-            if vals in touched_set:
+            canon = self._canon_vals(pby, by_name, vals)
+            if canon is not None and canon in touched_set:
                 continue
             dst = new_dir / leaf.relative_to(old_dir)
             for root, _dirs, files in os.walk(leaf):
@@ -644,13 +690,20 @@ class ManagedTable:
         hot: list[tuple[str, ...]] = []
         typed: list[tuple] = []
         for leaf, vals in self._leaf_partitions(old_dir, pby):
+            canon = self._canon_vals(pby, by_name, vals)
+            if canon is None:
+                # hive NULL-sentinel (or unparseable-int) leaf: its
+                # stored values can't be addressed by an equality
+                # predicate, so compacting it would drop its rows —
+                # always link it forward untouched
+                continue
             n = sum(1 for _ in leaf.rglob("*.parquet"))
             if n > max_files:
-                hot.append(vals)
+                hot.append(canon)
                 typed.append(
                     tuple(
                         int(v) if by_name[c] in int_types else v
-                        for c, v in zip(pby, vals)
+                        for c, v in zip(pby, canon)
                     )
                 )
         if not hot:
@@ -661,7 +714,7 @@ class ManagedTable:
         df = snap.filter(cond).repartition(max(len(typed), 1), *[
             F.col(c) for c in pby
         ])
-        self._write_scoped(m, pby, set(hot), df)
+        self._write_scoped(m, pby, set(hot), df, by_name)
         return hot
 
     def optimize(self, cluster_by: list[str], num_files: int | None = None) -> None:

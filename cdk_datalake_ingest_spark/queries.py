@@ -4225,15 +4225,14 @@ def perplexity_buckets_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     then a stateless map. Both engines compute identical cutoffs from
     identical rounded-6 inputs via the same (n-1)*p linear
     interpolation, so the bucket SET is exact, not approximate."""
-    from pyspark import StorageLevel
-
     # the score relation (1 row/doc — metadata-sized next to the
     # corpus) feeds BOTH the cutoff aggregate and the labeling branch;
-    # persist so the enrich pipeline (explode + vocab join) runs once,
-    # not twice
-    scores = unigram_lm_scores(_t(spark, sf_dir, "documents")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # localCheckpoint materializes it once WITHOUT leaking a pinned
+    # cache entry per invocation (persist-without-unpersist would
+    # accumulate across bench repeats/gate re-checks)
+    scores = unigram_lm_scores(
+        _t(spark, sf_dir, "documents")
+    ).localCheckpoint()
     cuts = scores.agg(
         F.expr(
             "percentile(bits_per_token,"
@@ -4416,19 +4415,24 @@ def dq_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         Rule("recent_order", "o_orderdate >= TIMESTAMP '1995-07-01'"),
     ]
     report = validation_report(orders, rules)
-    n = orders.count()
     fk = fk_violations(
         orders, _t(spark, sf_dir, "customer"), {"o_custkey": "c_custkey"}
     )
-    fk_row = fk.agg(
-        F.count(F.lit(1)).alias("n_violations")
-    ).select(
-        F.lit("fk_customer").alias("rule"),
-        F.lit(n).alias("n_rows"),
-        F.col("n_violations"),
-        F.round(F.col("n_violations") / F.lit(n), 6).alias(
-            "violation_rate"
-        ),
+    # the FK row stays lazy: the 1-row total joins the 1-row violation
+    # count by broadcast cross — no eager driver-side count() action,
+    # no second full pass beyond the anti-join itself
+    totals = orders.agg(F.count(F.lit(1)).alias("n_rows"))
+    fk_row = (
+        fk.agg(F.count(F.lit(1)).alias("n_violations"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.lit("fk_customer").alias("rule"),
+            "n_rows",
+            "n_violations",
+            F.round(
+                F.col("n_violations") / F.col("n_rows"), 6
+            ).alias("violation_rate"),
+        )
     )
     return report.unionByName(fk_row)
 

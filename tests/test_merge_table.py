@@ -366,3 +366,62 @@ def test_partition_scoped_merge_equals_dataflow_merge(spark, tmp_path, seed):
         ).collect()
     }
     assert got == want
+
+
+def test_scoped_ops_survive_numeric_string_partitions(spark, tmp_path):
+    """Zero-padded STRING partition values ('05') that Spark's
+    partition-type inference reads back as int 5: the scoped
+    delete/merge must canonicalize dir names under the READ type, or
+    the old 'p=05' dir gets hard-linked forward NEXT TO its rewrite —
+    resurrecting deleted rows and duplicating kept ones."""
+    from pyspark.sql import Row
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "zp")
+    t.write(
+        spark.createDataFrame(
+            [Row(k=i, p=f"{(i % 3) + 4:02d}", v=i * 10) for i in range(12)]
+        ),
+        partition_by=["p"],
+    )
+    # all-numeric dir names -> read back as int partitions
+    assert dict(t.read().dtypes)["p"] in ("int", "bigint")
+
+    t.delete_where(F.col("p") == 5)
+    got = t.read()
+    assert got.filter(F.col("p") == 5).count() == 0  # no resurrection
+    remaining = got.count()
+    assert remaining == 8
+    # keys unique — no duplicated rows from a linked+rewritten dir
+    assert got.select("k").distinct().count() == remaining
+
+    src = spark.createDataFrame([Row(k=0, p=4, v=999), Row(k=100, p=6, v=1)])
+    t.merge_upsert(src, keys=["k"])
+    got = t.read()
+    # 8 survivors + 1 insert (k=0 is an update in place)
+    assert got.count() == 9
+    assert got.select("k").distinct().count() == 9
+    assert got.filter(F.col("k") == 0).collect()[0]["v"] == 999
+
+
+def test_compact_hot_skips_null_partition_leaf(spark, tmp_path):
+    """A __HIVE_DEFAULT_PARTITION__ leaf (NULL partition values) over
+    the file threshold must be linked forward untouched — compacting
+    it would drop its rows (string col) or crash int() (integral)."""
+    from pyspark.sql import Row
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "nullp")
+    df = spark.createDataFrame(
+        [Row(k=i, p=None if i % 2 else "a", v="x") for i in range(20)],
+        "k long, p string, v string",
+    ).repartition(10)
+    t.write(df, partition_by=["p"])
+    hot = t.compact_hot_partitions(max_files=1)
+    got = t.read()
+    assert got.count() == 20
+    assert got.filter(F.col("p").isNull()).count() == 10
+    # the NULL leaf is never reported compacted
+    assert all("__HIVE_DEFAULT" not in "".join(h) for h in hot)

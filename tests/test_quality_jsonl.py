@@ -146,3 +146,36 @@ def test_cli_list_query_sql_validate(spark, sf_dir):
     # orders fixture genuinely violates price_cap/recent_order -> 1
     with contextlib.redirect_stdout(io.StringIO()):
         assert main(["--sf-dir", sf_dir, "validate"]) == 1
+
+
+def test_rule_name_must_be_identifier():
+    """Rule names are spliced into generated column names and a
+    stack() expression — non-identifier names are rejected up front
+    instead of failing (or injecting) downstream."""
+    Rule("ok_name_1", "x > 0")
+    for bad in ("price-cap", "has space", "quo'te", "1leading", ""):
+        with pytest.raises(ValueError):
+            Rule(bad, "x > 0")
+
+
+def test_hash_embed_null_text_is_zero_vector(spark):
+    from cdk_datalake_ingest_spark.functions.embed import (
+        hash_embed,
+        hash_embed_counts,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b")], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            hash_embed_counts(F.col("text"), 8).alias("c"),
+            hash_embed(F.col("text"), 8).alias("v"),
+        ).collect()
+    }
+    assert rows[1]["c"] == [0.0] * 8  # not NULL
+    assert rows[1]["v"] == [0.0] * 8
+    assert sum(rows[2]["c"]) == 2.0
