@@ -285,17 +285,20 @@ def test_unpivot_is_expand_no_extra_shuffle(spark):
 
 
 def test_perplexity_buckets_broadcast_cutoffs(spark):
-    """The tertile cutoffs and LM totals are 1-row relations attached
-    by broadcast nested loop (free); the bucket label is a stateless
-    map over the score relation and the token-probability join stays a
-    broadcast hash join — never a sort-merge of the exploded stream."""
+    """The score relation is localCheckpoint-materialized (one unigram
+    pass feeds both consumers), so the gate's lazy plan is just: scan
+    the checkpointed scores, attach the 1-row tertile cutoffs by
+    broadcast nested loop (free), label statelessly. No sort-merge, no
+    second unigram pipeline. (The vocab-broadcast property of the
+    unigram pass itself is pinned by
+    test_unigram_lm_scoring_join_broadcasts_vocab.)"""
     plan = _plan(spark, "perplexity_buckets_docs")
     assert "CartesianProduct" not in plan
-    # 1-row crosses only: the LM totals (x2 — the score relation feeds
-    # both the cutoff agg and the labeling branch) and the cutoffs
-    assert len(re.findall(r"BroadcastNestedLoopJoin \w+ Build", plan)) <= 3
+    assert len(re.findall(r"BroadcastNestedLoopJoin \w+ Build", plan)) <= 1
     assert "SortMergeJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    # the checkpointed relation appears as an ExistingRDD scan — the
+    # enrich pipeline must NOT be re-planned downstream
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
 
 
 def test_gap_fill_windows_partition_by_user(spark):
