@@ -91,7 +91,8 @@ def main(argv: list[str] | None = None) -> int:
             worst = 0.0
             for r in rows:
                 print(json.dumps(r.asDict(), default=str))
-                worst = max(worst, r["violation_rate"])
+                # NULL rate = empty table (0/0): zero violations
+                worst = max(worst, r["violation_rate"] or 0.0)
             return 0 if worst == 0 else 1
         return 0
     except Exception as e:  # surface as job failure, not a stack dump

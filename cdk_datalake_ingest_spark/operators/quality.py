@@ -95,6 +95,8 @@ def quarantine(
 ) -> tuple[DataFrame, DataFrame]:
     """Split into (good, bad): good rows pass EVERY rule; bad rows
     carry a ``__failed_rules`` array naming what they violated."""
+    if not rules:
+        raise ValueError("at least one rule required")
     ann = annotate(df, rules)
     ok_cols = [F.col(f"__ok_{r.name}") for r in rules]
     all_ok = ok_cols[0]

@@ -167,14 +167,24 @@ def parse_table_mappings(mappings: str | dict) -> list[SelectionRule]:
                 )
             fcol = validate_identifier(flt["column-name"], "filter column-name")
             fstart, fend = cond["start-value"], cond["end-value"]
-        try:
-            rid = int(rule.get("rule-id", len(rules)))
-        except (TypeError, ValueError) as e:
-            raise ValueError(f"rule-id must be an integer: {e}") from e
-        if rid in seen_ids:
-            # DMS requires unique rule-ids; a duplicate is a copy-paste
-            # error that would shadow a table selection
-            raise ValueError(f"duplicate rule-id: {rid}")
+        explicit = "rule-id" in rule
+        if explicit:
+            try:
+                rid = int(rule["rule-id"])
+            except (TypeError, ValueError) as e:
+                raise ValueError(f"rule-id must be an integer: {e}") from e
+            if rid in seen_ids:
+                # DMS requires unique rule-ids; a duplicate EXPLICIT id
+                # is a copy-paste error that would shadow a table
+                # selection
+                raise ValueError(f"duplicate rule-id: {rid}")
+        else:
+            # auto-assign the next free id — a positional default
+            # (len(rules)) can collide with an explicit id elsewhere
+            # in the doc and spuriously reject a valid mapping
+            rid = 0
+            while rid in seen_ids:
+                rid += 1
         seen_ids.add(rid)
         rules.append(
             SelectionRule(

@@ -103,6 +103,15 @@ def lloyd_kmeans(
         .collect()
     )
     cents = [list(r["cv"]) for r in init_rows]
+    for r, c in zip(init_rows, cents):
+        if c is None or len(c) != dim:
+            # a dim mismatch otherwise surfaces much later as NULL
+            # per-dimension means leaking into the next centroid
+            # literal — fail at the boundary with the actual shapes
+            raise ValueError(
+                f"vector length {0 if c is None else len(c)} for id "
+                f"{r['cid']} does not match dim={dim}"
+            )
     base = ensure_parallelism(corpus).select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -215,6 +224,13 @@ def semantic_dedup(
     dropped = (
         a.join(b, "cluster_id")
         .filter(F.col("id_a") < F.col("id_b"))
+        # zero-norm vectors (hash_embed emits them for empty/NULL
+        # text) make the cosine 0/0 = NaN, and Spark's nan-safe
+        # ordering evaluates NaN >= threshold as TRUE — without the
+        # norm guard one empty document would silently delete its
+        # whole cluster. Zero vectors are never near-duplicates here;
+        # exact dedup owns empty-content collapsing.
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .withColumn(
             "cos",
             F.round(

@@ -4815,7 +4815,8 @@ nn AS (
 ), pr AS (
   SELECT b.vec_id AS dropped
   FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round({_km_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6) >= 0.9
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND round({_km_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6) >= 0.9
 )
 SELECT vec_id AS doc_id, cid AS cluster_id FROM af
 WHERE vec_id NOT IN (SELECT dropped FROM pr)
@@ -4920,7 +4921,8 @@ nn AS (
 ), pr AS (
   SELECT b.vec_id AS dropped
   FROM nn a JOIN nn b ON a.cid = b.cid AND a.vec_id < b.vec_id
-  WHERE round({_km_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6)
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND round({_km_dot_sql('a.v', 'b.v')} / (a.nrm * b.nrm), 6)
         >= {_SEM_THRESHOLD}
 )
 SELECT vec_id, cid AS cluster_id FROM af

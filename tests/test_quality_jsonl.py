@@ -179,3 +179,8 @@ def test_hash_embed_null_text_is_zero_vector(spark):
     assert rows[1]["c"] == [0.0] * 8  # not NULL
     assert rows[1]["v"] == [0.0] * 8
     assert sum(rows[2]["c"]) == 2.0
+
+
+def test_quarantine_requires_rules(spark, dirty):
+    with pytest.raises(ValueError):
+        quarantine(dirty, [])

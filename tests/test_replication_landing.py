@@ -502,3 +502,38 @@ def test_prefix_store_hides_markers_and_blocks_escape(tmp_path):
     assert store.list_prefix("temp/") == ["temp/derby/S/T/part-0.csv.gz"]
     with pytest.raises(ValueError):
         store.copy("../escape", "x")
+
+
+def test_table_mappings_mixed_explicit_and_auto_rule_ids():
+    """An omitted rule-id must auto-assign a FREE id — the old
+    positional default (len(rules)) collided with explicit ids and
+    spuriously rejected valid documents."""
+    from cdk_datalake_ingest_spark.operators.replication import (
+        parse_table_mappings,
+    )
+
+    doc = {
+        "rules": [
+            {
+                "rule-type": "selection",
+                "rule-id": 1,
+                "rule-action": "include",
+                "object-locator": {"schema-name": "s", "table-name": "a"},
+            },
+            {
+                # no rule-id: would default to len(rules)=1 and clash
+                "rule-type": "selection",
+                "rule-action": "include",
+                "object-locator": {"schema-name": "s", "table-name": "b"},
+            },
+        ]
+    }
+    rules = parse_table_mappings(doc)
+    assert len(rules) == 2
+    assert len({r.rule_id for r in rules}) == 2
+    # explicit duplicates still rejected
+    doc["rules"][1]["rule-id"] = 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate rule-id"):
+        parse_table_mappings(doc)

@@ -127,3 +127,25 @@ def test_semantic_dedup_on_fixture_corpus(spark, sf_dir):
     assert 0 < kept <= total
     # survivors are a subset of the corpus with their final clusters
     assert out.select("vec_id").distinct().count() == kept
+
+
+def test_semantic_dedup_zero_vector_is_not_a_duplicate(spark):
+    """A zero-norm vector (hash_embed's empty-document output) must
+    never register as anyone's near-duplicate: its cosine is 0/0 =
+    NaN, and Spark's nan-safe ordering evaluates NaN >= threshold as
+    TRUE — without the norm guard the empty vector (smallest id)
+    would delete its entire cluster."""
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),  # smallest id: the dangerous case
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = _emb_df(spark, rows, 4)
+    out = semantic_dedup(df, k=1, iters=0, threshold=0.5, dim=4)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_kmeans_rejects_dim_mismatch(spark):
+    df = _emb_df(spark, [(0, [1.0, 2.0]), (1, [3.0, 4.0])], 2)
+    with pytest.raises(ValueError, match="does not match dim"):
+        lloyd_kmeans(df, k=2, iters=1, dim=64)
