@@ -425,3 +425,38 @@ def test_compact_hot_skips_null_partition_leaf(spark, tmp_path):
     assert got.filter(F.col("p").isNull()).count() == 10
     # the NULL leaf is never reported compacted
     assert all("__HIVE_DEFAULT" not in "".join(h) for h in hot)
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_scoped_merge_equivalence_with_stringy_partition_values(
+    spark, tmp_path, seed
+):
+    """Randomized equivalence over the HOSTILE partition-value shapes:
+    zero-padded numeric strings (dir text != canonical int text after
+    partition-type inference) mixed across target and source. The
+    scoped path must match pure-dataflow merge semantics row-for-row.
+    Comparison keys on (k, int(p), v) because inference reads p back
+    as int."""
+    import random
+
+    rng = random.Random(seed)
+    vals = ["04", "05", "06", "007", "8"]
+    tgt_rows = [
+        Row(k=k, p=rng.choice(vals), v=f"t{k}") for k in range(30)
+    ]
+    src_rows = [
+        Row(k=k, p=rng.choice(vals), v=f"s{k}")
+        for k in rng.sample(range(30), 10)
+    ] + [Row(k=100 + i, p=rng.choice(vals), v="new") for i in range(4)]
+
+    t = ManagedTable(spark, tmp_path / f"zs{seed}")
+    target = spark.createDataFrame(tgt_rows)
+    source = spark.createDataFrame(src_rows)
+    t.write(target, partition_by=["p"])
+    t.merge_upsert(source, keys=["k"])
+    got = {(r.k, int(r.p), r.v) for r in t.read().collect()}
+    want = {
+        (r.k, int(r.p), r.v)
+        for r in merge_dataframes(target, source, ["k"]).collect()
+    }
+    assert got == want
