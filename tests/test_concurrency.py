@@ -209,3 +209,62 @@ def test_stale_commit_lock_times_out(spark, tmp_path):
         finally:
             _t.monotonic, _t.sleep = real_mono, real_sleep
     lock.unlink()
+
+
+def test_scoped_merge_racing_compaction_single_winner(spark, tmp_path):
+    """A partition-scoped merge racing compact_hot_partitions: both
+    anchor their CAS on the version they READ, so exactly one commits
+    and the loser raises — a compaction can never silently clobber a
+    concurrent merge's rows (or vice versa)."""
+    from pyspark.sql import Row
+
+    t = ManagedTable(spark, tmp_path / "race_sc")
+    t.write(
+        spark.createDataFrame(
+            [Row(k=i, p=i % 2, v="x") for i in range(20)]
+        ).repartition(8),
+        partition_by=["p"],
+    )
+
+    barrier = threading.Barrier(2)
+    orig_commit = ManagedTable._commit
+
+    def gated_commit(self, manifest, expected_version):
+        barrier.wait(timeout=60)
+        return orig_commit(self, manifest, expected_version)
+
+    results: dict[str, Exception | None] = {}
+
+    def run(name, fn):
+        try:
+            fn()
+            results[name] = None
+        except ConcurrentWriteError as e:
+            results[name] = e
+
+    src = spark.createDataFrame([Row(k=0, p=0, v="merged")])
+    ManagedTable._commit = gated_commit
+    try:
+        th1 = threading.Thread(
+            target=run,
+            args=("merge", lambda: t.merge_upsert(src, keys=["k"])),
+        )
+        th2 = threading.Thread(
+            target=run,
+            args=(
+                "compact",
+                lambda: t.compact_hot_partitions(max_files=1),
+            ),
+        )
+        th1.start(); th2.start(); th1.join(60); th2.join(60)
+    finally:
+        ManagedTable._commit = orig_commit
+
+    failures = [k for k, v in results.items() if v is not None]
+    assert len(failures) == 1, results  # exactly one loser
+    # whatever won, the table is consistent: all 20 keys present once
+    got = t.read()
+    assert got.count() == 20
+    assert got.select("k").distinct().count() == 20
+    if failures == ["compact"]:
+        assert got.filter(F.col("k") == 0).collect()[0]["v"] == "merged"
