@@ -1252,6 +1252,79 @@ WHERE d.source <> '{DECONTAM_EVAL_SOURCE}'
 """
 
 
+#: the multi-benchmark eval slices (stand-ins for e.g. MMLU/GSM8K/HumanEval)
+DECONTAM_MULTI_SOURCES = ("src17", "src18", "src19")
+
+
+def decontaminate_multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-benchmark decontamination: real pipelines screen against
+    EVERY eval suite at once, reporting per-suite overlap so a doc
+    contaminated for one benchmark can still train models not
+    evaluated on it. Three eval slices here; their tagged distinct
+    5-gram sets union into ONE broadcast relation, the corpus streams
+    through a single map-side join, and per-suite hit counts are
+    conditional aggregates in one pass — the corpus is scanned once
+    regardless of how many benchmarks are screened."""
+    from cdk_datalake_ingest_spark.operators.dedup import word_shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_shingles(F.col("text"), DECONTAM_NGRAM))
+    evals = list(DECONTAM_MULTI_SOURCES)
+    train = docs.filter(~F.col("source").isin(evals))
+    bench = (
+        docs.filter(F.col("source").isin(evals))
+        .select(F.col("source").alias("bset"), F.explode(grams).alias("g"))
+        .distinct()
+    )
+    hits = (
+        train.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("bset") == s, 1).otherwise(0)
+                ).alias(f"n_{s}")
+                for s in evals
+            ]
+        )
+    )
+    out = train.select("doc_id").join(hits, "doc_id", "left")
+    cols = [F.coalesce(F.col(f"n_{s}"), F.lit(0)).alias(f"n_{s}") for s in evals]
+    any_hit = None
+    for s in evals:
+        c = F.coalesce(F.col(f"n_{s}"), F.lit(0)) > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+    return out.select("doc_id", *cols, any_hit.alias("contaminated"))
+
+
+DECONTAM_MULTI_SQL = f"""
+WITH tg AS (
+  SELECT doc_id, unnest({_SQL_5GRAMS}) AS g
+  FROM documents WHERE source NOT IN {DECONTAM_MULTI_SOURCES!r}
+), bg AS (
+  SELECT DISTINCT source AS bset, unnest({_SQL_5GRAMS}) AS g
+  FROM documents WHERE source IN {DECONTAM_MULTI_SOURCES!r}
+), hits AS (
+  SELECT doc_id,
+    {", ".join(
+        f"SUM(CASE WHEN bset = '{s}' THEN 1 ELSE 0 END) AS n_{s}"
+        for s in DECONTAM_MULTI_SOURCES
+    )}
+  FROM tg JOIN bg USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  {", ".join(
+      f"CAST(COALESCE(h.n_{s}, 0) AS BIGINT) AS n_{s}" for s in DECONTAM_MULTI_SOURCES
+  )},
+  ({" OR ".join(
+      f"COALESCE(h.n_{s}, 0) > 0" for s in DECONTAM_MULTI_SOURCES
+  )}) AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.source NOT IN {DECONTAM_MULTI_SOURCES!r}
+"""
+
+
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (the oracle-checkable
     exactness baseline for MinHash)."""
@@ -5012,6 +5085,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sql_interface_q13 parks here: its oracle text and plan are
     # q13's (in-window); pytest pins the view-registration path
     "sql_interface_q13": sql_interface_q13,
+    # decontaminate_multi_docs parks here (window full of
+    # never-gated/stale-row entries): the single-set twin is gated in
+    # r3 rows + tail, and the multi variant runs in the pytest oracle
+    # subset — rotate into the window next round
+    "decontaminate_multi_docs": decontaminate_multi_docs,
     "streaming_windowed_counts": streaming_windowed_counts,
     "curate_documents": curate_documents,
     "embedding_near_dup": embedding_near_dup,
@@ -5108,6 +5186,7 @@ ORACLES: dict[str, str] = {
     "fingerprint_docs": FINGERPRINT_SQL,
     "ngram_jaccard_docs": NGRAM_JACCARD_SQL,
     "decontaminate_docs": DECONTAM_SQL,
+    "decontaminate_multi_docs": DECONTAM_MULTI_SQL,
     "vocab_top_tokens": VOCAB_SQL,
     "streaming_dedup_ingest": STREAMING_DEDUP_SQL,
     "streaming_sessionize_events": STREAMING_SESSIONIZE_SQL,

@@ -24,6 +24,9 @@ SUBSET = [
     "dq_validate_orders",
     "jsonl_roundtrip_docs",
     "gap_fill_user_hours",
+    # tail-parked this round (window full) — keep hard local evidence
+    "decontaminate_multi_docs",
+    "sql_interface_q13",
 ]
 
 
