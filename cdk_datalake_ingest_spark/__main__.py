@@ -31,7 +31,8 @@ def _spark(shuffle: int | None):
 
 
 def _emit(df, limit: int | None) -> None:
-    it = df.limit(limit).toJSON() if limit else df.toJSON()
+    # `is not None`, not truthiness: --limit 0 means zero rows, not all
+    it = df.limit(limit).toJSON() if limit is not None else df.toJSON()
     for line in it.toLocalIterator():
         print(line)
 

@@ -114,11 +114,31 @@ def parse_table_mappings(mappings: str | dict) -> list[SelectionRule]:
             partition_cols[locator(rule)] = validate_identifier(
                 cols[0], "parallel-load column"
             )
-    rules: list[SelectionRule] = []
+    selection_rules = [
+        rule
+        for rule in doc.get("rules", [])
+        if isinstance(rule, dict) and rule.get("rule-type") == "selection"
+    ]
+    # Two-pass id assignment: claim every EXPLICIT rule-id first so an
+    # auto-assigned rule earlier in the document can never steal an id an
+    # explicit rule later declares (which would spuriously reject the doc
+    # as a duplicate).
     seen_ids: set[int] = set()
-    for rule in doc.get("rules", []):
-        if not isinstance(rule, dict) or rule.get("rule-type") != "selection":
+    for rule in selection_rules:
+        if "rule-id" not in rule:
             continue
+        try:
+            rid = int(rule["rule-id"])
+        except (TypeError, ValueError) as e:
+            raise ValueError(f"rule-id must be an integer: {e}") from e
+        if rid in seen_ids:
+            # DMS requires unique rule-ids; a duplicate EXPLICIT id
+            # is a copy-paste error that would shadow a table
+            # selection
+            raise ValueError(f"duplicate rule-id: {rid}")
+        seen_ids.add(rid)
+    rules: list[SelectionRule] = []
+    for rule in selection_rules:
         if rule.get("rule-action", "include") != "include":
             # the reference only ever emits include rules; excludes are
             # a config error here rather than silently dropped tables
@@ -167,25 +187,17 @@ def parse_table_mappings(mappings: str | dict) -> list[SelectionRule]:
                 )
             fcol = validate_identifier(flt["column-name"], "filter column-name")
             fstart, fend = cond["start-value"], cond["end-value"]
-        explicit = "rule-id" in rule
-        if explicit:
-            try:
-                rid = int(rule["rule-id"])
-            except (TypeError, ValueError) as e:
-                raise ValueError(f"rule-id must be an integer: {e}") from e
-            if rid in seen_ids:
-                # DMS requires unique rule-ids; a duplicate EXPLICIT id
-                # is a copy-paste error that would shadow a table
-                # selection
-                raise ValueError(f"duplicate rule-id: {rid}")
+        if "rule-id" in rule:
+            rid = int(rule["rule-id"])  # validated in the pre-pass
         else:
-            # auto-assign the next free id — a positional default
-            # (len(rules)) can collide with an explicit id elsewhere
-            # in the doc and spuriously reject a valid mapping
+            # auto-assign the next free id AFTER all explicit ids are
+            # claimed — a positional default (len(rules)) can collide
+            # with an explicit id elsewhere in the doc and spuriously
+            # reject a valid mapping
             rid = 0
             while rid in seen_ids:
                 rid += 1
-        seen_ids.add(rid)
+            seen_ids.add(rid)
         rules.append(
             SelectionRule(
                 rule_id=rid,

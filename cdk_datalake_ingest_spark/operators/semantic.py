@@ -112,8 +112,22 @@ def lloyd_kmeans(
                 f"vector length {0 if c is None else len(c)} for id "
                 f"{r['cid']} does not match dim={dim}"
             )
+    # Corpus-wide dim guard, not just the k init rows: a later row with
+    # a shorter/longer/NULL vector would otherwise yield NULL-padded
+    # zip_with distances and NULL per-dimension means that silently
+    # skew centroids. raise_error rides the same scan — no extra pass.
+    vec_guarded = F.when(
+        F.size(F.col(vec_col)) == dim, _as_double(F.col(vec_col))
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"lloyd_kmeans: vector length != dim={dim} for id "),
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
     base = ensure_parallelism(corpus).select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        F.col(id_col), vec_guarded.alias("__v")
     )
     for _ in range(iters):
         assigned = base.withColumn(

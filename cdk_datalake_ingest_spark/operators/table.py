@@ -428,7 +428,14 @@ class ManagedTable:
         if len(rows) > cap:
             return False
         touched = [tuple(r[c] for c in pby) for r in rows]
-        if any(v is None for t in touched for v in t):
+        if any(
+            v is None or v == self.HIVE_DEFAULT for t in touched for v in t
+        ):
+            # NULL partitions land in the hive sentinel leaf, and a
+            # string column whose GENUINE value is the sentinel text is
+            # indistinguishable from one on disk — _canon_vals maps both
+            # to "always link forward", which would duplicate the
+            # rewritten rows. Full rewrite instead of corrupting.
             return False
         touched_set = {tuple(str(v) for v in t) for t in touched}
 
@@ -467,7 +474,11 @@ class ManagedTable:
         if len(rows) > cap:
             return False
         touched = [tuple(r[c] for c in pby) for r in rows]
-        if any(v is None for t in touched for v in t):
+        if any(
+            v is None or v == self.HIVE_DEFAULT for t in touched for v in t
+        ):
+            # see the scoped-merge note: a genuine sentinel-text string
+            # value would be linked forward AND rewritten — fall back
             return False
         cond = self._partition_cond(pby, touched)
         if cond is None:  # no rows match: delete is a no-op

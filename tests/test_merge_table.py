@@ -368,6 +368,47 @@ def test_partition_scoped_merge_equals_dataflow_merge(spark, tmp_path, seed):
     assert got == want
 
 
+def test_scoped_merge_bails_on_genuine_hive_sentinel_value(
+    spark, tmp_path, monkeypatch
+):
+    """A source row whose STRING partition value is the literal
+    '__HIVE_DEFAULT_PARTITION__' is indistinguishable on disk from a
+    NULL partition leaf; the scoped fast path must fall back to a full
+    rewrite instead of hard-linking the old sentinel leaf forward next
+    to its rewrite. _write_scoped is patched to explode so the test
+    proves the fallback path is the one taken."""
+    from pyspark.sql import Row
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "sentinel")
+    t.write(
+        spark.createDataFrame(
+            [Row(k=i, p=None if i < 4 else "a", v=i) for i in range(8)],
+            "k long, p string, v long",
+        ),
+        partition_by=["p"],
+    )
+    src = spark.createDataFrame(
+        [Row(k=100, p="__HIVE_DEFAULT_PARTITION__", v=1)],
+        "k long, p string, v long",
+    )
+    monkeypatch.setattr(
+        ManagedTable,
+        "_write_scoped",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("scoped path must not run on sentinel values")
+        ),
+    )
+    t.merge_upsert(src, keys=["k"])
+    got = t.read()
+    assert got.count() == 9
+    assert got.select("k").distinct().count() == 9
+    # Spark's reader conflates the sentinel dir with NULL: 4 original
+    # NULLs + the sentinel-string insert read back as 5 NULL rows
+    assert got.filter(F.col("p").isNull()).count() == 5
+
+
 def test_scoped_ops_survive_numeric_string_partitions(spark, tmp_path):
     """Zero-padded STRING partition values ('05') that Spark's
     partition-type inference reads back as int 5: the scoped

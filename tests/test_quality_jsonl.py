@@ -147,6 +147,16 @@ def test_cli_list_query_sql_validate(spark, sf_dir):
     with contextlib.redirect_stdout(io.StringIO()):
         assert main(["--sf-dir", sf_dir, "validate"]) == 1
 
+    # --limit 0 means ZERO rows, not "no limit" (0 is falsy but set)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            ["--sf-dir", sf_dir, "sql", "--limit", "0",
+             "SELECT n_name FROM nation"]
+        )
+    assert rc == 0
+    assert buf.getvalue().strip() == ""
+
 
 def test_rule_name_must_be_identifier():
     """Rule names are spliced into generated column names and a

@@ -163,6 +163,22 @@ def test_parse_table_mappings_hostile_inputs():
         parse_table_mappings([])  # not an object
 
 
+def test_auto_rule_id_never_steals_a_later_explicit_id():
+    """An id-less rule placed BEFORE an explicit rule must not
+    auto-claim the explicit id (which would spuriously reject a valid
+    document as a duplicate). Assignment is two-pass: explicit ids
+    claim first, autos fill the free slots."""
+    rules = parse_table_mappings(
+        {"rules": [_sel(), _sel(rule_id=0), _sel(rule_id=2), _sel()]}
+    )
+    ids = [r.rule_id for r in rules]
+    assert len(ids) == len(set(ids)) == 4
+    assert 0 in ids and 2 in ids  # explicit ids honored verbatim
+    # genuine duplicate EXPLICIT ids still rejected
+    with pytest.raises(ValueError, match="duplicate rule-id"):
+        parse_table_mappings({"rules": [_sel(rule_id=3), _sel(rule_id=3)]})
+
+
 def test_parse_table_mappings_never_raises_raw_keyerror():
     """Property: over randomly mangled rule docs the parser either
     parses or raises ValueError — no KeyError/IndexError/TypeError

@@ -149,3 +149,21 @@ def test_kmeans_rejects_dim_mismatch(spark):
     df = _emb_df(spark, [(0, [1.0, 2.0]), (1, [3.0, 4.0])], 2)
     with pytest.raises(ValueError, match="does not match dim"):
         lloyd_kmeans(df, k=2, iters=1, dim=64)
+
+
+def test_kmeans_rejects_dim_mismatch_beyond_init_rows(spark):
+    """A malformed vector AFTER the k init rows must fail loudly, not
+    silently skew centroids through NULL-padded zip_with distances."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    rows = [
+        (0, [0.0, 0.1, 0.0, 0.1]),
+        (1, [0.1, 0.0, 0.1, 0.0]),
+        (2, [5.0, 5.1]),  # short vector outside the k=2 init window
+    ]
+    df = _emb_df(spark, rows, 4)
+    with pytest.raises((Py4JJavaError, PySparkException)) as ei:
+        assigned, _ = lloyd_kmeans(df, k=2, iters=1, dim=4)
+        assigned.collect()
+    assert "vector length != dim=4" in str(ei.value)
