@@ -55,13 +55,17 @@ def main() -> None:
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     for name in bench_queries():
         fn = QUERIES[name]
         best = float("inf")
-        for _ in range(repeats):
+        for i in range(repeats):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            elapsed = time.perf_counter() - t0
+            if i == 0:
+                first_run[name] = round(elapsed, 3)
+            best = min(best, elapsed)
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
@@ -80,8 +84,14 @@ def main() -> None:
     }
 
     # Full per-query detail always lands in a file the judge can read.
+    # first_run records the COLD time of each query (detail file only):
+    # min-of-repeats deliberately reports steady state, and for queries
+    # that memoize driver-side state (the k-means quantizer caches) the
+    # cold column is where any one-time training cost remains visible.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
-    detail_path.write_text(json.dumps(payload, indent=2) + "\n")
+    detail_path.write_text(
+        json.dumps({**payload, "first_run": first_run}, indent=2) + "\n"
+    )
 
     # The driver keeps only the LAST ~2 KB of stdout and parses the
     # JSON line out of that tail.  Round 4's 65-query line grew past

@@ -30,8 +30,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from cdk_datalake_ingest_spark.functions.similarity import (
     _as_double,
@@ -51,15 +54,63 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+#: one compiled Arrow kernel per centroid matrix (tuple-of-tuples key)
+_DIST_UDFS: dict[tuple, Column] = {}
+
+
+def _sq_dists_udf(cents_key: tuple):
+    """Arrow kernel: vector column -> array<double> of RAW squared
+    distances to each of the k constant centroids.
+
+    This is a documented exception to the no-Python-hot-path rule
+    (same contract as SimHash's popcount and embed.py's bincount):
+    higher-order-function lambdas are interpreted per ELEMENT, so the
+    folded ``_sq_dist`` costs k*dim (~4k at k=32, dim=64) interpreted
+    closure evals per row — measured ~10x this kernel on the sf0.1
+    corpus. An unrolled flat-arithmetic expression was tried and is
+    WORSE (a ~12k-node tree per pass blows up Catalyst analysis 4x).
+
+    Bit-exactness contract: per-element ``(x-y)*(x-y)`` in IEEE
+    float64, summed SEQUENTIALLY via ``cumsum`` — the same
+    left-to-right order as the ``aggregate`` fold and the DuckDB
+    oracle's ``list_sum(list_transform(...))``, so raw distances are
+    bit-identical to the expression form. The round-6/tie-break
+    comparison stays JVM-side in ``_nearest_struct`` — this kernel
+    never rounds (numpy's round is not Spark's HALF_UP)."""
+    if cents_key not in _DIST_UDFS:
+        C = np.asarray(cents_key, dtype=np.float64)
+        k = C.shape[0]
+
+        @pandas_udf("array<double>")
+        def _dists(vecs: pd.Series) -> pd.Series:
+            rows = vecs.tolist()
+            n = len(rows)
+            if n == 0:
+                return pd.Series([], dtype=object)
+            V = np.stack([np.asarray(r, dtype=np.float64) for r in rows])
+            out = np.empty((n, k), dtype=np.float64)
+            for j in range(k):
+                d = V - C[j]
+                np.square(d, out=d)
+                out[:, j] = d.cumsum(axis=1)[:, -1]
+            return pd.Series(list(out))
+
+        _DIST_UDFS[cents_key] = _dists
+    return _DIST_UDFS[cents_key]
+
+
 def _nearest_struct(vec: Column, centroids: list[list[float]]) -> Column:
     """(dist, cid) struct of the nearest centroid: smallest
     round(sq_dist, 6), ties toward the smaller 1-based centroid id
-    (array_sort on (dist, cid) structs — both ascending)."""
-    cents = F.lit([list(c) for c in centroids])
+    (array_sort on (dist, cid) structs — both ascending). Distances
+    come from the Arrow kernel; the round-6 + tie-break comparison is
+    a k-element JVM expression over the precomputed array."""
+    cents_key = tuple(tuple(float(x) for x in c) for c in centroids)
+    dists = _sq_dists_udf(cents_key)(vec)
     scored = F.transform(
-        cents,
-        lambda cv, i: F.struct(
-            F.round(_sq_dist(vec, cv), 6).alias("dist"),
+        dists,
+        lambda d, i: F.struct(
+            F.round(d, 6).alias("dist"),
             (i + 1).cast("integer").alias("cid"),
         ),
     )
@@ -186,6 +237,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int = 64,
     centroids: list[list[float]] | None = None,
+    max_cluster_rows: int | None = 100_000,
 ) -> DataFrame:
     """SemDeDup: drop every vector with a smaller-id same-cluster
     neighbor whose cosine (rounded to 6) is >= threshold; survivors
@@ -193,11 +245,16 @@ def semantic_dedup(
 
     The duplicate test is cluster-local (equi-join on cluster_id with
     an id inequality), so the quadratic term is bounded by the largest
-    cluster. The cluster id is recomputed inline as a narrow
-    expression on each self-join branch (k*dim flops/row against the
-    broadcast centroid literal) instead of joining the assignment
-    relation back by id — the expression is cheaper than the two
-    corpus-wide id shuffles that join would cost.
+    cluster — the k ~ N/cluster_size sizing contract (SCALE.md).
+
+    ``max_cluster_rows`` is the guardrail for a DEGENERATE clustering
+    (same contract as ``embedding_near_dup_pairs(max_rows=...)``): a
+    pathological corpus that collapses into one cluster would turn
+    the pair stage into an unbounded all-pairs join with hot-key skew
+    on that cluster_id. The largest cluster is counted off the
+    materialized assignment (one cheap groupBy) and a cluster above
+    the cap raises — re-block with a larger ``k`` or pass
+    ``max_cluster_rows=None`` to explicitly opt out.
 
     Pass ``centroids`` (e.g. from a prior ``lloyd_kmeans``) to reuse a
     trained quantizer and skip the Lloyd iterations entirely.
@@ -222,6 +279,27 @@ def semantic_dedup(
         )
         .withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
     )
+    # Materialize the assignment ONCE: three consumers re-derive from
+    # `rel` (both pair-join branches and the survivor anti-join), and
+    # without this each would re-run the k x dim assignment kernel
+    # over the corpus. N x (dim + 3) doubles — same footprint class
+    # as the corpus itself.
+    rel = rel.localCheckpoint()
+    if max_cluster_rows is not None:
+        biggest = (
+            rel.groupBy("cluster_id")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        if biggest is not None and biggest > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cluster holds {biggest} rows "
+                f"(> max_cluster_rows={max_cluster_rows}) — the pair "
+                f"stage would degenerate toward an all-pairs join on a "
+                f"hot cluster_id. Re-block with a larger k, or pass "
+                f"max_cluster_rows=None to override."
+            )
     assigned = rel.select(id_col, "cluster_id")
     a = rel.select(
         F.col(id_col).alias("id_a"),

@@ -4630,6 +4630,27 @@ def sql_interface_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, Q13_SQL)
 
 
+def sql_interface_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface over a WINDOW-heavy query: the oracle's ANSI
+    text (rank/dense_rank/ntile/percent_rank/cume_dist + lag over a
+    named WINDOW clause) executed verbatim by Spark SQL through
+    sql.py:run_sql. Same Catalyst pipeline as the DataFrame twin
+    (window_rank_suite_events) — tests/test_plans.py asserts the two
+    executed plans share the same Window topology."""
+    from cdk_datalake_ingest_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, WINDOW_RANK_SQL)
+
+
+def sql_interface_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface over set operations: the oracle's ANSI
+    EXCEPT/INTERSECT/UNION ALL text executed verbatim by Spark SQL —
+    the portable twin of returned_vs_finished_setops."""
+    from cdk_datalake_ingest_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, SETOPS_SQL)
+
+
 def gap_fill_user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward-fill (the gap-filling operator
     TimescaleDB calls time_bucket_gapfill + locf; Spark has no
@@ -4811,6 +4832,54 @@ def _kmeans_ctes(
     return "WITH " + ",\n".join(parts)
 
 
+def _hash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> feature-hashing embeddings (functions/embed.py),
+    materialized ONCE per call (N x dim doubles — the "write the
+    embeddings table" step of a real pipeline): the k-means
+    iterations, both pair-join branches, and the survivor anti-join
+    all re-derive from this relation, and without the checkpoint each
+    consumer would re-run the featurizer — measured ~7x the whole
+    gate's cost at sf0.1 before the checkpoint landed."""
+    from cdk_datalake_ingest_spark.functions.embed import hash_embed
+
+    corpus = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"),
+        hash_embed(F.col("text"), _KM_DIM).alias("embedding"),
+    )
+    return corpus.localCheckpoint()
+
+
+def kmeans_train_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The QUANTIZER-TRAINING step of the raw-text semantic chain as
+    its own gated (and benchmarked) query: featurize the documents
+    table and run the full deterministic Lloyd loop, returning the
+    final k x dim centroid matrix as (cluster_id, dim_idx, value)
+    rows that the oracle recomputes end-to-end. Splitting training
+    out keeps the `semantic_dedup_hash_docs` timing honest: that gate
+    reuses the memoized centroids (train once, reuse everywhere — the
+    production pattern), and the training cost shows up HERE instead
+    of silently disappearing into the bench's min-of-repeats."""
+    corpus = _hash_corpus(spark, sf_dir)
+    key = (f"{sf_dir}#hashdocs", 32, _KM_ITERS, _KM_DIM)
+    # always retrain (that is the thing being timed); publish to the
+    # cache so the dedup consumer sees the same centroids
+    _, cents = lloyd_kmeans(corpus, k=32, iters=_KM_ITERS, dim=_KM_DIM)
+    _KM_CACHE[key] = cents
+    rows = [
+        (cid + 1, d, float(cents[cid][d]))
+        for cid in range(len(cents))
+        for d in range(_KM_DIM)
+    ]
+    out = spark.createDataFrame(
+        rows, "cluster_id int, dim_idx int, centroid_value double"
+    )
+    return out.select(
+        "cluster_id",
+        "dim_idx",
+        F.round("centroid_value", 6).alias("centroid_value"),
+    )
+
+
 def semantic_dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end semantic curation chain FROM RAW TEXT: documents
     -> feature-hashing embeddings (functions/embed.py, zero-shuffle)
@@ -4821,26 +4890,14 @@ def semantic_dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SemDeDup threshold is 0.9: hashed histograms of a shared-vocab
     corpus are naturally high-cosine, so the bar sits near the top of
     the distribution (drops ~28% of this corpus)."""
-    from cdk_datalake_ingest_spark.functions.embed import hash_embed
-
-    corpus = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").alias("vec_id"),
-        hash_embed(F.col("text"), _KM_DIM).alias("embedding"),
-    )
-    # Materialize the featurized corpus ONCE (N x dim doubles — the
-    # "write the embeddings table" step of a real pipeline): the
-    # k-means iterations, both pair-join branches, and the survivor
-    # anti-join all re-derive from `corpus`, and without this each
-    # consumer would re-run the O(tokens*dim) featurizer fold —
-    # measured ~7x the whole gate's cost at sf0.1.
-    corpus = corpus.localCheckpoint()
+    corpus = _hash_corpus(spark, sf_dir)
     # k=32 (vs the embedding gate's 8): the pair stage is N^2/k, and
     # this corpus is 2.5x the embeddings table at every sf — harder
     # blocking keeps the gate inside the bench envelope and is the
-    # k ~ N/cluster_size contract in action (SCALE.md). The trained
-    # quantizer is memoized like the embeddings one (train once,
-    # reuse across repeat runs — centroids are a pure function of the
-    # immutable fixture).
+    # k ~ N/cluster_size contract in action (SCALE.md). The quantizer
+    # is trained (and TIMED) by the kmeans_train_hash_docs gate;
+    # this consumer reuses the memoized centroids and only trains
+    # itself when invoked standalone.
     key = (f"{sf_dir}#hashdocs", 32, _KM_ITERS, _KM_DIM)
     if key not in _KM_CACHE:
         _, _KM_CACHE[key] = lloyd_kmeans(
@@ -4879,6 +4936,20 @@ _KM_HASHDOC_SOURCE = f"""c AS (
     END AS v
   FROM hv
 )"""
+
+#: full recompute of the training step: featurize + Lloyd loop, then
+#: unnest the final centroid matrix to (cluster_id, dim_idx, value)
+#: rows. Values are round-6 like every cross-engine double in this
+#: registry; never-updated clusters carry their (unrounded) init
+#: vector, which both engines round identically at output.
+KMEANS_TRAIN_HASH_SQL = _kmeans_ctes(
+    32, _KM_ITERS, source_cte=_KM_HASHDOC_SOURCE
+) + f"""
+SELECT ct.cid AS cluster_id, dims.i AS dim_idx,
+  round(ct.cv[dims.i + 1], 6) AS centroid_value
+FROM cent{_KM_ITERS} ct
+CROSS JOIN (SELECT unnest(range(0, {_KM_DIM})) AS i) dims
+"""
 
 SEMANTIC_DEDUP_HASH_SQL = _kmeans_ctes(
     32, _KM_ITERS, source_cte=_KM_HASHDOC_SOURCE
@@ -5012,84 +5083,30 @@ WHERE vec_id NOT IN (SELECT dropped FROM pr)
 # round — or that has never had a driver row — inside the first 50, and
 # rotate long-stable green queries (hash-green last round, untouched
 # since) to the tail.  Tail entries keep their pytest + local-parity
-# coverage.  Round-5 window, in priority order: (a) 25 entries new
-# this round — TPC-H q07/q08/q13/q15/q18/q21/q22, corpus stats
-# (unigram LM, TF-IDF, chunking, boilerplate census+scrub), k-means/
-# SemDeDup (+ the raw-text hashed-embedding chain), perplexity
-# buckets, unpivot, exact percentiles, ranking suite, gap fill,
-# data-quality report, JSONL roundtrip, streaming corpus stats,
-# k-means IVF, hash embeddings — never driver-gated; (b) the 17
-# entries whose last driver row is r3 (rotated back per the r4
-# verdict); (c) 8 entries over code that changed this round
-# (partition-scoped merge in ManagedTable, landing/replication/
-# planner hardening, streaming sink).  43 stable entries sit in the
-# tail (sql_interface_q13 deliberately — its oracle text and plan are
-# q13's, which is in-window); rotate them back over the next rounds.
+# coverage.  Round-6 window, in priority order: (a) 5 entries new or
+# never driver-gated — sql_interface_q13 and decontaminate_multi_docs
+# (added at positions 51-52 last round, outside the window — the only
+# entries in project history without an external oracle row),
+# sql_interface_window / sql_interface_setops (the SQL surface over a
+# window suite and set-ops, new this round), kmeans_train_hash_docs
+# (the split-out quantizer-training gate, new this round); (b) the 42
+# entries whose last driver row is r4 (the whole round-5 tail rotated
+# back, per the r5 verdict); (c) 3 entries over code that changed
+# this round — hash_embed_docs (Arrow bincount featurizer),
+# semantic_dedup_hash_docs and semantic_dedup_embeddings (Arrow
+# distance kernel, checkpointed assignment, degenerate-cluster
+# guard).  47 r5-fresh entries sit in the tail (including the other
+# k-means consumers kmeans_clusters_embeddings / ann_ivf_kmeans_topk,
+# re-verified locally at sf0.01 this round); rotate them back next
+# round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # (a) new this round
-    "q07_volume_shipping": q07_volume_shipping,
-    "q08_market_share": q08_market_share,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_dormant_customers": q22_dormant_customers,
-    "unigram_lm_docs": unigram_lm_docs,
-    "tfidf_top_terms_docs": tfidf_top_terms_docs,
-    "chunk_docs_sliding": chunk_docs_sliding,
-    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "perplexity_buckets_docs": perplexity_buckets_docs,
-    "events_unpivot_metrics": events_unpivot_metrics,
-    "events_value_percentiles": events_value_percentiles,
-    "gap_fill_user_hours": gap_fill_user_hours,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
-    "dq_validate_orders": dq_validate_orders,
-    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
-    "window_rank_suite_events": window_rank_suite_events,
-    "streaming_corpus_stats": streaming_corpus_stats,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
-    "hash_embed_docs": hash_embed_docs,
-    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
-    # (b) last driver row is r3
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_top_orders": q03_top_orders,
-    "q05_region_revenue": q05_region_revenue,
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "orders_without_lineitems": orders_without_lineitems,
-    "customers_with_open_orders": customers_with_open_orders,
-    "returned_vs_finished_setops": returned_vs_finished_setops,
-    "sessionize_events": sessionize_events,
-    "user_value_analytics": user_value_analytics,
-    "asof_purchase_click": asof_purchase_click,
-    "range_join_purchase_clicks": range_join_purchase_clicks,
-    "skew_salted_join_events": skew_salted_join_events,
-    "events_pivot_by_type": events_pivot_by_type,
-    "user_engagement_approx": user_engagement_approx,
-    "events_daily_rollup_sets": events_daily_rollup_sets,
-    # (c) code changed this round
-    "merge_upsert_events": merge_upsert_events,
-    "merge_delete_window_events": merge_delete_window_events,
-    "schema_evolution_merge": schema_evolution_merge,
-    "stage_pipeline_lineitem": stage_pipeline_lineitem,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
-    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
-    "planner_multi_table_run": planner_multi_table_run,
-    "streaming_dedup_ingest": streaming_dedup_ingest,
-    # (d) r4-green stable
-    # ---- tail: beyond the driver's 50-entry window (all r4 green,
-    # ---- untouched this round; pytest + local parity still cover them)
-    # sql_interface_q13 parks here: its oracle text and plan are
-    # q13's (in-window); pytest pins the view-registration path
+    # (a) new this round / never driver-gated
     "sql_interface_q13": sql_interface_q13,
-    # decontaminate_multi_docs parks here (window full of
-    # never-gated/stale-row entries): the single-set twin is gated in
-    # r3 rows + tail, and the multi variant runs in the pytest oracle
-    # subset — rotate into the window next round
     "decontaminate_multi_docs": decontaminate_multi_docs,
+    "sql_interface_window": sql_interface_window,
+    "sql_interface_setops": sql_interface_setops,
+    "kmeans_train_hash_docs": kmeans_train_hash_docs,
+    # (b) last driver row is r4
     "streaming_windowed_counts": streaming_windowed_counts,
     "curate_documents": curate_documents,
     "embedding_near_dup": embedding_near_dup,
@@ -5132,6 +5149,60 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split_docs": dataset_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
+    # (c) code changed this round
+    "hash_embed_docs": hash_embed_docs,
+    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    # ---- tail: beyond the driver's 50-entry window (all r5 green,
+    # ---- pytest + local sf0.01 parity still cover them; rotate back
+    # ---- next round)
+    "q07_volume_shipping": q07_volume_shipping,
+    "q08_market_share": q08_market_share,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
+    "unigram_lm_docs": unigram_lm_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "chunk_docs_sliding": chunk_docs_sliding,
+    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "events_value_percentiles": events_value_percentiles,
+    "gap_fill_user_hours": gap_fill_user_hours,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "dq_validate_orders": dq_validate_orders,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "window_rank_suite_events": window_rank_suite_events,
+    "streaming_corpus_stats": streaming_corpus_stats,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "customers_with_open_orders": customers_with_open_orders,
+    "returned_vs_finished_setops": returned_vs_finished_setops,
+    "sessionize_events": sessionize_events,
+    "user_value_analytics": user_value_analytics,
+    "asof_purchase_click": asof_purchase_click,
+    "range_join_purchase_clicks": range_join_purchase_clicks,
+    "skew_salted_join_events": skew_salted_join_events,
+    "events_pivot_by_type": events_pivot_by_type,
+    "user_engagement_approx": user_engagement_approx,
+    "events_daily_rollup_sets": events_daily_rollup_sets,
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "schema_evolution_merge": schema_evolution_merge,
+    "stage_pipeline_lineitem": stage_pipeline_lineitem,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
+    "planner_multi_table_run": planner_multi_table_run,
+    "streaming_dedup_ingest": streaming_dedup_ingest,
 }
 
 ORACLES: dict[str, str] = {
@@ -5152,6 +5223,8 @@ ORACLES: dict[str, str] = {
     "events_unpivot_metrics": UNPIVOT_SQL,
     "events_value_percentiles": PERCENTILES_SQL,
     "sql_interface_q13": Q13_SQL,
+    "sql_interface_window": WINDOW_RANK_SQL,
+    "sql_interface_setops": SETOPS_SQL,
     "gap_fill_user_hours": GAP_FILL_SQL,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
     "dq_validate_orders": DQ_VALIDATE_SQL,
@@ -5160,6 +5233,7 @@ ORACLES: dict[str, str] = {
     "streaming_corpus_stats": STREAMING_CORPUS_SQL,
     "scrub_boilerplate_docs": SCRUB_BOILERPLATE_SQL,
     "hash_embed_docs": HASH_EMBED_SQL,
+    "kmeans_train_hash_docs": KMEANS_TRAIN_HASH_SQL,
     "semantic_dedup_hash_docs": SEMANTIC_DEDUP_HASH_SQL,
     "q01_pricing_summary": Q01_SQL,
     "q03_top_orders": Q03_SQL,

