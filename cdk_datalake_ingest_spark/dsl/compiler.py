@@ -14,8 +14,10 @@ are bug-compatible by design and covered by unit tests:
   (aje-stage-dms-load.py:188-215). The simple variant folds
   sequentially (later rules win only on overlap), which is the sane
   semantics (:217-224).
-* ``ClearDouble`` is currently identical to ``Concatenate_ws``
-  (marked "pending review" in the reference, :237-239).
+* ``ClearDouble`` defaults to the reference's ``Concatenate_ws``
+  alias (marked "pending review" there, :237-239);
+  ``Dialect(strict_clear_double=True)`` opts into a numeric-clean
+  variant instead.
 * Intermediate results of nested calls are cast to the column's target
   type at every level (the reference applies ``.cast(data_type)`` per
   ``transform_df`` call, :419-424).
@@ -68,6 +70,13 @@ class Dialect:
     # in addition to plain T/F (transform_light.py:161-166).
     byte_string_literals: bool = False
     timezone: str = "America/Lima"  # fn_transform_Datetime() now() tz, SJ:231
+    # ClearDouble semantics. The reference marks the function "pending
+    # review" and implements it as a Concatenate_ws alias
+    # (aje-stage-dms-load.py:237-239) — False keeps that bug-compatible
+    # behavior. True opts into the name's evident intent: a
+    # numeric-clean (strip thousands separators / currency symbols /
+    # stray text, cast to double, NULL when nothing numeric survives).
+    strict_clear_double: bool = False
 
 
 BIGMAGIC = Dialect()
@@ -157,6 +166,30 @@ def _fn_concatenate_ws(args, data_type, dialect, strict):
     sep = _arg_text(args[-1])
     cols = [_col_arg_strip(a, data_type, dialect, strict) for a in args[:-1]]
     return F.concat_ws(sep, *cols)
+
+
+def _fn_clear_double(args, data_type, dialect, strict):
+    # D7: bug-compatible Concatenate_ws alias by default (the
+    # reference's "pending review" implementation); a metadata author
+    # can opt out via Dialect(strict_clear_double=True), which cleans
+    # ONE column down to sign/digits/decimal-point and casts to
+    # double — unparseable remnants (multiple dots, bare '-', empty)
+    # become NULL instead of a crash or a silently wrong concat.
+    if not dialect.strict_clear_double:
+        return _fn_concatenate_ws(args, data_type, dialect, strict)
+    if len(args) != 1:
+        raise TransformError(
+            "fn_transform_ClearDouble takes exactly one column argument "
+            "under Dialect(strict_clear_double=True); the multi-arg "
+            "concat form is the bug-compatible default dialect"
+        )
+    origin = _col_arg(args[0], data_type, dialect, strict)
+    cleaned = F.regexp_replace(origin.cast("string"), r"[^0-9.\-]", "")
+    return (
+        F.when(cleaned.rlike(r"^-?[0-9]+(\.[0-9]+)?$"), cleaned)
+        .otherwise(F.lit(None))
+        .cast("double")
+    )
 
 
 def _fn_byte_magic(args, data_type, dialect, strict):
@@ -307,7 +340,7 @@ _FN_COMPILERS = {
     "fn_transform_Case": _fn_case,
     "fn_transform_Case_with_default": _fn_case_with_default,
     "fn_transform_Datetime": _fn_datetime,
-    "fn_transform_ClearDouble": _fn_concatenate_ws,  # D7 bug-compatible
+    "fn_transform_ClearDouble": _fn_clear_double,  # D7: dialect-gated
     "fn_transform_ClearString": _fn_clear_string,
     "fn_transform_Date_to_String": _fn_date_to_string,
     "fn_transform_DateMagic": _fn_date_magic,

@@ -110,6 +110,41 @@ def test_clear_double_is_concat_ws_bug(spark):
     assert apply_one(spark, rows, "fn_transform_ClearDouble(a,b,.)") == ["1.2"]
 
 
+def test_clear_double_strict_dialect_numeric_clean(spark):
+    """Dialect(strict_clear_double=True) opts out of the reference's
+    bug-compatible Concatenate_ws alias: one column, scrubbed to
+    sign/digits/decimal point, cast to double, NULL when nothing
+    parseable survives."""
+    import dataclasses
+
+    from cdk_datalake_ingest_spark.dsl import TransformError
+
+    strict_d = dataclasses.replace(BIGMAGIC, strict_clear_double=True)
+    rows = [
+        Row(a="$1,234.50"),
+        Row(a="  -7 USD"),
+        Row(a="n/a"),
+        Row(a="1.2.3"),  # two dots -> unparseable -> NULL
+        Row(a=None),
+    ]
+    got = apply_one(
+        spark,
+        rows,
+        "fn_transform_ClearDouble(a)",
+        data_type="double",
+        dialect=strict_d,
+    )
+    assert got == [1234.50, -7.0, None, None, None]
+    # the multi-arg concat form is rejected under the strict dialect
+    with pytest.raises(TransformError, match="exactly one column"):
+        apply_one(
+            spark,
+            rows,
+            "fn_transform_ClearDouble(a,b,.)",
+            dialect=strict_d,
+        )
+
+
 def test_date_to_string(spark):
     rows = [Row(d=dt.date(2024, 3, 5))]
     assert apply_one(spark, rows, "fn_transform_Date_to_String(d,yyyyMM)") == [

@@ -468,6 +468,114 @@ def test_compact_hot_skips_null_partition_leaf(spark, tmp_path):
     assert all("__HIVE_DEFAULT" not in "".join(h) for h in hot)
 
 
+def test_scoped_merge_move_into_deleted_partition(spark, tmp_path):
+    """A merge that MOVES a row into a partition the delete_predicate
+    hits: the destination partition is touched twice over (delete
+    sweep + incoming move) and the vacated source partition must be
+    rewritten without the moved row. Scoped path must equal the pure
+    dataflow merge row-for-row."""
+    t = ManagedTable(spark, tmp_path / "movedel")
+    target = spark.createDataFrame(
+        [
+            Row(k=0, p=1, v="keep"),
+            Row(k=1, p=1, v="stale"),  # delete_predicate hits this
+            Row(k=2, p=2, v="mover"),  # source moves it into p=1
+            Row(k=3, p=3, v="cold"),  # untouched partition, linked
+        ]
+    )
+    source = spark.createDataFrame([Row(k=2, p=1, v="moved")])
+    delete = F.col("v") == "stale"
+    t.write(target, partition_by=["p"])
+    t.merge_upsert(source, keys=["k"], delete_predicate=delete)
+    got = {(r.k, r.p, r.v) for r in t.read().collect()}
+    want = {
+        (r.k, r.p, r.v)
+        for r in merge_dataframes(
+            target, source, ["k"], delete_predicate=delete
+        ).collect()
+    }
+    assert got == want
+    assert (0, 1, "keep") in got and (2, 1, "moved") in got
+    assert not any(r[2] in ("stale", "mover") for r in got)
+
+
+def test_scoped_merge_equivalence_mixed_type_partition_tuples(
+    spark, tmp_path_factory
+):
+    """Hypothesis equivalence over MIXED-TYPE partition tuples: an int
+    column alongside a string column whose values collide under int
+    canonicalization ('01' vs '1', '007' vs '7'). Because a genuinely
+    string-typed column must compare by exact text, conflating '01'
+    with '1' would rewrite/link the wrong leaf; the non-numeric 'x'
+    rows pin the read type to string. Moves across partitions and a
+    random delete predicate are in scope."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(data=st.data())
+    def check(data):
+        counter[0] += 1
+        root = tmp_path_factory.mktemp(f"mixed{counter[0]}")
+        ps_vals = ["01", "1", "007", "7", "x"]
+        tgt_rows = [
+            Row(
+                k=k,
+                pi=data.draw(st.integers(1, 3)),
+                # k=0 pinned to 'x' so partition-type inference always
+                # reads ps back as string
+                ps="x" if k == 0 else data.draw(st.sampled_from(ps_vals)),
+                v=f"t{k}",
+            )
+            for k in range(20)
+        ]
+        upd = data.draw(
+            st.lists(st.integers(0, 19), max_size=6, unique=True)
+        )
+        src_rows = [
+            Row(
+                k=k,
+                pi=data.draw(st.integers(1, 3)),
+                ps=data.draw(st.sampled_from(ps_vals)),
+                v=f"s{k}",
+            )
+            for k in upd
+        ] + [
+            Row(
+                k=100 + i,
+                pi=data.draw(st.integers(1, 3)),
+                ps=data.draw(st.sampled_from(ps_vals)),
+                v="new",
+            )
+            for i in range(data.draw(st.integers(0, 3)))
+        ]
+        delete = (
+            F.col("ps") == data.draw(st.sampled_from(ps_vals))
+            if data.draw(st.booleans())
+            else None
+        )
+        t = ManagedTable(spark, root / "t")
+        target = spark.createDataFrame(tgt_rows)
+        source = spark.createDataFrame(
+            src_rows, "k long, pi long, ps string, v string"
+        )
+        t.write(target, partition_by=["pi", "ps"])
+        assert dict(t.read().dtypes)["ps"] == "string"
+        t.merge_upsert(source, keys=["k"], delete_predicate=delete)
+        got = {(r.k, r.pi, r.ps, r.v) for r in t.read().collect()}
+        want = {
+            (r.k, r.pi, r.ps, r.v)
+            for r in merge_dataframes(
+                target, source, ["k"], delete_predicate=delete
+            ).collect()
+        }
+        assert got == want
+
+    check()
+
+
 @pytest.mark.parametrize("seed", [5, 17])
 def test_scoped_merge_equivalence_with_stringy_partition_values(
     spark, tmp_path, seed
