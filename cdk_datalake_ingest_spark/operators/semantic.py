@@ -40,6 +40,7 @@ from cdk_datalake_ingest_spark.functions.similarity import (
     _as_double,
     cosine,
     dot,
+    dot_arrow,
 )
 from cdk_datalake_ingest_spark.session import ensure_parallelism
 
@@ -325,8 +326,12 @@ def semantic_dedup(
         .filter((F.col("na") > 0) & (F.col("nb") > 0))
         .withColumn(
             "cos",
+            # dot_arrow: one Arrow kernel over the pair stream instead
+            # of 2*dim interpreted lambda evals per pair; bit-identical
+            # sum order, round-6 stays JVM-side (see similarity.py)
             F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                dot_arrow(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
                 6,
             ),
         )
