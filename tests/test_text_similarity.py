@@ -129,6 +129,39 @@ def test_lsh_topk_is_subset_with_reasonable_recall(spark):
     assert all(r.rank <= 5 for r in approx)
 
 
+def test_lsh_multiprobe_recall_beats_single_probe(spark):
+    """Hamming-1 multi-probe must dominate single-probe LSH: every
+    single-probe candidate pair is also a multi-probe candidate (the
+    probe set contains the home bucket), so recall is monotonically
+    >= — and on this fixture strictly higher-or-equal with a stronger
+    floor."""
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    df, _ = _emb_df(spark, n=200)
+    queries = df.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(df, queries, k=5, n_planes=4, dim=8).collect()
+    }
+    multi_rows = lsh_multiprobe_topk(
+        df, queries, k=5, n_planes=4, dim=8
+    ).collect()
+    multi = {(r.query_id, r.neighbor_id) for r in multi_rows}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.7  # 5 of 16 buckets probed on random data
+    # rank/tie-break contract holds and no duplicate (query, neighbor)
+    assert all(r.rank <= 5 for r in multi_rows)
+    assert len(multi) == len(multi_rows)
+
+
 def test_bpe_token_count(spark):
     # "don't stop now" -> don | 't | stop | now (spaces not counted)
     assert _one(spark, "don't stop now", T.bpe_token_count(F.col("t"))) == 4
