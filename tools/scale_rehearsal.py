@@ -69,6 +69,10 @@ QUERIES = [
     # dq_validate (orders is dimension-symlinked, not scaled) would
     # measure nothing at 10x and are deliberately absent
     "scrub_boilerplate_docs",
+    # round-6 additions: the Arrow-kernel featurize pass and the
+    # quantizer training (linear per Lloyd iteration at fixed k)
+    "hash_embed_docs",
+    "kmeans_train_hash_docs",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
@@ -210,6 +214,48 @@ def time_query(fn, spark, sf_dir: str, repeats: int = 2) -> float:
     return best
 
 
+def _sessionizer_section() -> list[str]:
+    """Static record of the round-6 sessionizer probe
+    (tools/sessionize_scale_probe.py) — rerun that tool to refresh the
+    numbers; they are reproduced here so the full SCALE document
+    survives rehearsal rewrites."""
+    return [
+        "## Stateful sessionizer: Python state vs JVM session_window",
+        "",
+        "`tools/sessionize_scale_probe.py` (round 6; local[32],",
+        "availableNow drain of the gate's 3-slice drop, sentinel row",
+        "included):",
+        "",
+        "| scale | variant | sec | events | rows/sec | state bytes (final progress) |",
+        "|---|---|---|---|---|---|",
+        "| 1x (sf0.1) | applyInPandasWithState | 10.2 | 100k | 9.8k | 0.37 MB |",
+        "| 1x (sf0.1) | session_window (JVM) | 3.9 | 100k | 26k | 11.5 MB |",
+        "| 10x | applyInPandasWithState | 32.4 | 1M | 31k | 3.6 MB |",
+        "| 10x | session_window (JVM) | 4.4 | 1M | 225k | 111.6 MB |",
+        "",
+        "Reading: the Python-stateful topology is 3.2x wall at 10x data",
+        "(sub-linear — fixed micro-batch machinery dominates at 1x;",
+        "per-row throughput RISES to ~31k rows/s) but pays the per-group",
+        "Arrow round-trip: the JVM `session_window` aggregate is ~7x the",
+        "throughput at 10x. State footprint inverts the story: the",
+        "Python operator keeps FOUR SCALARS per user (~3.6 MB at 10x —",
+        "constant per key regardless of history), while the JVM session",
+        "store holds per-session element state (~112 MB at 10x, ~30x",
+        "more, growing with open-session volume).",
+        "",
+        "Crossover recommendation: when the rollup is expressible as a",
+        "session_window AGGREGATE (counts, min/max, float sums), use the",
+        "JVM operator — it wins wall-clock at every scale tested. Reach",
+        "for `applyInPandasWithState` when the payload needs custom",
+        "semantics the aggregate can't express (this repo's exact",
+        "DECIMAL micro-unit `total_value`, deterministic (ts, event_id)",
+        "in-batch ordering, immediate-emit-on-gap) or when state size",
+        "per key is the binding constraint (millions of users x long",
+        "sessions: 4 scalars vs per-element session state).",
+        "",
+    ]
+
+
 def _profile_section() -> list[str]:
     """Render the 100 TB cluster profile FROM session.scale_profile so
     this document cannot drift from the code."""
@@ -298,7 +344,7 @@ def main() -> None:
                           "shape": shape_note}))
 
     md = [
-        "# SCALE — 10x rehearsal (round 5)",
+        "# SCALE — 10x rehearsal (round 6)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",
@@ -339,6 +385,7 @@ def main() -> None:
         "tests/test_plans.py:test_kmeans_assignment_is_narrow).",
         "",
     ]
+    md += _sessionizer_section()
     md += _profile_section()
     Path("/root/repo/SCALE.md").write_text("\n".join(md))
     print("wrote /root/repo/SCALE.md")
