@@ -201,6 +201,69 @@ def embedding_near_dup_pairs(
     )
 
 
+def _topk_over_pairs(scored: DataFrame, k: int) -> DataFrame:
+    """Shared tail of every top-k variant: per-query rank window over
+    the scored candidate pairs, deterministic tie-break on neighbor
+    id. Fix ordering/tie-break semantics HERE, once."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _lsh_topk_impl(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    seed: int,
+    exclude_self: bool,
+    probe_hamming: int,
+) -> DataFrame:
+    """Shared LSH top-k pipeline; single-probe and Hamming-1
+    multi-probe differ ONLY in the query-side probe set."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    ).withColumn("__qn", norm(F.col("__qv")))
+    if probe_hamming >= 1:
+        probe_set = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_planes)
+            ],
+        )
+        q = (
+            q.withColumn("__probe", F.explode(probe_set))
+            .drop("__bucket")
+            .withColumnRenamed("__probe", "__bucket")
+        )
+    c = ensure_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    ).withColumn("__cn", norm(F.col("__cv")))
+    pairs = c.join(F.broadcast(q), on="__bucket")
+    if exclude_self:
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
+    # per-row norms precomputed before the join (same as brute_force_topk)
+    scored = pairs.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
+    return _topk_over_pairs(scored, k)
+
+
 def lsh_multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -222,44 +285,9 @@ def lsh_multiprobe_topk(
     exploded to its probe set, corpus side untouched and never
     shuffled wide), so the 100 TB shape is identical to single-probe
     ``lsh_topk``."""
-    planes = hyperplanes(dim, n_planes, seed)
-    probe_set = F.array(
-        F.col("__bucket"),
-        *[
-            F.col("__bucket").bitwiseXOR(F.lit(1 << i))
-            for i in range(n_planes)
-        ],
-    )
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("__qv"),
-            rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-        )
-        .withColumn("__qn", norm(F.col("__qv")))
-        .withColumn("__probe", F.explode(probe_set))
-        .drop("__bucket")
-        .withColumnRenamed("__probe", "__bucket")
-    )
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"),
-        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    pairs = c.join(F.broadcast(q), on="__bucket")
-    if exclude_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = pairs.withColumn(
-        "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    return _lsh_topk_impl(
+        corpus, queries, k, id_col, vec_col, n_planes, dim, seed,
+        exclude_self, probe_hamming=1,
     )
 
 
@@ -368,31 +396,9 @@ def lsh_topk(
     """Approximate top-k: candidates restricted to the query's LSH
     bucket (equi-join on bucket id — a hash join instead of a cross
     join; ~|corpus|/2^n_planes candidates per query). Recall < 1 by
-    construction; raise bands/multi-probe for higher recall."""
-    planes = hyperplanes(dim, n_planes, seed)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("__qv"),
-        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).withColumn("__qn", norm(F.col("__qv")))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("__cv"),
-        rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
-    ).withColumn("__cn", norm(F.col("__cv")))
-    pairs = c.join(F.broadcast(q), on="__bucket")
-    if exclude_self:
-        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
-    # per-row norms precomputed before the join (same as brute_force_topk)
-    scored = pairs.withColumn(
-        "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
+    construction; use ``lsh_multiprobe_topk`` (or more bands) for
+    higher recall."""
+    return _lsh_topk_impl(
+        corpus, queries, k, id_col, vec_col, n_planes, dim, seed,
+        exclude_self, probe_hamming=0,
     )

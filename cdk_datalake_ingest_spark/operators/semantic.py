@@ -55,8 +55,34 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-#: one compiled Arrow kernel per centroid matrix (tuple-of-tuples key)
+def _guarded_vec(
+    id_col: str, vec_col: str, dim: int, fn_name: str
+) -> Column:
+    """``__v`` with the corpus-wide dim guard: a shorter/longer/NULL
+    vector raises with the offending id instead of crashing the Arrow
+    distance kernel with an opaque ragged-np.stack error (or, in the
+    old expression form, silently NULL-padding zip_with distances).
+    raise_error rides the same scan — no extra pass."""
+    return (
+        F.when(F.size(F.col(vec_col)) == dim, _as_double(F.col(vec_col)))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{fn_name}: vector length != dim={dim} for id "),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        .alias("__v")
+    )
+
+
+#: Arrow distance kernels, one per centroid matrix (tuple-of-tuples
+#: key), bounded: Lloyd iterations create a fresh intermediate matrix
+#: per pass that is never looked up again, so evict FIFO past a small
+#: cap instead of leaking a closure per trained quantizer forever.
 _DIST_UDFS: dict[tuple, Column] = {}
+_DIST_UDFS_CAP = 64
 
 
 def _sq_dists_udf(cents_key: tuple):
@@ -79,6 +105,8 @@ def _sq_dists_udf(cents_key: tuple):
     comparison stays JVM-side in ``_nearest_struct`` — this kernel
     never rounds (numpy's round is not Spark's HALF_UP)."""
     if cents_key not in _DIST_UDFS:
+        if len(_DIST_UDFS) >= _DIST_UDFS_CAP:
+            _DIST_UDFS.pop(next(iter(_DIST_UDFS)))
         C = np.asarray(cents_key, dtype=np.float64)
         k = C.shape[0]
 
@@ -164,22 +192,8 @@ def lloyd_kmeans(
                 f"vector length {0 if c is None else len(c)} for id "
                 f"{r['cid']} does not match dim={dim}"
             )
-    # Corpus-wide dim guard, not just the k init rows: a later row with
-    # a shorter/longer/NULL vector would otherwise yield NULL-padded
-    # zip_with distances and NULL per-dimension means that silently
-    # skew centroids. raise_error rides the same scan — no extra pass.
-    vec_guarded = F.when(
-        F.size(F.col(vec_col)) == dim, _as_double(F.col(vec_col))
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"lloyd_kmeans: vector length != dim={dim} for id "),
-                F.col(id_col).cast("string"),
-            )
-        )
-    )
     base = ensure_parallelism(corpus).select(
-        F.col(id_col), vec_guarded.alias("__v")
+        F.col(id_col), _guarded_vec(id_col, vec_col, dim, "lloyd_kmeans")
     )
     for _ in range(iters):
         assigned = base.withColumn(
@@ -218,8 +232,9 @@ def assign_clusters(
     """(id, cluster_id, dist) under FIXED centroids — the
     assignment-only narrow map (reuse a trained quantizer without
     re-running Lloyd)."""
+    dim = len(centroids[0])
     base = ensure_parallelism(corpus).select(
-        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+        F.col(id_col), _guarded_vec(id_col, vec_col, dim, "assign_clusters")
     )
     nearest = _nearest_struct(F.col("__v"), centroids)
     return base.select(
@@ -273,7 +288,8 @@ def semantic_dedup(
         )
     rel = (
         corpus.select(
-            F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
+            F.col(id_col),
+            _guarded_vec(id_col, vec_col, dim, "semantic_dedup"),
         )
         .withColumn(
             "cluster_id", _nearest_struct(F.col("__v"), cents)["cid"]

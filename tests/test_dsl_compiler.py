@@ -125,6 +125,9 @@ def test_clear_double_strict_dialect_numeric_clean(spark):
         Row(a="  -7 USD"),
         Row(a="n/a"),
         Row(a="1.2.3"),  # two dots -> unparseable -> NULL
+        Row(a="1.2e3"),  # exponent form -> NULL, not 1.23
+        Row(a="12 apples 34"),  # two digit runs -> NULL, not 1234
+        Row(a="3,14"),  # European decimal comma -> NULL, not 314
         Row(a=None),
     ]
     got = apply_one(
@@ -134,7 +137,7 @@ def test_clear_double_strict_dialect_numeric_clean(spark):
         data_type="double",
         dialect=strict_d,
     )
-    assert got == [1234.50, -7.0, None, None, None]
+    assert got == [1234.50, -7.0, None, None, None, None, None, None]
     # the multi-arg concat form is rejected under the strict dialect
     with pytest.raises(TransformError, match="exactly one column"):
         apply_one(
