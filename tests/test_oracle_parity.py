@@ -31,6 +31,14 @@ SUBSET = [
     "sql_interface_setops",
     "kmeans_train_hash_docs",
     "semantic_dedup_hash_docs",
+    # partsupp-derived TPC-H shapes, new this round (tail of the
+    # registry — no driver row until the round-7 rotation, so the
+    # local gate is the hard signal)
+    "q02_min_cost_supplier",
+    "q09_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
 ]
 
 
