@@ -399,3 +399,71 @@ def test_semantic_hash_chain_stays_cluster_blocked(spark):
     plan = _plan(spark, "semantic_dedup_hash_docs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_partsupp_derivation_is_shuffle_free(spark):
+    """The derived partsupp relation is a Generate (explode of the
+    4-supplier index) over the part scan plus narrow projections —
+    no Exchange, no Python. At 100 TB the derivation costs one pass
+    over part, co-partitioned with whatever consumes it."""
+    import io as _io
+    import contextlib as _ctx
+
+    from cdk_datalake_ingest_spark.queries import _partsupp
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        _partsupp(spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "Generate" in plan and "explode" in plan
+    assert "EvalPython" not in plan
+
+
+def test_partsupp_queries_avoid_cartesians(spark):
+    """q02 (min-over-partition filter), q09 (composite-key fact join),
+    q16 (anti join + distinct count), q20 (correlated scalar via
+    pre-aggregate): every join hash-based. q11's ONLY nested loop is
+    the one-row totals broadcast (same contract as q22's scalar
+    average)."""
+    for q in (
+        "q02_min_cost_supplier",
+        "q09_product_profit",
+        "q16_supplier_part_counts",
+        "q20_promotion_suppliers",
+    ):
+        plan = _plan(spark, q)
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+    plan = _plan(spark, "q11_important_stock")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastNestedLoopJoin \w+ Build", plan)) == 1
+
+
+def test_partsupp_queries_pushdown_and_broadcast(spark):
+    """q02: the part size/type filters reach the part scan, and the
+    dims + per-part min all broadcast (the partsupp side is never
+    shuffled for a dimension). q20: the 1996 ship window reaches the
+    lineitem scan and the scan reads exactly the four columns the
+    pre-aggregate needs."""
+    plan = _plan(spark, "q02_min_cost_supplier")
+    pushed = " ".join(_pushed(plan))
+    assert "GreaterThanOrEqual(p_size,10)" in pushed
+    assert "LessThanOrEqual(p_size,20)" in pushed
+    assert "EqualTo(p_type,ECONOMY)" in pushed
+    assert plan.count("BroadcastHashJoin") >= 3
+
+    plan = _plan(spark, "q20_promotion_suppliers")
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in " ".join(
+        _pushed(plan)
+    )
+    li_schema = [
+        m
+        for m in re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+        if "l_quantity" in m
+    ]
+    assert li_schema and all(
+        set(re.findall(r"(\w+):", m))
+        == {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"}
+        for m in li_schema
+    )
