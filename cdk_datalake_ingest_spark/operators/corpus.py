@@ -281,8 +281,17 @@ def scrub_boilerplate(
         .groupBy(id_col)
         .agg(F.collect_set("cpos").alias("__covered"))
     )
-    from cdk_datalake_ingest_spark.functions.text import tokens
+    return _reassemble_without(docs, covered, text_col, id_col)
 
+
+def _reassemble_without(
+    docs: DataFrame, covered: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared scrub tail: delete each document's covered token
+    positions (``covered``: (id_col, __covered array<int>), 0-based)
+    and reassemble — a native filter-by-position + array_join, no
+    UDFs.  Documents with no flagged spans pass through unchanged
+    (left join).  Output: (id_col, clean_text, n_removed_tokens)."""
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     joined = base.join(covered, id_col, "left").withColumn(
         "__covered",
@@ -298,3 +307,79 @@ def scrub_boilerplate(
         F.array_join(kept, " ").alias("clean_text"),
         (F.size("__toks") - F.size(kept)).alias("n_removed_tokens"),
     )
+
+
+#: ``pos`` is packed below ``doc_id`` into one orderable int64; caps
+#: per-document length at 2^24 tokens (a 16M-token document is beyond
+#: any real training corpus's doc bound — chunk first if one exists).
+_POS_PACK = 1 << 24
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    length: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): every length-L token
+    window that occurs more than once in the corpus — within OR across
+    documents — keeps only its FIRST occurrence (minimum (doc_id,
+    pos)); tokens covered by every other occurrence are deleted and
+    the text reassembled.  Differs from ``scrub_boilerplate`` in both
+    trigger and effect: any duplication (count >= 2) qualifies, and
+    one copy of the passage SURVIVES instead of all copies being
+    scrubbed.
+
+    Dataflow (the distributed stand-in for the paper's suffix array):
+    one posexplode of the corpus into length-L windows, keyed by the
+    md5 of the window text — 16 bytes per occurrence on the shuffle
+    instead of L tokens, so the groupBy's exchange volume is ~tokens ×
+    16 B, not tokens × L × avg_token.  The duplicated-window relation
+    (count >= 2 with its min packed (doc,pos) key) joins back on the
+    same key — AQE reuses the exchange — and the covered-position
+    union + rewrite is the shared native scrub tail.  A 128-bit
+    collision merging two distinct windows is ~2^-64 at corpus scale;
+    the DuckDB oracle groups by the raw window text, so the gate
+    cross-checks the hashed path against the exact one."""
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    wins = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(word_shingles(F.col(text_col), length)).alias(
+                "pos", "__w"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.md5(F.col("__w")).alias("__h"),
+        )
+        .withColumn(
+            "__okey", F.col(id_col) * F.lit(_POS_PACK) + F.col("pos")
+        )
+    )
+    dup_windows = (
+        wins.groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min("__okey").alias("__keep"),
+        )
+        .filter(F.col("__cnt") >= 2)
+        .select("__h", "__keep")
+    )
+    covered = (
+        wins.join(dup_windows, "__h")
+        .filter(F.col("__okey") != F.col("__keep"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(length - 1))
+            ).alias("cpos"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("cpos").alias("__covered"))
+    )
+    return _reassemble_without(docs, covered, text_col, id_col)

@@ -4160,6 +4160,48 @@ FROM kept
 """
 
 
+def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022): every duplicated
+    8-token window keeps its first (doc, pos) occurrence; all other
+    occurrences' tokens are scrubbed — operators/corpus.py:
+    dedup_substrings.  The Spark path keys the window shuffle on md5;
+    the oracle groups by the raw window text, so the gate also
+    cross-checks the hashed path against the exact one."""
+    from cdk_datalake_ingest_spark.operators.corpus import dedup_substrings
+
+    return dedup_substrings(_t(spark, sf_dir, "documents"), length=8)
+
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH toksl AS (
+  SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+), sh AS (
+  SELECT doc_id, u.i - 1 AS pos,
+    array_to_string(t[u.i:u.i+7], ' ') AS w
+  FROM toksl, unnest(range(1, GREATEST(len(t) - 7, 0) + 1)) AS u(i)
+), okeyed AS (
+  SELECT doc_id, pos, w, doc_id * 16777216 + pos AS okey FROM sh
+), dupw AS (
+  SELECT w, MIN(okey) AS keep FROM okeyed GROUP BY w HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id, list(DISTINCT c) AS covered FROM (
+    SELECT doc_id, unnest(range(pos, pos + 8)) AS c
+    FROM okeyed JOIN dupw USING (w)
+    WHERE okey <> keep
+  ) GROUP BY doc_id
+), kept AS (
+  SELECT tl.doc_id, tl.t,
+    list_filter(tl.t, (x, i) ->
+      NOT list_contains(coalesce(cov.covered, []), i - 1)) AS k
+  FROM toksl tl LEFT JOIN cov ON tl.doc_id = cov.doc_id
+)
+SELECT doc_id,
+  coalesce(array_to_string(k, ' '), '') AS clean_text,
+  len(t) - len(k) AS n_removed_tokens
+FROM kept
+"""
+
+
 def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-hashing document embeddings (functions/embed.py — the
     hashing trick): md5-bucketed token histograms, verified VECTOR-
@@ -5671,6 +5713,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_important_stock": q11_important_stock,
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_promotion_suppliers": q20_promotion_suppliers,
+    "substring_dedup_docs": substring_dedup_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5782,4 +5825,5 @@ ORACLES: dict[str, str] = {
     "q11_important_stock": Q11_SQL,
     "q16_supplier_part_counts": Q16_SQL,
     "q20_promotion_suppliers": Q20_SQL,
+    "substring_dedup_docs": SUBSTRING_DEDUP_SQL,
 }

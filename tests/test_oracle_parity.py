@@ -39,6 +39,9 @@ SUBSET = [
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_promotion_suppliers",
+    # exact substring dedup (Lee et al. 2022), new this round — same
+    # no-driver-row-until-round-7 situation as the partsupp family
+    "substring_dedup_docs",
 ]
 
 

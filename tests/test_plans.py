@@ -467,3 +467,18 @@ def test_partsupp_queries_pushdown_and_broadcast(spark):
         == {"l_partkey", "l_suppkey", "l_quantity", "l_shipdate"}
         for m in li_schema
     )
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark):
+    """Exact substring dedup: the window stream is keyed by md5 before
+    any Exchange — the shuffle carries 16-byte digests, not L-token
+    window text — and the whole pipeline stays native (no Python
+    eval), with hash joins only."""
+    plan = _plan(spark, "substring_dedup_docs")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # every Exchange partitions by the md5 key or the doc id — the raw
+    # window-text column (__w) must never reach an exchange
+    for m in re.findall(r"Arguments: hashpartitioning\(([^,]+),", plan):
+        assert m.startswith(("__h", "doc_id")), m

@@ -73,6 +73,11 @@ QUERIES = [
     # quantizer training (linear per Lloyd iteration at fixed k)
     "hash_embed_docs",
     "kmeans_train_hash_docs",
+    # derived-partsupp TPC-H shapes whose fact side (lineitem) scales;
+    # the partsupp derivation itself rides the dimension-sized part
+    # table and stays fixed
+    "q09_product_profit",
+    "q20_promotion_suppliers",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
