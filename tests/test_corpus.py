@@ -336,3 +336,45 @@ def test_hash_embed_feeds_semantic_ops(spark, sf_docs):
     assigned, cents = lloyd_kmeans(corpus, k=4, iters=1, dim=16)
     assert assigned.count() == sf_docs.count()
     assert len(cents) == 4
+
+
+def test_dedup_substrings_keeps_first_occurrence(spark):
+    """Exact substring dedup (Lee et al. semantics): a duplicated
+    4-token passage survives in the minimum-(doc, pos) occurrence and
+    is scrubbed everywhere else — unlike scrub_boilerplate, which
+    removes every copy."""
+    from cdk_datalake_ingest_spark.operators.corpus import dedup_substrings
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro alpha beta gamma delta outro"),
+            (2, "alpha beta gamma delta trailing words here"),
+            (3, "completely unrelated clean document text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dedup_substrings(docs, length=4).collect()
+    }
+    # doc 1 holds the first occurrence (doc_id 1 < 2) -> untouched
+    assert out[1]["clean_text"] == "intro alpha beta gamma delta outro"
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2 loses exactly the duplicated window's tokens
+    assert out[2]["clean_text"] == "trailing words here"
+    assert out[2]["n_removed_tokens"] == 4
+    assert out[3]["n_removed_tokens"] == 0
+
+
+def test_dedup_substrings_within_one_document(spark):
+    """Duplication WITHIN a document qualifies too: the earlier-pos
+    copy survives, the later one is scrubbed (overlapping duplicated
+    windows union their coverage)."""
+    from cdk_datalake_ingest_spark.operators.corpus import dedup_substrings
+
+    docs = spark.createDataFrame(
+        [(7, "p q r s mid p q r s")],
+        "doc_id long, text string",
+    )
+    out = dedup_substrings(docs, length=4).collect()[0]
+    assert out["clean_text"] == "p q r s mid"
+    assert out["n_removed_tokens"] == 4

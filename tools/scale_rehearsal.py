@@ -78,6 +78,10 @@ QUERIES = [
     # table and stays fixed
     "q09_product_profit",
     "q20_promotion_suppliers",
+    # exact substring dedup: windows scale linearly with documents,
+    # and the token-bijected copies reproduce each copy's intra-copy
+    # duplicated spans without cross-copy collisions
+    "substring_dedup_docs",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
