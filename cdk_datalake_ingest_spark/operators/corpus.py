@@ -221,6 +221,9 @@ def boilerplate_ngrams(
     the downstream scrubber joins this (small, frequency-filtered)
     relation back against the corpus.
     """
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     sh = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("ngram"),
@@ -255,6 +258,9 @@ def scrub_boilerplate(
     UDFs. Documents with no flagged spans pass through unchanged
     (left join). Output: ``(id_col, clean_text, n_removed_tokens)``.
     """
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     frequent = F.broadcast(
         boilerplate_ngrams(
             docs,

@@ -393,6 +393,19 @@ def main() -> None:
         "narrow corpus scan against a broadcast centroid literal; see",
         "tests/test_plans.py:test_kmeans_assignment_is_narrow).",
         "",
+        "Two plan-shape deltas are EXPECTED and benign, not scale bugs:",
+        "(1) queries that call `ensure_parallelism` (substring dedup,",
+        "boilerplate scrub, near-dup) insert a small-input repartition",
+        "Exchange only when the scan has fewer partitions than cores —",
+        "at 10x (and a fortiori at 100 TB) the input is already wide and",
+        "the Exchange disappears, once per consumer branch of the",
+        "relation; (2) q20's 1996-shipments pre-aggregate outgrows the",
+        "broadcast threshold at 10x and AQE flips that one join to",
+        "sort-merge — the adaptive right-sizing the session config is",
+        "FOR (the partsupp/part/dim joins stay broadcast). A DIFFERS",
+        "note composed only of these two signatures is healthy; any",
+        "other operator flip still warrants a follow-up.",
+        "",
     ]
     md += _sessionizer_section()
     md += _profile_section()
