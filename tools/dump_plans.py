@@ -147,6 +147,23 @@ NOTES = {
         "by the k knob — never the corpus-global cross join the naive "
         "formulation implies."
     ),
+    "q09_product_profit": (
+        "Derived-partsupp profit rollup: partsupp is a zero-shuffle "
+        "Generate over the part scan (no Exchange in its derivation), "
+        "part/nation broadcast, the fact joins partsupp on the "
+        "composite (partkey, suppkey) key as a hash join, and the "
+        "decimal profit subtraction partial-aggregates before the one "
+        "group-by exchange. At 100 TB only lineitem is big and it is "
+        "scanned once."
+    ),
+    "substring_dedup_docs": (
+        "Exact substring dedup (Lee et al. 2022): windows shuffle as "
+        "16-byte md5 digests (never the L-token text — the exchange "
+        "volume is tokens x 16 B), the duplicated-window relation "
+        "joins back on the same key, and the rewrite is a native "
+        "filter-by-position. The distributed stand-in for the paper's "
+        "suffix array: two keyed exchanges, no Python, no cross join."
+    ),
 }
 
 #: appended verbatim — control-plane-dominated chain whose interesting
