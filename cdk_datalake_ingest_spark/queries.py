@@ -5593,6 +5593,15 @@ WHERE r_name = 'AMERICA'
 # their round-6 code paths are window-covered by the raw-text twin
 # and all re-verified locally at sf0.01 this round); rotate them
 # back next round.
+#
+# ROUND-7 ROTATION PLAN (104 entries now): put the 6 never-gated
+# entries first (q02/q09/q11/q16/q20 over derived partsupp +
+# substring_dedup_docs — all green in the local sf0.001 AND sf0.01
+# parity runs this round), then fill with 44 of the 48 r5-fresh tail
+# entries, oldest-risk first.  The 4 left over should be entries whose
+# code paths are already window-covered by a twin (e.g. ann_cosine vs
+# ann_lsh family, distinct_rows vs w1) so nothing substantive goes two
+# rounds without an external row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) new this round / never driver-gated
     "sql_interface_q13": sql_interface_q13,
