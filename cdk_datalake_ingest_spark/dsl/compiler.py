@@ -184,20 +184,23 @@ def _fn_clear_double(args, data_type, dialect, strict):
             "concat form is the bug-compatible default dialect"
         )
     origin = _col_arg(args[0], data_type, dialect, strict)
-    # Exactly ONE numeric token (optionally comma-grouped thousands,
-    # optional decimal part), decorated only by digit-free edge junk
+    # Exactly ONE numeric token (optional sign adjacent to the digits,
+    # optionally comma-grouped thousands, optional decimal part),
+    # decorated only by digit-free sign-free DOT-FREE edge junk
     # (currency symbols, units, whitespace). Anything else — exponent
     # forms ('1.2e3'), multiple digit runs ('12 apples 34'), European
-    # decimal commas ('3,14') — is NULL, never a silently wrong concat
-    # of the surviving digit groups.
+    # decimal commas ('3,14'), a detached decimal point ('.5', '$.50' —
+    # eating the dot as junk would misparse the fraction as a whole
+    # number) — is NULL, never a silently wrong concat of the
+    # surviving digit groups.
     token = F.regexp_extract(
         origin.cast("string"),
-        r"^[^0-9+\-]*(-?(?:[0-9]{1,3}(?:,[0-9]{3})+|[0-9]+)(?:\.[0-9]+)?)"
+        r"^[^0-9+\-.]*([+-]?(?:[0-9]{1,3}(?:,[0-9]{3})+|[0-9]+)(?:\.[0-9]+)?)"
         r"[^0-9]*$",
         1,
     )
     return (
-        F.when(token != "", F.translate(token, ",", ""))
+        F.when(token != "", F.translate(token, ",+", ""))
         .otherwise(F.lit(None))
         .cast("double")
     )

@@ -107,14 +107,7 @@ def brute_force_topk(
         "cosine",
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_over_pairs(scored, k)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -372,14 +365,7 @@ def ivf_topk(
         "cosine",
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk_over_pairs(scored, k)
 
 
 def lsh_topk(

@@ -364,7 +364,25 @@ def dedup_substrings(
             F.md5(F.col("__w")).alias("__h"),
         )
         .withColumn(
-            "__okey", F.col(id_col) * F.lit(_POS_PACK) + F.col("pos")
+            # enforced, not just documented: a pos at/above the pack
+            # radix would collide with the next doc_id's okey space and
+            # silently mis-pick the surviving occurrence
+            "__okey",
+            F.when(
+                F.col("pos") < _POS_PACK,
+                F.col(id_col) * F.lit(_POS_PACK) + F.col("pos"),
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "dedup_substrings: document exceeds "
+                            f"{_POS_PACK} tokens (id "
+                        ),
+                        F.col(id_col).cast("string"),
+                        F.lit(") — chunk it first"),
+                    )
+                )
+            ),
         )
     )
     dup_windows = (

@@ -223,6 +223,22 @@ def lloyd_kmeans(
     return out, cents
 
 
+def _centroid_dim(centroids, fn_name: str) -> int:
+    """Width of a FIXED centroid matrix, validated at the boundary: an
+    empty list or ragged rows raise with the real problem instead of a
+    bare IndexError / opaque ragged-np.stack error downstream."""
+    if not centroids:
+        raise ValueError(f"{fn_name}: centroids must be non-empty")
+    dim = len(centroids[0])
+    for i, c in enumerate(centroids):
+        if c is None or len(c) != dim:
+            raise ValueError(
+                f"{fn_name}: centroid {i} has length "
+                f"{0 if c is None else len(c)}, expected {dim}"
+            )
+    return dim
+
+
 def assign_clusters(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -232,7 +248,7 @@ def assign_clusters(
     """(id, cluster_id, dist) under FIXED centroids — the
     assignment-only narrow map (reuse a trained quantizer without
     re-running Lloyd)."""
-    dim = len(centroids[0])
+    dim = _centroid_dim(centroids, "assign_clusters")
     base = ensure_parallelism(corpus).select(
         F.col(id_col), _guarded_vec(id_col, vec_col, dim, "assign_clusters")
     )
@@ -273,10 +289,13 @@ def semantic_dedup(
     ``max_cluster_rows=None`` to explicitly opt out.
 
     Pass ``centroids`` (e.g. from a prior ``lloyd_kmeans``) to reuse a
-    trained quantizer and skip the Lloyd iterations entirely.
+    trained quantizer and skip the Lloyd iterations entirely — ``dim``
+    is then taken from the centroid width, not the parameter, so a
+    16-wide quantizer needs no matching ``dim=16``.
     """
     if centroids is not None:
         cents = [list(c) for c in centroids]
+        dim = _centroid_dim(cents, "semantic_dedup")
     else:
         _, cents = lloyd_kmeans(
             corpus,

@@ -5177,6 +5177,13 @@ WHERE vec_id NOT IN (SELECT dropped FROM pr)
 # and the downstream query semantics are exactly cross-checkable.
 
 
+#: supplier count per fixture dir — memoized so building a
+#: partsupp-dependent query (or just explaining it) costs the eager
+#: count job once per sf_dir, not once per construction; the fixture
+#: dirs are immutable.
+_SUPP_COUNT: dict[str, int] = {}
+
+
 def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived ``partsupp``: (ps_partkey, ps_suppkey, ps_availqty,
     ps_supplycost DECIMAL(12,2)).  Mirrors dbgen's contract (4
@@ -5189,7 +5196,9 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts to DECIMAL(12,2): the double is within half an ulp of the
     exact 2-decimal value, so Spark's HALF_UP cast and DuckDB's
     decimal multiply land on the identical decimal."""
-    n_supp = _t(spark, sf_dir, "supplier").count()
+    if sf_dir not in _SUPP_COUNT:
+        _SUPP_COUNT[sf_dir] = _t(spark, sf_dir, "supplier").count()
+    n_supp = _SUPP_COUNT[sf_dir]
     part = _t(spark, sf_dir, "part").select("p_partkey")
     ps0 = part.select(
         "p_partkey",

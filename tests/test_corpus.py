@@ -378,3 +378,20 @@ def test_dedup_substrings_within_one_document(spark):
     out = dedup_substrings(docs, length=4).collect()[0]
     assert out["clean_text"] == "p q r s mid"
     assert out["n_removed_tokens"] == 4
+
+
+def test_dedup_substrings_overlong_document_raises(spark, monkeypatch):
+    """The (doc, pos) packing guard is enforced, not just documented: a
+    document whose token positions reach the pack radix raises instead
+    of silently colliding into the next doc's key space."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators import corpus as corpus_mod
+
+    monkeypatch.setattr(corpus_mod, "_POS_PACK", 4)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="exceeds 4 tokens"):
+        corpus_mod.dedup_substrings(docs, length=3).collect()

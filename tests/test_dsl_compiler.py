@@ -128,6 +128,9 @@ def test_clear_double_strict_dialect_numeric_clean(spark):
         Row(a="1.2e3"),  # exponent form -> NULL, not 1.23
         Row(a="12 apples 34"),  # two digit runs -> NULL, not 1234
         Row(a="3,14"),  # European decimal comma -> NULL, not 314
+        Row(a=".5"),  # detached decimal point -> NULL, not 5.0
+        Row(a="$.50"),  # ditto -> NULL, not 50.0
+        Row(a="+5"),  # explicit plus sign adjacent to digits parses
         Row(a=None),
     ]
     got = apply_one(
@@ -137,7 +140,9 @@ def test_clear_double_strict_dialect_numeric_clean(spark):
         data_type="double",
         dialect=strict_d,
     )
-    assert got == [1234.50, -7.0, None, None, None, None, None, None]
+    assert got == [
+        1234.50, -7.0, None, None, None, None, None, None, None, 5.0, None,
+    ]
     # the multi-arg concat form is rejected under the strict dialect
     with pytest.raises(TransformError, match="exactly one column"):
         apply_one(

@@ -182,3 +182,30 @@ def test_kmeans_rejects_dim_mismatch_beyond_init_rows(spark):
         assigned, _ = lloyd_kmeans(df, k=2, iters=1, dim=4)
         assigned.collect()
     assert "vector length != dim=4" in str(ei.value)
+
+
+def test_centroid_matrix_validated_at_boundary(spark):
+    """Empty or ragged FIXED centroid matrices raise with the real
+    problem instead of IndexError / an opaque ragged-np.stack crash;
+    semantic_dedup with supplied centroids derives dim from their
+    width, so a non-default-width quantizer needs no matching dim=."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.semantic import (
+        assign_clusters,
+        semantic_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        assign_clusters(corpus, [])
+    with pytest.raises(ValueError, match="centroid 1 has length"):
+        assign_clusters(corpus, [[1.0, 0.0], [1.0]])
+    # 2-wide centroids, default dim=64 NOT passed: must still work
+    out = semantic_dedup(
+        corpus, centroids=[[1.0, 0.0], [0.0, 1.0]], threshold=0.95
+    ).collect()
+    assert {r["vec_id"] for r in out} == {1, 2}  # 3 deduped against 1
