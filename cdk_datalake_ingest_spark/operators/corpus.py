@@ -94,6 +94,96 @@ def unigram_lm_scores(
     )
 
 
+def nb_quality_scores(
+    docs: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Classifier-based quality filtering (the fastText-classifier
+    pattern of GPT-3 §A / DataComp-LM / FineWeb-Edu, with the gradient
+    model replaced by a CLOSED-FORM multinomial Naive Bayes so training
+    is deterministic and exactly reproducible cross-engine): fit token
+    log-likelihood ratios from the boolean ``label_col`` (True = the
+    quality-reference class), then score every document by
+
+        total_llr = log2 P(pos)/P(neg) + sum_tok llr(tok),
+        llr(tok)  = log2 p(tok|pos) - log2 p(tok|neg)
+
+    with add-``alpha`` smoothing over the shared vocabulary.  Output:
+    ``(id_col, n_tokens, llr_per_token, total_llr, pred)`` — both
+    scores rounded to 6 (the unigram-LM libm/FP-ordering convention)
+    and ``pred`` derived from the ROUNDED total so the decision is a
+    pure function of the hashed outputs.  Documents with no tokens
+    carry no signal and are absent (same contract as
+    ``unigram_lm_scores``).
+
+    Dataflow: token counts per class are one shuffle of the exploded
+    stream; the fitted model is a Zipf-small (tok, llr) relation
+    broadcast back onto the same stream — training + scoring is two
+    corpus passes and no Python.  At 100 TB the model relation is the
+    vocabulary, orders of magnitude smaller than the corpus.
+    """
+    labeled = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col(label_col).cast("boolean").alias("__pos"),
+    )
+    toks = labeled.select(
+        F.col(id_col),
+        "__pos",
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
+        F.count(F.lit(1)).alias("c_all"),
+    )
+    totals = vocab.agg(
+        F.sum("c_pos").alias("n_pos"),
+        (F.sum("c_all") - F.sum("c_pos")).alias("n_neg"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    model = vocab.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        (
+            F.log2(
+                (F.col("c_pos") + F.lit(alpha))
+                / (F.col("n_pos") + F.lit(alpha) * F.col("v"))
+            )
+            - F.log2(
+                (F.col("c_all") - F.col("c_pos") + F.lit(alpha))
+                / (F.col("n_neg") + F.lit(alpha) * F.col("v"))
+            )
+        ).alias("llr"),
+    )
+    prior = labeled.agg(
+        F.log2(
+            F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+            / F.sum(F.when(F.col("__pos"), 0).otherwise(1))
+        ).alias("log_prior")
+    )
+    scored = (
+        toks.join(F.broadcast(model), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("llr").alias("__sum_llr"),
+        )
+        .crossJoin(F.broadcast(prior))
+    )
+    total = F.round(F.col("log_prior") + F.col("__sum_llr"), 6)
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        F.round(F.col("__sum_llr") / F.col("n_tokens"), 6).alias(
+            "llr_per_token"
+        ),
+        total.alias("total_llr"),
+        (total > 0).alias("pred"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame,
     k: int = 3,

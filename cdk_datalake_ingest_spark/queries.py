@@ -4160,6 +4160,55 @@ FROM kept
 """
 
 
+def nb_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-based quality filtering (fastText-classifier pattern
+    with a closed-form deterministic Naive Bayes — operators/corpus.py:
+    nb_quality_scores): train token log-likelihood ratios with the
+    English documents as the reference class (the ``lang`` column is
+    the label, mirroring how quality classifiers bootstrap from a
+    trusted slice), score every document, and emit the rounded scores
+    plus the keep/drop decision."""
+    from cdk_datalake_ingest_spark.operators.corpus import nb_quality_scores
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "__is_en", F.col("lang") == "en"
+    )
+    return nb_quality_scores(docs, "__is_en")
+
+
+NB_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS pos, unnest({_SQL_TOKENS}) AS tok
+  FROM documents WHERE {_SQL_NORM} <> ''
+), vocab AS (
+  SELECT tok, SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+         COUNT(*) AS c_all
+  FROM toks GROUP BY tok
+), tot AS (
+  SELECT SUM(c_pos) AS n_pos, SUM(c_all) - SUM(c_pos) AS n_neg,
+         COUNT(*) AS v
+  FROM vocab
+), model AS (
+  SELECT tok,
+    log2((c_pos + 0.5) / (n_pos + 0.5 * v))
+      - log2((c_all - c_pos + 0.5) / (n_neg + 0.5 * v)) AS llr
+  FROM vocab, tot
+), prior AS (
+  SELECT log2(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+              / SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)) AS log_prior
+  FROM documents
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, SUM(llr) AS sum_llr
+  FROM toks JOIN model USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+  round(sum_llr / n_tokens, 6) AS llr_per_token,
+  round(log_prior + sum_llr, 6) AS total_llr,
+  round(log_prior + sum_llr, 6) > 0 AS pred
+FROM sc, prior
+"""
+
+
 def substring_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022): every duplicated
     8-token window keeps its first (doc, pos) occurrence; all other
@@ -5732,6 +5781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "substring_dedup_docs": substring_dedup_docs,
+    "nb_quality_filter_docs": nb_quality_filter_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5844,4 +5894,5 @@ ORACLES: dict[str, str] = {
     "q16_supplier_part_counts": Q16_SQL,
     "q20_promotion_suppliers": Q20_SQL,
     "substring_dedup_docs": SUBSTRING_DEDUP_SQL,
+    "nb_quality_filter_docs": NB_QUALITY_SQL,
 }

@@ -395,3 +395,32 @@ def test_dedup_substrings_overlong_document_raises(spark, monkeypatch):
     )
     with pytest.raises(Exception, match="exceeds 4 tokens"):
         corpus_mod.dedup_substrings(docs, length=3).collect()
+
+
+def test_nb_quality_scores_separates_vocabularies(spark):
+    """Hand-checkable Naive Bayes: docs drawn from two disjoint
+    vocabularies train a model that scores a held-in positive-vocab
+    document positive and a negative-vocab one negative; shared tokens
+    contribute ~0 log-likelihood ratio."""
+    from cdk_datalake_ingest_spark.operators.corpus import nb_quality_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "good clean prose text", True),
+            (2, "good clean prose words", True),
+            (3, "spam junk noise garbage", False),
+            (4, "spam junk noise chaff", False),
+            (5, "good clean prose", True),  # scored positive
+            (6, "spam junk noise", False),  # scored negative
+        ],
+        "doc_id long, text string, is_pos boolean",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in nb_quality_scores(docs, "is_pos").collect()
+    }
+    assert len(out) == 6
+    assert out[5]["pred"] is True and out[5]["total_llr"] > 0
+    assert out[6]["pred"] is False and out[6]["total_llr"] < 0
+    # llr is symmetric for the balanced disjoint vocabularies
+    assert out[5]["n_tokens"] == 3 and out[6]["n_tokens"] == 3

@@ -39,9 +39,11 @@ SUBSET = [
     "q11_important_stock",
     "q16_supplier_part_counts",
     "q20_promotion_suppliers",
-    # exact substring dedup (Lee et al. 2022), new this round — same
+    # exact substring dedup (Lee et al. 2022) and the Naive-Bayes
+    # quality classifier, new this round — same
     # no-driver-row-until-round-7 situation as the partsupp family
     "substring_dedup_docs",
+    "nb_quality_filter_docs",
 ]
 
 

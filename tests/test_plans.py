@@ -482,3 +482,13 @@ def test_substring_dedup_shuffles_hashes_not_text(spark):
     # window-text column (__w) must never reach an exchange
     for m in re.findall(r"Arguments: hashpartitioning\(([^,]+),", plan):
         assert m.startswith(("__h", "doc_id")), m
+
+
+def test_nb_classifier_model_broadcasts(spark):
+    """The fitted NB model (a Zipf-small (tok, llr) relation) must
+    broadcast back onto the exploded token stream — the corpus is
+    never sort-merged against its own vocabulary."""
+    plan = _plan(spark, "nb_quality_filter_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
