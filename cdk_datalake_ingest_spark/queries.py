@@ -4160,6 +4160,58 @@ FROM kept
 """
 
 
+def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality filter (Rae et al. 2021 A1.1,
+    thresholds adapted to this corpus's short documents): per-document
+    booleans for the word-count band, mean-word-length band [3, 10],
+    >80% of words containing an alphabetic character, and the >= 2
+    stopword-hits requirement, plus the conjunctive keep decision.
+    Pure narrow map over the scan — every rule is a native expression
+    on the token array; ratios are exact integer divisions so the
+    threshold comparisons cannot drift cross-engine."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    toks = T.tokens(c)
+    n = T.token_count(c)
+    wordlist = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+    alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+    )
+    r_wc = (n >= 20) & (n <= 100_000)
+    r_mwl = T.mean_word_length(c).between(3.0, 10.0)
+    r_alpha = alpha_frac > 0.8
+    r_sw = sw_hits >= 2
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_alpha.alias("rule_alpha_words"),
+        r_sw.alias("rule_stopwords"),
+        (r_wc & r_mwl & r_alpha & r_sw).alias("keep"),
+    )
+
+
+GOPHER_RULES_SQL = f"""
+SELECT doc_id,
+  {_SQL_NTOK} AS n_tokens,
+  {_SQL_NTOK} >= 20 AND {_SQL_NTOK} <= 100000 AS rule_word_count,
+  {_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0 AS rule_mean_word_len,
+  (CASE WHEN {_SQL_NTOK} = 0 THEN 0.0 ELSE
+     len(list_filter({_SQL_TOKENS}, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+       / {_SQL_NTOK} END) > 0.8 AS rule_alpha_words,
+  {_SQL_SW_HITS} >= 2 AS rule_stopwords,
+  ({_SQL_NTOK} >= 20 AND {_SQL_NTOK} <= 100000)
+    AND ({_SQL_MWL} >= 3.0 AND {_SQL_MWL} <= 10.0)
+    AND (CASE WHEN {_SQL_NTOK} = 0 THEN 0.0 ELSE
+          len(list_filter({_SQL_TOKENS}, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+            / {_SQL_NTOK} END) > 0.8
+    AND {_SQL_SW_HITS} >= 2 AS keep
+FROM documents
+"""
+
+
 def nb_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-based quality filtering (fastText-classifier pattern
     with a closed-form deterministic Naive Bayes — operators/corpus.py:
@@ -5652,14 +5704,15 @@ WHERE r_name = 'AMERICA'
 # and all re-verified locally at sf0.01 this round); rotate them
 # back next round.
 #
-# ROUND-7 ROTATION PLAN (104 entries now): put the 6 never-gated
-# entries first (q02/q09/q11/q16/q20 over derived partsupp +
-# substring_dedup_docs — all green in the local sf0.001 AND sf0.01
-# parity runs this round), then fill with 44 of the 48 r5-fresh tail
-# entries, oldest-risk first.  The 4 left over should be entries whose
-# code paths are already window-covered by a twin (e.g. ann_cosine vs
-# ann_lsh family, distinct_rows vs w1) so nothing substantive goes two
-# rounds without an external row.
+# ROUND-7 ROTATION PLAN: put the never-gated entries first
+# (q02/q09/q11/q16/q20 over derived partsupp, substring_dedup_docs,
+# nb_quality_filter_docs, gopher_rules_docs — all green in the local
+# sf0.001 AND sf0.01 parity runs this round), then fill the rest of
+# the 50-row window with the r5-fresh tail entries, oldest-risk
+# first.  The few left over should be entries whose code paths are
+# already window-covered by a twin (e.g. ann_cosine vs ann_lsh
+# family, distinct_rows vs w1) so nothing substantive goes two rounds
+# without an external row.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) new this round / never driver-gated
     "sql_interface_q13": sql_interface_q13,
@@ -5782,6 +5835,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "substring_dedup_docs": substring_dedup_docs,
     "nb_quality_filter_docs": nb_quality_filter_docs,
+    "gopher_rules_docs": gopher_rules_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5895,4 +5949,5 @@ ORACLES: dict[str, str] = {
     "q20_promotion_suppliers": Q20_SQL,
     "substring_dedup_docs": SUBSTRING_DEDUP_SQL,
     "nb_quality_filter_docs": NB_QUALITY_SQL,
+    "gopher_rules_docs": GOPHER_RULES_SQL,
 }

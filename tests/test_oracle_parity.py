@@ -44,6 +44,7 @@ SUBSET = [
     # no-driver-row-until-round-7 situation as the partsupp family
     "substring_dedup_docs",
     "nb_quality_filter_docs",
+    "gopher_rules_docs",
 ]
 
 
