@@ -512,3 +512,47 @@ def test_kmeans_assignment_is_argmin(spark, vecs, k):
         best = min(dists)
         assert row["cluster_id"] == best[1], (row, dists)
         assert row["dist"] == best[0]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc"]), min_size=0, max_size=12
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SLOW)
+def test_dedup_substrings_matches_python_reference(spark, token_lists):
+    """dedup_substrings == a direct Python implementation of the
+    first-occurrence-survives contract on random tiny-vocabulary
+    corpora (high window-collision rate by construction)."""
+    from cdk_datalake_ingest_spark.operators.corpus import dedup_substrings
+
+    L = 3
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    # python reference: min (doc, pos) occurrence of each duplicated
+    # window survives; all other occurrences' token spans are deleted
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d, ts in enumerate(token_lists):
+        for p in range(len(ts) - L + 1):
+            occ.setdefault(" ".join(ts[p : p + L]), []).append((d, p))
+    covered: dict[int, set[int]] = {d: set() for d, _ in enumerate(token_lists)}
+    for spans in occ.values():
+        if len(spans) >= 2:
+            keep = min(spans)
+            for d, p in spans:
+                if (d, p) != keep:
+                    covered[d].update(range(p, p + L))
+    expect = {}
+    for d, ts in enumerate(token_lists):
+        kept = [t for i, t in enumerate(ts) if i not in covered[d]]
+        expect[d] = (" ".join(kept), len(ts) - len(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+        for r in dedup_substrings(df, length=L).collect()
+    }
+    assert got == expect
