@@ -128,29 +128,24 @@ def _minhash_signature(hashes: Column, num_hashes: int, prime: int, seed: int) -
     return F.array(*sig)
 
 
-def minhash_near_dup_pairs(
+def _minhash_banded(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    shingle_size: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
-    jaccard_threshold: float = 0.5,
-    seed: int = 42,
-    prime: int = (1 << 61) - 1,
-    cache: bool = True,
-) -> DataFrame:
-    """MinHash + LSH banding near-duplicate candidate pairs, verified
-    with exact Jaccard over shingle sets.
-
-    Pipeline shape (the standard Spark LSH scale-out):
-      shingle -> signature (narrow, per-row) -> explode bands ->
-      shuffle on (band, band_hash) -> self-join inside buckets ->
-      exact-verify candidates only.
-    At 100 TB the explode keeps only (id, band, hash) tuples — signature
-    width controls shuffle volume, not document text. rows_per_band =
-    num_hashes/bands tunes the candidate recall/precision.
-    """
+    shingle_size: int,
+    num_hashes: int,
+    bands: int,
+    seed: int,
+    prime: int,
+    cache: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature stage of the MinHash family: ``(banded,
+    sets)`` where banded = (id, band, band_hash) — the LSH probe
+    relation — and sets = (id, __set) — the distinct shingle sets the
+    exact-verify step needs.  Both are exactly what
+    ``minhash_signature_index`` persists, so a batch self-dedup and an
+    incremental probe against a stored index share one signature
+    definition by construction."""
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
     shingled = df.select(
@@ -170,7 +165,6 @@ def minhash_near_dup_pairs(
         shingled = shingled.persist()
     sig = shingled.select(
         F.col(id_col),
-        F.col("__sh"),
         _minhash_signature(F.col("__h"), num_hashes, prime, seed).alias("__sig"),
     )
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
@@ -198,6 +192,132 @@ def minhash_near_dup_pairs(
             )
         ).alias("b"),
     ).select(id_col, "b.band", "b.band_hash")
+    sets = shingled.select(
+        F.col(id_col), F.array_distinct("__sh").alias("__set")
+    )
+    return banded, sets
+
+
+def minhash_signature_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    prime: int = (1 << 61) - 1,
+) -> tuple[DataFrame, DataFrame]:
+    """The PERSISTABLE near-dup index of a corpus: ``(bands_df,
+    sets_df)`` — write both to tables (e.g. ``ManagedTable``) and
+    future ingest batches dedup against the corpus via
+    ``incremental_near_dup`` WITHOUT re-shingling a single existing
+    document.  bands_df = (id, band, band_hash) is the LSH probe
+    surface (~bands rows/doc of 3 integers); sets_df = (id, __set)
+    carries the distinct shingle sets for the exact-verify step.
+    Index size is O(corpus shingles), dominated by sets_df — at 100 TB
+    bucket both tables by id so the verify join co-locates."""
+    return _minhash_banded(
+        df, id_col, text_col, shingle_size, num_hashes, bands, seed,
+        prime, cache=False,
+    )
+
+
+def incremental_near_dup(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    prime: int = (1 << 61) - 1,
+) -> DataFrame:
+    """Near-duplicates of an INCOMING batch against an EXISTING corpus
+    index (the crawl-ingest shape: dedup each new snapshot against
+    everything already kept, without recomputing the corpus): returns
+    ``(new_id, dup_of, jaccard)`` — one row per (new doc, existing
+    doc) pair at/above the threshold.
+
+    The signature parameters MUST match the ones the index was built
+    with (same seed/hashes/bands — they define the probe space).  Only
+    the new batch is shingled; candidates come from an equi-join of
+    its banded signatures against the stored bands (shuffle volume =
+    new batch only; the index side prunes by join key), and the exact
+    verify joins the new sets against the stored sets on candidate ids
+    only.  New-vs-new duplicates inside the batch are the batch
+    operator's job (``minhash_near_dup_pairs``) before appending the
+    batch's own signatures to the index."""
+    new_bands, new_sets = _minhash_banded(
+        new_docs, id_col, text_col, shingle_size, num_hashes, bands,
+        seed, prime, cache=False,
+    )
+    cand = (
+        new_bands.alias("n")
+        .join(
+            index_bands.alias("i"),
+            on=[
+                F.col("n.band") == F.col("i.band"),
+                F.col("n.band_hash") == F.col("i.band_hash"),
+            ],
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"i.{id_col}").alias("dup_of"),
+        )
+        .distinct()
+    )
+    return (
+        cand.join(
+            new_sets.withColumnRenamed(id_col, "new_id").alias("sn"),
+            "new_id",
+        )
+        .join(
+            index_sets.withColumnRenamed(id_col, "dup_of")
+            .withColumnRenamed("__set", "__set_i")
+            .alias("si"),
+            "dup_of",
+        )
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__set", "__set_i")).cast("double")
+            / F.size(F.array_union("__set", "__set_i")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_size: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+    seed: int = 42,
+    prime: int = (1 << 61) - 1,
+    cache: bool = True,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate candidate pairs, verified
+    with exact Jaccard over shingle sets.
+
+    Pipeline shape (the standard Spark LSH scale-out):
+      shingle -> signature (narrow, per-row) -> explode bands ->
+      shuffle on (band, band_hash) -> self-join inside buckets ->
+      exact-verify candidates only.
+    At 100 TB the explode keeps only (id, band, hash) tuples — signature
+    width controls shuffle volume, not document text. rows_per_band =
+    num_hashes/bands tunes the candidate recall/precision.
+    """
+    banded, sets = _minhash_banded(
+        df, id_col, text_col, shingle_size, num_hashes, bands, seed,
+        prime, cache,
+    )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -213,9 +333,6 @@ def minhash_near_dup_pairs(
             F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
         )
         .distinct()
-    )
-    sets = shingled.select(
-        F.col(id_col), F.array_distinct("__sh").alias("__set")
     )
     verified = (
         cand.join(sets.withColumnRenamed(id_col, "id_a").alias("sa"), "id_a")

@@ -4160,6 +4160,57 @@ FROM kept
 """
 
 
+def incremental_minhash_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest: the corpus is split into an
+    EXISTING slice (doc_id % 5 != 0, whose MinHash signature index —
+    operators/dedup.py:minhash_signature_index — stands in for the
+    persisted index tables) and an incoming BATCH (doc_id % 5 == 0);
+    the batch is deduped against the index via
+    ``incremental_near_dup`` without re-shingling any existing doc.
+    Oracle: exact shingle-set Jaccard restricted to (batch, existing)
+    pairs — equality rides the same empirical recall-1 contract (and
+    the same tripwire caveat) as ``minhash_near_dup_docs``.  The
+    index round-trip through real storage is pinned in
+    tests/test_dedup.py."""
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signature_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    bands, sets = minhash_signature_index(existing, "doc_id", "text")
+    return incremental_near_dup(batch, bands, sets, "doc_id", "text")
+
+
+INCREMENTAL_MINHASH_SQL = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, GREATEST(len({_SQL_TOKENS}) - 2, 0) + 1),
+    i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1] || ' ' || {_SQL_TOKENS}[i+2]
+  )) AS shset
+  FROM documents
+  WHERE GREATEST(len({_SQL_TOKENS}) - 2, 0) > 0
+), e AS (
+  SELECT doc_id, unnest(shset) AS sh FROM s
+), inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS dup_of, COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.sh = b.sh
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shset) AS n FROM s
+)
+SELECT new_id, dup_of,
+  ROUND(n_inter::DOUBLE / (na.n + nb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = new_id
+JOIN sizes nb ON nb.doc_id = dup_of
+WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
+"""
+
+
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021 A1.1,
     thresholds adapted to this corpus's short documents): per-document
@@ -5836,6 +5887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dedup_docs": substring_dedup_docs,
     "nb_quality_filter_docs": nb_quality_filter_docs,
     "gopher_rules_docs": gopher_rules_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5950,4 +6002,5 @@ ORACLES: dict[str, str] = {
     "substring_dedup_docs": SUBSTRING_DEDUP_SQL,
     "nb_quality_filter_docs": NB_QUALITY_SQL,
     "gopher_rules_docs": GOPHER_RULES_SQL,
+    "incremental_minhash_ingest_docs": INCREMENTAL_MINHASH_SQL,
 }

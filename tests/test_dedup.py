@@ -136,3 +136,49 @@ def test_robust_edge_source_agrees_with_default(spark, monkeypatch):
     # an explode/generate of shingles, the LSH source a band hash join
     assert "xxhash64" in default._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" not in robust._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_incremental_near_dup_index_roundtrips_storage(spark, tmp_path):
+    """The signature index written to real storage and read back drives
+    incremental_near_dup to the same result as the in-memory index —
+    the persisted-index ingest contract (new batch deduped against the
+    corpus without re-shingling any existing doc)."""
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signature_index,
+    )
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely different document about spark partitions"),
+            (3, "yet another unrelated piece of text entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            # near-dup of doc 1 (one token changed)
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "no overlap with anything in the existing corpus xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    bands, sets = minhash_signature_index(existing, "doc_id", "text")
+    t_bands = ManagedTable(spark, tmp_path / "idx_bands")
+    t_sets = ManagedTable(spark, tmp_path / "idx_sets")
+    t_bands.write(bands)
+    t_sets.write(sets)
+
+    mem = incremental_near_dup(
+        batch, bands, sets, "doc_id", "text", jaccard_threshold=0.3
+    ).collect()
+    stored = incremental_near_dup(
+        batch, t_bands.read(), t_sets.read(), "doc_id", "text",
+        jaccard_threshold=0.3,
+    ).collect()
+    key = lambda r: (r["new_id"], r["dup_of"])
+    assert sorted(map(key, mem)) == sorted(map(key, stored))
+    assert [r["new_id"] for r in stored] == [10]
+    assert stored[0]["dup_of"] == 1 and stored[0]["jaccard"] > 0.3
