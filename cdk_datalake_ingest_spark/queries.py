@@ -5757,7 +5757,8 @@ WHERE r_name = 'AMERICA'
 #
 # ROUND-7 ROTATION PLAN: put the never-gated entries first
 # (q02/q09/q11/q16/q20 over derived partsupp, substring_dedup_docs,
-# nb_quality_filter_docs, gopher_rules_docs — all green in the local
+# nb_quality_filter_docs, gopher_rules_docs,
+# incremental_minhash_ingest_docs — all green in the local
 # sf0.001 AND sf0.01 parity runs this round), then fill the rest of
 # the 50-row window with the r5-fresh tail entries, oldest-risk
 # first.  The few left over should be entries whose code paths are

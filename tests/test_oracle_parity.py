@@ -45,6 +45,7 @@ SUBSET = [
     "substring_dedup_docs",
     "nb_quality_filter_docs",
     "gopher_rules_docs",
+    "incremental_minhash_ingest_docs",
 ]
 
 
