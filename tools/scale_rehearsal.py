@@ -82,6 +82,13 @@ QUERIES = [
     # and the token-bijected copies reproduce each copy's intra-copy
     # duplicated spans without cross-copy collisions
     "substring_dedup_docs",
+    # NB classifier: train + score are both linear corpus passes with
+    # a broadcast model; the bijected copies multiply the vocabulary
+    # ~10x, so this also stresses the Zipf-small-model assumption
+    "nb_quality_filter_docs",
+    # incremental ingest: index build + batch probe both scale with
+    # documents (the 1/5 batch split scales with them)
+    "incremental_minhash_ingest_docs",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
