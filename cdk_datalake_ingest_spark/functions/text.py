@@ -84,11 +84,21 @@ def stopword_hits(col: Column, lang: str) -> Column:
     )
 
 
+def stopword_hit_count(col: Column, lang: str = "en") -> Column:
+    """Number of tokens that are ``lang`` stopwords (duplicates count)
+    — the shared numerator of ``stopword_ratio`` and the Gopher
+    >=2-stopword rule, so the wordlist and tokenization live in ONE
+    place."""
+    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(
+        F.filter(tokens(col), lambda t: F.array_contains(wordlist, t))
+    )
+
+
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are ``lang`` stopwords (duplicates count)."""
-    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     n = token_count(col)
-    hits = F.size(F.filter(tokens(col), lambda t: F.array_contains(wordlist, t)))
+    hits = stopword_hit_count(col, lang)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
 
 

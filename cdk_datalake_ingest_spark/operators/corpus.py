@@ -157,11 +157,27 @@ def nb_quality_scores(
             )
         ).alias("llr"),
     )
+    # Loud degenerate-label guard (the repo's raise-on-degenerate
+    # convention): a single-class label would make the prior a
+    # divide-by-zero — NULL under non-ANSI casts, an exception under
+    # ANSI — and every pred would silently be NULL. Raise with the
+    # real problem instead; rides the same one-row aggregate.
+    n_pos = F.sum(F.when(F.col("__pos"), 1).otherwise(0))
+    n_neg = F.sum(F.when(F.col("__pos"), 0).otherwise(1))
     prior = labeled.agg(
-        F.log2(
-            F.sum(F.when(F.col("__pos"), 1).otherwise(0))
-            / F.sum(F.when(F.col("__pos"), 0).otherwise(1))
-        ).alias("log_prior")
+        F.when(
+            (n_pos > 0) & (n_neg > 0), F.log2(n_pos / n_neg)
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "nb_quality_scores: label column is single-class "
+                    "(need both positive and negative documents to fit "
+                    "the classifier)"
+                )
+            )
+        )
+        .alias("log_prior")
     )
     scored = (
         toks.join(F.broadcast(model), "tok")

@@ -207,6 +207,7 @@ def minhash_signature_index(
     bands: int = 8,
     seed: int = 42,
     prime: int = (1 << 61) - 1,
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE near-dup index of a corpus: ``(bands_df,
     sets_df)`` — write both to tables (e.g. ``ManagedTable``) and
@@ -216,10 +217,15 @@ def minhash_signature_index(
     surface (~bands rows/doc of 3 integers); sets_df = (id, __set)
     carries the distinct shingle sets for the exact-verify step.
     Index size is O(corpus shingles), dominated by sets_df — at 100 TB
-    bucket both tables by id so the verify join co-locates."""
+    bucket both tables by id so the verify join co-locates.
+
+    ``cache`` (default True) persists the shared shingle+hash stage so
+    writing BOTH returned relations shingles the corpus once, not
+    twice; pass False for a corpus too large to persist and accept the
+    second pass (or checkpoint upstream)."""
     return _minhash_banded(
         df, id_col, text_col, shingle_size, num_hashes, bands, seed,
-        prime, cache=False,
+        prime, cache=cache,
     )
 
 
@@ -235,6 +241,7 @@ def incremental_near_dup(
     jaccard_threshold: float = 0.5,
     seed: int = 42,
     prime: int = (1 << 61) - 1,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicates of an INCOMING batch against an EXISTING corpus
     index (the crawl-ingest shape: dedup each new snapshot against
@@ -244,19 +251,24 @@ def incremental_near_dup(
 
     The signature parameters MUST match the ones the index was built
     with (same seed/hashes/bands — they define the probe space).  Only
-    the new batch is shingled; candidates come from an equi-join of
-    its banded signatures against the stored bands (shuffle volume =
-    new batch only; the index side prunes by join key), and the exact
-    verify joins the new sets against the stored sets on candidate ids
-    only.  New-vs-new duplicates inside the batch are the batch
-    operator's job (``minhash_near_dup_pairs``) before appending the
+    the new batch is shingled (``cache`` persists that stage so the
+    bands and sets branches share one pass), and the batch's banded
+    signatures are PINNED broadcast into the candidate join — the
+    stored index streams through the probe without ever shuffling.
+    That makes batch size the contract: ingest batches must stay
+    broadcastable (bands rows are 3 integers/doc, so millions of docs
+    fit in tens of MB); for a batch comparable to the corpus itself,
+    use the batch operator (``minhash_near_dup_pairs``) over the
+    union instead.  The exact verify then joins the new sets against
+    the stored sets on candidate ids only.  New-vs-new duplicates
+    inside the batch are the batch operator's job before appending the
     batch's own signatures to the index."""
     new_bands, new_sets = _minhash_banded(
         new_docs, id_col, text_col, shingle_size, num_hashes, bands,
-        seed, prime, cache=False,
+        seed, prime, cache=cache,
     )
     cand = (
-        new_bands.alias("n")
+        F.broadcast(new_bands).alias("n")
         .join(
             index_bands.alias("i"),
             on=[

@@ -4224,8 +4224,7 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = F.col("text")
     toks = T.tokens(c)
     n = T.token_count(c)
-    wordlist = F.array(*[F.lit(w) for w in T.STOPWORDS["en"]])
-    sw_hits = F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
+    sw_hits = T.stopword_hit_count(c, "en")
     alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
         F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
     )

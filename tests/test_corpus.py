@@ -424,3 +424,18 @@ def test_nb_quality_scores_separates_vocabularies(spark):
     assert out[6]["pred"] is False and out[6]["total_llr"] < 0
     # llr is symmetric for the balanced disjoint vocabularies
     assert out[5]["n_tokens"] == 3 and out[6]["n_tokens"] == 3
+
+
+def test_nb_quality_scores_single_class_raises(spark):
+    """A degenerate single-class label raises loudly at action time
+    instead of silently NULLing every total_llr/pred."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.corpus import nb_quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "all positive here", True), (2, "also positive text", True)],
+        "doc_id long, text string, is_pos boolean",
+    )
+    with pytest.raises(Exception, match="single-class"):
+        nb_quality_scores(docs, "is_pos").collect()

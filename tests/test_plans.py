@@ -492,3 +492,13 @@ def test_nb_classifier_model_broadcasts(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_incremental_ingest_broadcasts_the_batch(spark):
+    """The ingest batch's banded signatures are pinned broadcast into
+    the candidate probe — the stored index side streams and is never
+    shuffled for candidacy."""
+    plan = _plan(spark, "incremental_minhash_ingest_docs")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
