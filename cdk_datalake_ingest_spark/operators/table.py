@@ -56,6 +56,9 @@ except Exception:
 
 MANIFEST = "_manifest.json"
 COMMIT_LOCK = "_manifest.lock"
+#: per-snapshot schema pin (underscore-prefixed => invisible to the
+#: parquet reader's file listing, like _SUCCESS)
+SCHEMA_SIDECAR = "_schema.json"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -227,14 +230,35 @@ class ManagedTable:
         if m is None:
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
         if version is None:
-            return self.spark.read.parquet(str(self.path / m["data_dir"]))
+            return self._read_snapshot(self.path / m["data_dir"])
         snap = self.path / f"v{version:05d}"
         if not snap.is_dir():
             raise FileNotFoundError(
                 f"version {version} of {self.path} does not exist "
                 "(never written, or removed by vacuum)"
             )
-        return self.spark.read.parquet(str(snap))
+        return self._read_snapshot(snap)
+
+    def _read_snapshot(self, snap: Path) -> DataFrame:
+        """Read a snapshot dir under its WRITER's schema (the
+        ``_schema.json`` sidecar every commit writes): partition-column
+        types come from the schema the data was written with, never
+        from directory-name re-inference.  Without the pin, a
+        string-typed partition column whose surviving leaf values all
+        happen to look numeric (e.g. after a merge moves the last
+        non-numeric row away) is re-inferred as int on the next read
+        and '01' silently collapses to 1 — cross-leaf row corruption.
+        Snapshots from before the sidecar existed fall back to
+        inference unchanged."""
+        sc = snap / SCHEMA_SIDECAR
+        reader = self.spark.read
+        if sc.is_file():
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(
+                StructType.fromJson(json.loads(sc.read_text()))
+            )
+        return reader.parquet(str(snap))
 
     def versions(self) -> list[int]:
         """Snapshot versions still on disk (newest last)."""
@@ -256,7 +280,7 @@ class ManagedTable:
         m = self._read_manifest()
         if m is None:
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
-        return m, self.spark.read.parquet(str(self.path / m["data_dir"]))
+        return m, self._read_snapshot(self.path / m["data_dir"])
 
     def write(
         self,
@@ -292,6 +316,7 @@ class ManagedTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(str(self.path / data_dir))
+        self._write_schema_sidecar(data_dir, df)
         self._commit(
             {
                 "version": version,
@@ -300,6 +325,9 @@ class ManagedTable:
             },
             expected_version=base_version,
         )
+
+    def _write_schema_sidecar(self, data_dir: str, df: DataFrame) -> None:
+        (self.path / data_dir / SCHEMA_SIDECAR).write_text(df.schema.json())
 
     def merge_upsert(
         self,
@@ -561,6 +589,7 @@ class ManagedTable:
         version, data_dir = self._claim_snapshot(base_version)
         new_dir = self.path / data_dir
         df.write.mode("overwrite").partitionBy(*pby).parquet(str(new_dir))
+        self._write_schema_sidecar(data_dir, df)
         old_dir = self.path / m["data_dir"]
         by_name = by_name or {}
         for leaf, vals in self._leaf_partitions(old_dir, pby):

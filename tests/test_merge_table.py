@@ -410,11 +410,13 @@ def test_scoped_merge_bails_on_genuine_hive_sentinel_value(
 
 
 def test_scoped_ops_survive_numeric_string_partitions(spark, tmp_path):
-    """Zero-padded STRING partition values ('05') that Spark's
-    partition-type inference reads back as int 5: the scoped
-    delete/merge must canonicalize dir names under the READ type, or
-    the old 'p=05' dir gets hard-linked forward NEXT TO its rewrite —
-    resurrecting deleted rows and duplicating kept ones."""
+    """Zero-padded STRING partition values ('05'): the _schema.json
+    sidecar pins the writer's type at read time, so an all-numeric dir
+    listing is NOT re-inferred as int — '05' stays the string '05'
+    (previously inference collapsed it to 5 and scoped ops had to
+    canonicalize under the wrong read type).  The scoped delete/merge
+    must still rewrite exactly the touched leaves: no resurrected
+    deleted rows, no duplicates from a linked+rewritten dir."""
     from pyspark.sql import Row
 
     from cdk_datalake_ingest_spark.operators.table import ManagedTable
@@ -426,18 +428,24 @@ def test_scoped_ops_survive_numeric_string_partitions(spark, tmp_path):
         ),
         partition_by=["p"],
     )
-    # all-numeric dir names -> read back as int partitions
-    assert dict(t.read().dtypes)["p"] in ("int", "bigint")
+    # sidecar pins the writer's string type — no int re-inference,
+    # zero padding preserved
+    assert dict(t.read().dtypes)["p"] == "string"
+    assert sorted(
+        r["p"] for r in t.read().select("p").distinct().collect()
+    ) == ["04", "05", "06"]
 
-    t.delete_where(F.col("p") == 5)
+    t.delete_where(F.col("p") == "05")
     got = t.read()
-    assert got.filter(F.col("p") == 5).count() == 0  # no resurrection
+    assert got.filter(F.col("p") == "05").count() == 0  # no resurrection
     remaining = got.count()
     assert remaining == 8
     # keys unique — no duplicated rows from a linked+rewritten dir
     assert got.select("k").distinct().count() == remaining
 
-    src = spark.createDataFrame([Row(k=0, p=4, v=999), Row(k=100, p=6, v=1)])
+    src = spark.createDataFrame(
+        [Row(k=0, p="04", v=999), Row(k=100, p="06", v=1)]
+    )
     t.merge_upsert(src, keys=["k"])
     got = t.read()
     # 8 survivors + 1 insert (k=0 is an update in place)
