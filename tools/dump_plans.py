@@ -164,6 +164,61 @@ NOTES = {
         "filter-by-position. The distributed stand-in for the paper's "
         "suffix array: two keyed exchanges, no Python, no cross join."
     ),
+    "gopher_rules_docs": (
+        "Gopher rule-based quality filter: every rule (word-count "
+        "band, mean-word-length band, alpha-word fraction, stopword "
+        "hits) is a native expression over one tokenize of one scan — "
+        "no Exchange, no Window, no Python anywhere in the plan. "
+        "Filtering 100 TB is a single pipelined map; it fuses with "
+        "the scan and whatever writes the survivors."
+    ),
+    "nb_quality_filter_docs": (
+        "Classifier-based quality filter, fastText shape with a "
+        "closed-form Naive Bayes: one exploded-token shuffle builds "
+        "the Zipf-sized (token, llr) model, scalar totals ride a "
+        "broadcast one-row cross join into the model projection, and "
+        "scoring re-explodes the corpus against the BROADCAST model "
+        "(the corpus-sized stream is never shuffled for the join) "
+        "before the per-doc combine. Same broadcast direction as the "
+        "unigram LM: model in MBs, corpus in TBs."
+    ),
+    "incremental_minhash_ingest_docs": (
+        "Crawl-ingest near-dup: only the incoming batch is shingled; "
+        "its banded signatures are PINNED broadcast into the "
+        "candidate join, so the persisted corpus index (bands + "
+        "shingle sets) STREAMS through the probe without an index-"
+        "side Exchange. The exact-verify join touches candidate ids "
+        "only. At 100 TB corpus / GB-scale batches the per-batch cost "
+        "is O(batch + index scan), not O(corpus shuffle) — re-keying "
+        "the corpus on every snapshot is exactly what this avoids."
+    ),
+    "kmeans_train_hash_docs": (
+        "The split-out quantizer training gate (the cost round 5's "
+        "memoization hid): per Lloyd iteration one corpus scan, a "
+        "k-row partial-aggregated centroid combine, and a k-row "
+        "driver collect — assignment itself is a broadcast-literal "
+        "narrow map (one Arrow kernel), no join, no Window. Iteration "
+        "cost at 100 TB is scan-bound and the shuffle carries k rows. "
+        "The dumped plan below is just the RESULT relation (the k x "
+        "dim centroid table, driver-materialized by design — it IS "
+        "the model); the per-iteration assignment/combine plans are "
+        "the ones described above and are pinned in tests/"
+        "test_plans.py."
+    ),
+    "ann_lsh_multiprobe_topk": (
+        "Multi-probe LSH top-k: each query explodes to its own bucket "
+        "plus the n_planes Hamming-1 neighbor buckets (9 probe keys "
+        "at n_planes=8), and the query side — still tiny — broadcasts "
+        "into the bucket equi-join, so the corpus is bucketed in a "
+        "narrow projection and never shuffled ON THE BUCKET KEY. The "
+        "corpus-side Exchange in this dump is the small-input "
+        "parallelism shim (ensure_parallelism: round-robin only when "
+        "partitions < slots — a no-op on a real multi-file table); "
+        "the only keyed exchange is the per-query rank window over "
+        "candidates, WindowGroupLimit on both sides so partial top-k "
+        "runs before data moves. (n_planes+1)x recall probing without "
+        "widening the corpus-side plan at all."
+    ),
 }
 
 #: appended verbatim — control-plane-dominated chain whose interesting
