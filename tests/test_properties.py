@@ -556,3 +556,51 @@ def test_dedup_substrings_matches_python_reference(spark, token_lists):
         for r in dedup_substrings(df, length=L).collect()
     }
     assert got == expect
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=10
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(**_SLOW)
+def test_incremental_near_dup_equals_batch_restriction(spark, token_lists):
+    """Ingesting a batch against the persisted corpus index finds
+    EXACTLY the pairs the batch operator finds over the union,
+    restricted to (batch, existing) — same ids, same jaccard values.
+    The crawl-ingest contract: dedup each snapshot against everything
+    already kept without re-shingling the corpus, losing nothing vs a
+    full re-run. Random tiny-vocabulary corpora make band collisions
+    and real near-dups common; odd ids form the batch."""
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_near_dup_pairs,
+        minhash_signature_index,
+    )
+
+    docs = [(i, " ".join(ts)) for i, ts in enumerate(token_lists)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    existing = df.filter(F.col("doc_id") % 2 == 0)
+    batch = df.filter(F.col("doc_id") % 2 == 1)
+
+    t = 0.3
+    bands, sets = minhash_signature_index(existing, "doc_id", "text")
+    incr = {
+        (r["new_id"], r["dup_of"]): r["jaccard"]
+        for r in incremental_near_dup(
+            batch, bands, sets, "doc_id", "text", jaccard_threshold=t
+        ).collect()
+    }
+    full = {}
+    for r in minhash_near_dup_pairs(
+        df, "doc_id", "text", jaccard_threshold=t
+    ).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:  # one existing, one batch
+            new_id, dup_of = (a, b) if a % 2 == 1 else (b, a)
+            full[(new_id, dup_of)] = r["jaccard"]
+    assert incr == full
