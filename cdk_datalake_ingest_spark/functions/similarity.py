@@ -121,6 +121,14 @@ def rp_lsh_bucket(
 ) -> Column:
     """Random-projection LSH bucket id: sign-bit signature of the
     vector against each hyperplane, packed into a long."""
+    # 62 sign bits is the packing capacity of a signed long (bit 63 is
+    # the sign; 1 << 62 is the last positive power). More planes would
+    # silently wrap the bucket id and alias unrelated buckets.
+    if len(planes) > 62:
+        raise ValueError(
+            f"rp_lsh_bucket packs one sign bit per plane into a long: "
+            f"max 62 planes, got {len(planes)}"
+        )
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])

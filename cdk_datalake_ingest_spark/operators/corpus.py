@@ -125,6 +125,13 @@ def nb_quality_scores(
     corpus passes and no Python.  At 100 TB the model relation is the
     vocabulary, orders of magnitude smaller than the corpus.
     """
+    # alpha <= 0 breaks the smoothing contract: an unseen-in-class
+    # token would take log2(0) — NULL/-inf silently poisoning every
+    # document score that contains it. Fail at the boundary instead.
+    if alpha <= 0:
+        raise ValueError(
+            f"nb_quality_scores: smoothing alpha must be > 0, got {alpha}"
+        )
     labeled = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -456,6 +463,10 @@ def dedup_substrings(
     cross-checks the hashed path against the exact one."""
     from cdk_datalake_ingest_spark.session import ensure_parallelism
 
+    if length < 1:
+        raise ValueError(
+            f"dedup_substrings: window length must be >= 1, got {length}"
+        )
     docs = ensure_parallelism(docs)
     wins = (
         docs.select(

@@ -146,6 +146,18 @@ def _minhash_banded(
     ``minhash_signature_index`` persists, so a batch self-dedup and an
     incremental probe against a stored index share one signature
     definition by construction."""
+    # Loud boundary (raise-on-degenerate convention): bands must tile
+    # the signature exactly. bands > num_hashes would make every band
+    # hash an EMPTY signature slice — identical band_hash for every
+    # document, i.e. the candidate join silently degenerates to
+    # all-pairs; a non-dividing bands count would silently ignore the
+    # trailing hashes and weaken recall vs the requested signature.
+    if bands < 1 or num_hashes < bands or num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash banding requires 1 <= bands <= num_hashes with "
+            f"bands dividing num_hashes exactly; got num_hashes="
+            f"{num_hashes}, bands={bands}"
+        )
     rows_per_band = num_hashes // bands
     df = ensure_parallelism(df)
     shingled = df.select(

@@ -439,3 +439,28 @@ def test_nb_quality_scores_single_class_raises(spark):
     )
     with pytest.raises(Exception, match="single-class"):
         nb_quality_scores(docs, "is_pos").collect()
+
+
+def test_dedup_substrings_rejects_nonpositive_length(spark):
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.corpus import dedup_substrings
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="length"):
+        dedup_substrings(df, length=0)
+
+
+def test_nb_quality_scores_rejects_nonpositive_alpha(spark):
+    """alpha <= 0 would send unseen-in-class tokens through log2(0),
+    silently poisoning every score containing them."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.corpus import nb_quality_scores
+
+    df = spark.createDataFrame(
+        [(1, "good text", True), (2, "bad text", False)],
+        "doc_id long, text string, lab boolean",
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        nb_quality_scores(df, "lab", alpha=0.0)

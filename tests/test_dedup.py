@@ -182,3 +182,29 @@ def test_incremental_near_dup_index_roundtrips_storage(spark, tmp_path):
     assert sorted(map(key, mem)) == sorted(map(key, stored))
     assert [r["new_id"] for r in stored] == [10]
     assert stored[0]["dup_of"] == 1 and stored[0]["jaccard"] > 0.3
+
+
+def test_minhash_banding_rejects_degenerate_band_counts(spark):
+    """bands > num_hashes would hash an empty signature slice per band
+    (every doc collides in every band — silent all-pairs); a
+    non-dividing bands count silently drops trailing hashes. Both
+    raise at the boundary instead."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        minhash_near_dup_pairs,
+        minhash_signature_index,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="bands"):
+        minhash_near_dup_pairs(
+            df, "doc_id", "text", num_hashes=8, bands=16
+        )
+    with pytest.raises(ValueError, match="dividing"):
+        minhash_signature_index(
+            df, "doc_id", "text", num_hashes=32, bands=5
+        )

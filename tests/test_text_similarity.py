@@ -302,3 +302,18 @@ def test_ivf_kmeans_recall_floor(spark, sf_dir):
         }
         recall = len(got & exact) / len(exact)
         assert recall >= 0.8, (name, recall)
+
+
+def test_rp_lsh_bucket_rejects_more_than_62_planes(spark):
+    """One sign bit per plane packs into a signed long: 63+ planes
+    would wrap the bucket id and alias unrelated buckets."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        hyperplanes,
+        rp_lsh_bucket,
+    )
+
+    planes = hyperplanes(dim=4, n_planes=63)
+    with pytest.raises(ValueError, match="62"):
+        rp_lsh_bucket(F.col("v"), planes)
