@@ -151,3 +151,58 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def sessionize_stream_native(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """JVM-native twin of :func:`sessionize_stream` built on the
+    ``session_window`` aggregate — same output shape, same values
+    (``tools/sessionize_scale_probe.py`` measured the Python-stateful
+    topology at ~30x the state-store bytes and a fraction of the
+    rows/sec; SCALE.md records the crossover).
+
+    When to use which: the aggregate-shaped payload here (count + sum)
+    is everything ``session_window`` can express, and for it this
+    variant wins at every scale — no Arrow batch transfer, no Python
+    state, whole-stage codegen end to end. ``sessionize_stream`` is
+    for what an aggregate CANNOT express: immediate emit-on-gap
+    (session_window emits only when the watermark closes the window),
+    deterministic in-batch event ORDER (first/last event payloads,
+    per-session sequences), or per-element session state.
+
+    Value exactness: ``total_value`` sums DECIMAL(18,6) casts — the
+    same exact arithmetic the Python operator does in integer
+    micro-units — so both variants agree bit-for-bit with the batch
+    twin and the DuckDB oracle. ``session_window.end`` is
+    ``last_event + gap``; subtracting the gap restores the last event
+    timestamp so the output schema matches ``OUT_SCHEMA`` exactly."""
+    gap_us = gap_minutes * MICROS_PER_MIN
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        events.withWatermark(ts_col, f"{gap_minutes} minutes")
+        .groupBy(
+            F.col(user_col).cast("bigint").alias("user_id"),
+            F.session_window(F.col(ts_col), f"{gap_minutes} minutes"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.coalesce(F.col(value_col).cast("decimal(18,6)"), zero)
+            ).alias("__tv"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias(
+                "session_start_us"
+            ),
+            (F.unix_micros(F.col("session_window.end")) - F.lit(gap_us))
+            .alias("session_end_us"),
+            "n_events",
+            F.col("__tv").cast("double").alias("total_value"),
+        )
+    )

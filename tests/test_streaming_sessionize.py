@@ -127,3 +127,64 @@ def test_open_trailing_session_not_emitted(spark, tmp_path):
     rows = _run(spark, tmp_path, [[_ev(1, 0, 1), _ev(1, 5, 2)]])
     # only session is still open (watermark never passed last+gap)
     assert rows == []
+
+
+def test_native_session_window_twin_matches_python_stateful(
+    spark, tmp_path
+):
+    """sessionize_stream_native (JVM session_window aggregate) emits
+    the SAME rows as the Python-stateful operator for the aggregate-
+    shaped payload — every column including the DECIMAL-exact
+    total_value. The crossover contract in SCALE.md: pick the variant
+    by topology needs (immediate emit / ordered payloads vs pure
+    aggregate), never by fear of divergent results."""
+    from cdk_datalake_ingest_spark.streaming.sessionize import (
+        sessionize_stream_native,
+    )
+
+    batches = [
+        [
+            _ev(1, 0, 1, 2.5),
+            _ev(1, 10, 2, 0.125),
+            _ev(1, 60, 3, 1.1),
+            _ev(2, 5, 4, 7.25),
+        ],
+        [_ev(2, 20, 5, 0.5), _ev(1, 70, 6, 3.3)],
+        # far-future row: watermark passes every real session's
+        # last+gap in both variants' final sweep
+        [_ev(99, 10_000, 7)],
+    ]
+    py_rows = _run(spark, tmp_path, batches)
+
+    src = tmp_path / "src"  # staged by _run above
+    schema = spark.read.parquet(str(src / "batch0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "batch*"))
+    )
+    out = sessionize_stream_native(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("native_sessions_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    nat_rows = spark.sql("SELECT * FROM native_sessions_out").collect()
+    spark.catalog.dropTempView("native_sessions_out")
+
+    key = lambda r: (
+        r.user_id,
+        r.session_start_us,
+        r.session_end_us,
+        r.n_events,
+        r.total_value,
+    )
+    # user 99's session never closes in either variant
+    assert sorted(map(key, py_rows)) == sorted(map(key, nat_rows))
+    assert {r.user_id for r in nat_rows} == {1, 2}
+    by_user = {r.user_id: r for r in nat_rows if r.n_events > 1}
+    # exact decimal sums survive the double cast identically
+    assert by_user[2].total_value == 7.75
