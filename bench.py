@@ -93,14 +93,27 @@ def main() -> None:
         json.dumps({**payload, "first_run": first_run}, indent=2) + "\n"
     )
 
-    # The driver keeps only the LAST ~2 KB of stdout and parses the
-    # JSON line out of that tail.  Round 4's 65-query line grew past
-    # the capture window and lost its head ({"metric","value",...}),
-    # so BENCH_r04.json came back parsed:null.  Budget the printed
-    # line: emit the full map when it fits, otherwise keep the
-    # slowest-K entries (the ones worth reading in a summary) and say
-    # how many were omitted; the full map is in BENCH_DETAIL.json.
-    budget = 1800
+    line = fit_summary_line(payload)
+    # Stop Spark BEFORE printing: the console progress bar writes
+    # \r-frames to stdout and must not land after the summary line.
+    spark.stop()
+    print(line, flush=True)
+
+
+def fit_summary_line(payload: dict, budget: int = 1800) -> str:
+    """Budget the printed summary to the driver's tail capture.
+
+    The driver keeps only the LAST ~2 KB of stdout and parses the JSON
+    line out of that tail.  Round 4's 65-query line grew past the
+    capture window and lost its head ({"metric","value",...}), so
+    BENCH_r04.json came back parsed:null.  Emit the full query map when
+    it fits; otherwise keep the slowest-K entries (the ones worth
+    reading in a summary) and say how many were omitted — the full map
+    is always in BENCH_DETAIL.json.  Tested in
+    tests/test_bench_contract.py (the line must stay parseable and
+    under budget for ANY registry size)."""
+    payload = dict(payload)
+    timings = payload["queries"]
     line = json.dumps(payload)
     if len(line) > budget:
         slowest = dict(
@@ -108,14 +121,11 @@ def main() -> None:
         )
         while len(line) > budget and slowest:
             slowest.popitem()  # drop current fastest of the kept set
-            payload["queries"] = slowest
+            payload["queries"] = dict(slowest)
             payload["queries_omitted"] = len(timings) - len(slowest)
             payload["detail_file"] = "BENCH_DETAIL.json"
             line = json.dumps(payload)
-    # Stop Spark BEFORE printing: the console progress bar writes
-    # \r-frames to stdout and must not land after the summary line.
-    spark.stop()
-    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":
