@@ -270,6 +270,157 @@ class ManagedTable:
             if c.is_dir() and c.name.startswith("v") and c.name[1:].isdigit()
         )
 
+    def changes_between(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        key_cols: list[str] | None = None,
+        check_unique_keys: bool = True,
+    ) -> DataFrame:
+        """Row-level changes between two snapshots — the Delta Change
+        Data Feed role (``table_changes``), computed by SNAPSHOT DIFF
+        because this table keeps full versioned snapshots, not a
+        change log.  Downstream incremental consumers read the delta
+        instead of reprocessing the whole table.
+
+        With ``key_cols`` (the scale path): one full-outer join on the
+        keys classifies each key as ``insert`` (new only), ``delete``
+        (old only), or — when any non-key column differs under
+        null-safe comparison — an ``update_preimage``/
+        ``update_postimage`` row pair (Delta CDF's vocabulary).  The
+        shuffle is keyed, so cost is O(both snapshots) with column-
+        pruned scans, never a full-row comparison shuffle.  Keys must
+        be unique per snapshot (the merge invariant); a duplicate key
+        raises at action time (raise_error riding the same keyed
+        shuffle) instead of silently emitting a many-to-many join's
+        cross rows — pass ``check_unique_keys=False`` to opt out when
+        the invariant is enforced upstream.
+
+        Without ``key_cols``: multiset diff via ``exceptAll`` both
+        ways — ``insert``/``delete`` rows only (no update pairing).
+        Exact for duplicate rows, but the comparison key is the WHOLE
+        row; prefer keys at scale.
+
+        Schema evolution between the versions is handled the way the
+        readers see it: columns absent in one snapshot compare as
+        NULL.  Output: the union of both versions' columns (new
+        version's order first) plus ``_change_type`` and
+        ``_commit_version`` (the ``to`` version)."""
+        versions = self.versions()
+        if to_version is None:
+            m = self._read_manifest()
+            if m is None:
+                raise FileNotFoundError(f"no ManagedTable at {self.path}")
+            to_version = int(m["version"])
+        for v in (from_version, to_version):
+            if v not in versions:
+                raise FileNotFoundError(
+                    f"version {v} of {self.path} does not exist "
+                    "(never written, or removed by vacuum)"
+                )
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        all_cols = list(new.columns) + [
+            c for c in old.columns if c not in new.columns
+        ]
+        pad = lambda df: df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).alias(c)
+                for c in all_cols
+            ]
+        )
+        old, new = pad(old), pad(new)
+        ver = F.lit(int(to_version)).alias("_commit_version")
+
+        if not key_cols:
+            ins = new.exceptAll(old).withColumn(
+                "_change_type", F.lit("insert")
+            )
+            dels = old.exceptAll(new).withColumn(
+                "_change_type", F.lit("delete")
+            )
+            return ins.unionByName(dels).withColumn(
+                "_commit_version", ver
+            )
+
+        missing = [c for c in key_cols if c not in all_cols]
+        if missing:
+            raise ValueError(
+                f"changes_between: key columns {missing} not in either "
+                f"snapshot's schema"
+            )
+        if check_unique_keys:
+            old = self._assert_unique_keys(old, key_cols, from_version)
+            new = self._assert_unique_keys(new, key_cols, to_version)
+        data_cols = [c for c in all_cols if c not in key_cols]
+        # presence markers, NOT key-isNotNull: NULL is a legitimate key
+        # value under the eqNullSafe join, so "row absent on this side"
+        # must be detected by a literal that only exists when the side
+        # matched.
+        o = old.withColumn("__o_exists", F.lit(True)).alias("o")
+        n = new.withColumn("__n_exists", F.lit(True)).alias("n")
+        cond = [
+            F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in key_cols
+        ]
+        joined = o.join(n, on=cond, how="full_outer")
+        in_old = F.col("o.__o_exists").isNotNull()
+        in_new = F.col("n.__n_exists").isNotNull()
+        differs = F.lit(False)
+        for c in data_cols:
+            differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+        side = lambda tag: [
+            F.col(f"{tag}.{c}").alias(c) for c in all_cols
+        ]
+        inserts = joined.filter(~in_old & in_new).select(
+            *side("n"), F.lit("insert").alias("_change_type")
+        )
+        deletes = joined.filter(in_old & ~in_new).select(
+            *side("o"), F.lit("delete").alias("_change_type")
+        )
+        updated = joined.filter(in_old & in_new & differs)
+        pre = updated.select(
+            *side("o"), F.lit("update_preimage").alias("_change_type")
+        )
+        post = updated.select(
+            *side("n"), F.lit("update_postimage").alias("_change_type")
+        )
+        return (
+            inserts.unionByName(deletes)
+            .unionByName(pre)
+            .unionByName(post)
+            .withColumn("_commit_version", ver)
+        )
+
+    def _assert_unique_keys(
+        self, df: DataFrame, key_cols: list[str], version: int
+    ) -> DataFrame:
+        """raise_error rider: any key appearing twice in the snapshot
+        fails the diff job with the offending key instead of silently
+        multiplying rows through the many-to-many join.  The guard is
+        woven INTO the first key column (``when(dup, raise_error)
+        .otherwise(key)``) — a standalone guard column would be
+        dead code to Catalyst and pruned before it could ever fire."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*[F.col(k) for k in key_cols])
+        dup = F.count(F.lit(1)).over(w) > 1
+        guard = F.raise_error(
+            F.concat(
+                F.lit(
+                    f"changes_between: duplicate key in v{version} "
+                    f"for ({', '.join(key_cols)})=("
+                ),
+                F.concat_ws(
+                    ",", *[F.col(k).cast("string") for k in key_cols]
+                ),
+                F.lit(")"),
+            )
+        )
+        k0 = key_cols[0]
+        return df.withColumn(
+            k0, F.when(dup, guard).otherwise(F.col(k0))
+        )
+
     def _pinned_snapshot(self) -> tuple[dict, DataFrame]:
         """Manifest + a DataFrame pinned to THAT manifest's snapshot
         dir, read atomically (one manifest read). Read-modify-write
