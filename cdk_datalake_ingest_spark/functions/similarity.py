@@ -50,7 +50,14 @@ def dot_arrow(a: Column, b: Column) -> Column:
     gate time); on the ANN candidate streams (tens of thousands of
     pairs) the Arrow round-trip + codegen break COSTS more than the
     interpreted fold (ann_cosine_topk 0.5->1.4 s when tried), so the
-    ANN paths keep the expression ``dot``."""
+    ANN paths keep the expression ``dot``.
+
+    Degenerate inputs match the expression it is a drop-in for: NULL
+    on either side -> NULL, both empty -> 0.0, mismatched lengths ->
+    NULL (zip_with pads the short side with NULL, which the fold
+    propagates). The vectorized stack runs only when the batch is
+    uniform non-null; a batch with any degenerate row falls back to a
+    row-at-a-time fold with identical left-to-right IEEE order."""
     if not _DOT_ARROW:
 
         @pandas_udf("double")
@@ -58,9 +65,30 @@ def dot_arrow(a: Column, b: Column) -> Column:
             ra, rb = pa.tolist(), pb.tolist()
             if not ra:
                 return pd.Series([], dtype="float64")
-            A = np.stack([np.asarray(r, dtype=np.float64) for r in ra])
-            B = np.stack([np.asarray(r, dtype=np.float64) for r in rb])
-            return pd.Series((A * B).cumsum(axis=1)[:, -1])
+            dims = {
+                len(v) for v in ra if v is not None
+            } | {len(v) for v in rb if v is not None}
+            uniform = (
+                len(dims) == 1
+                and 0 not in dims
+                and all(
+                    x is not None and y is not None for x, y in zip(ra, rb)
+                )
+            )
+            if uniform:
+                A = np.stack([np.asarray(r, dtype=np.float64) for r in ra])
+                B = np.stack([np.asarray(r, dtype=np.float64) for r in rb])
+                return pd.Series((A * B).cumsum(axis=1)[:, -1])
+            out: list[float | None] = []
+            for x, y in zip(ra, rb):
+                if x is None or y is None or len(x) != len(y):
+                    out.append(None)
+                    continue
+                acc = 0.0
+                for xv, yv in zip(x, y):
+                    acc += float(xv) * float(yv)
+                out.append(acc)
+            return pd.Series(out, dtype="float64")
 
         _DOT_ARROW.append(_kernel)
     return _DOT_ARROW[0](a, b)

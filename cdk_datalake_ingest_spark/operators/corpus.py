@@ -432,6 +432,12 @@ def _reassemble_without(
 #: per-document length at 2^24 tokens (a 16M-token document is beyond
 #: any real training corpus's doc bound — chunk first if one exists).
 _POS_PACK = 1 << 24
+#: ...and ``|doc_id|`` at 2^39: above that ``doc_id * 2^24`` wraps
+#: int64 under Spark's non-ANSI arithmetic (silently mis-picking the
+#: surviving occurrence and aliasing key spaces) while the DuckDB
+#: oracle errors — a latent cross-engine divergence, so both bounds
+#: raise in-plan.
+_ID_CAP = (1 << 63) // _POS_PACK
 
 
 def dedup_substrings(
@@ -482,21 +488,24 @@ def dedup_substrings(
         )
         .withColumn(
             # enforced, not just documented: a pos at/above the pack
-            # radix would collide with the next doc_id's okey space and
-            # silently mis-pick the surviving occurrence
+            # radix would collide with the next doc_id's okey space,
+            # and an id at/above _ID_CAP wraps int64 — either silently
+            # mis-picks the surviving occurrence
             "__okey",
             F.when(
-                F.col("pos") < _POS_PACK,
+                (F.col("pos") < _POS_PACK)
+                & (F.abs(F.col(id_col).cast("long")) < F.lit(_ID_CAP)),
                 F.col(id_col) * F.lit(_POS_PACK) + F.col("pos"),
             ).otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
-                            "dedup_substrings: document exceeds "
-                            f"{_POS_PACK} tokens (id "
+                            "dedup_substrings: packed (doc,pos) key out "
+                            f"of range (pos cap {_POS_PACK} tokens — "
+                            "chunk the document first; |id| cap "
+                            f"{_ID_CAP}) at id "
                         ),
                         F.col(id_col).cast("string"),
-                        F.lit(") — chunk it first"),
                     )
                 )
             ),

@@ -254,6 +254,7 @@ def incremental_near_dup(
     seed: int = 42,
     prime: int = (1 << 61) - 1,
     cache: bool = True,
+    max_batch_rows: int | None = 4_000_000,
 ) -> DataFrame:
     """Near-duplicates of an INCOMING batch against an EXISTING corpus
     index (the crawl-ingest shape: dedup each new snapshot against
@@ -267,14 +268,30 @@ def incremental_near_dup(
     bands and sets branches share one pass), and the batch's banded
     signatures are PINNED broadcast into the candidate join — the
     stored index streams through the probe without ever shuffling.
-    That makes batch size the contract: ingest batches must stay
-    broadcastable (bands rows are 3 integers/doc, so millions of docs
-    fit in tens of MB); for a batch comparable to the corpus itself,
-    use the batch operator (``minhash_near_dup_pairs``) over the
-    union instead.  The exact verify then joins the new sets against
-    the stored sets on candidate ids only.  New-vs-new duplicates
-    inside the batch are the batch operator's job before appending the
-    batch's own signatures to the index."""
+    That makes batch size the contract, and ``max_batch_rows``
+    ENFORCES it: the batch is counted up front (short-circuit
+    ``limit(n+1).count()``, same as the other boundary guards) and a
+    batch over the cap raises instead of pinning a broadcast that
+    OOMs the driver/executors.  The default cap (4M docs ≈ bands ×
+    3 ints ≈ low hundreds of MB of banded signatures) is the point
+    where "broadcastable batch" stops being true; for a batch
+    comparable to the corpus itself, use the batch operator
+    (``minhash_near_dup_pairs``) over the union instead, or pass
+    ``max_batch_rows=None`` to explicitly opt out.  The exact verify
+    then joins the new sets against the stored sets on candidate ids
+    only.  New-vs-new duplicates inside the batch are the batch
+    operator's job before appending the batch's own signatures to the
+    index."""
+    if max_batch_rows is not None:
+        if new_docs.limit(max_batch_rows + 1).count() > max_batch_rows:
+            raise ValueError(
+                f"incremental_near_dup pins the batch's banded signatures "
+                f"as a broadcast: batch exceeds "
+                f"max_batch_rows={max_batch_rows} and would OOM instead "
+                f"of probing. Use minhash_near_dup_pairs over "
+                f"(index ∪ batch), or pass max_batch_rows=None to "
+                f"override."
+            )
     new_bands, new_sets = _minhash_banded(
         new_docs, id_col, text_col, shingle_size, num_hashes, bands,
         seed, prime, cache=cache,

@@ -292,6 +292,16 @@ def semantic_dedup(
     trained quantizer and skip the Lloyd iterations entirely — ``dim``
     is then taken from the centroid width, not the parameter, so a
     16-wide quantizer needs no matching ``dim=16``.
+
+    Execution/lifetime note: the assignment is checkpointed LAZILY, so
+    a caller that only builds/explains the plan pays nothing — but
+    Lloyd training (no ``centroids``) and the ``max_cluster_rows``
+    guard are actions, so with either enabled this call runs corpus
+    jobs eagerly at construction time. The checkpoint blocks live as
+    long as the returned DataFrame's plan: Spark's ContextCleaner
+    unpersists them once the result (and plans derived from it) are
+    garbage-collected, so long sessions calling this repeatedly should
+    drop references to finished results rather than accumulate them.
     """
     if centroids is not None:
         cents = [list(c) for c in centroids]
@@ -319,8 +329,10 @@ def semantic_dedup(
     # `rel` (both pair-join branches and the survivor anti-join), and
     # without this each would re-run the k x dim assignment kernel
     # over the corpus. N x (dim + 3) doubles — same footprint class
-    # as the corpus itself.
-    rel = rel.localCheckpoint()
+    # as the corpus itself. Lazy: the guard's count below (or the
+    # caller's first action) materializes it, so plan-only callers
+    # with the guard opted out pay no corpus job here.
+    rel = rel.localCheckpoint(eager=False)
     if max_cluster_rows is not None:
         biggest = (
             rel.groupBy("cluster_id")

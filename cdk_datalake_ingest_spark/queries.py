@@ -725,6 +725,106 @@ WHERE NOT EXISTS (
 """
 
 
+def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff change data feed (operators/table.py:
+    ``changes_between`` — the Delta CDF ``table_changes`` role)
+    through the oracle gate, exercising the REAL versioned-table
+    machinery end to end: a ManagedTable is written at v1 (latest
+    pre-Jan-20 state per (user_id, event_type)), a delete-window
+    merge lands the Jan-15+ batch as v2 (delete period >= 20240115,
+    then upsert — so all four change types occur), and the gate
+    returns the classified keyed diff: ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` + ``_commit_version``.
+
+    The oracle recomputes both snapshots from ``events`` in pure SQL
+    and classifies with null-safe comparisons, so the keyed full-outer
+    diff — including the update pre/post pairing and the unique-key
+    invariant — is cross-engine verified.  No arithmetic touches
+    ``value``: the doubles hash bit-identically after the snapshot
+    parquet round-trip.
+
+    Scale shape: ONE keyed shuffle over the two snapshots (full-outer
+    on the merge keys), column-pruned scans on both sides; at 100 TB
+    this is the cost floor for any snapshot-diff CDF and is linear in
+    the snapshots, never all-pairs."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    ev = _events(spark, sf_dir).withColumn(
+        "period",
+        F.date_format(
+            F.timestamp_micros(F.col("ts_us")), "yyyyMMdd"
+        ).cast("int"),
+    )
+    cols = ["user_id", "event_type", "event_id", "ts_us", "value", "period"]
+    target = latest_record_dedup(
+        ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    source = latest_record_dedup(
+        ev.filter(F.col("ts_us") >= TS_JAN15_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    t = ManagedTable(
+        spark, tempfile.mkdtemp(prefix="cdk_cdf_") + "/events_cdf"
+    )
+    t.write(target)  # v1
+    t.merge_upsert(
+        source,
+        _EVENT_KEYS,
+        delete_predicate=F.col("period") >= F.lit(20240115),
+    )  # v2
+    return t.changes_between(1, 2, key_cols=_EVENT_KEYS)
+
+
+_CDF_V2 = "CAST(2 AS INTEGER) AS _commit_version"
+
+TABLE_CHANGE_FEED_SQL = f"""
+WITH tgt AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) < 1705708800000000")}),
+     src AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) >= 1705276800000000")}),
+     kept AS (SELECT * FROM tgt WHERE NOT (period >= 20240115)),
+     merged AS (
+       SELECT * FROM src
+       UNION ALL
+       SELECT k.* FROM kept k
+       WHERE NOT EXISTS (
+         SELECT 1 FROM src s
+         WHERE s.user_id = k.user_id AND s.event_type = k.event_type)
+     ),
+     changed AS (
+       SELECT o.user_id, o.event_type,
+              o.event_id AS o_event_id, o.ts_us AS o_ts_us,
+              o.value AS o_value, o.period AS o_period,
+              n.event_id AS n_event_id, n.ts_us AS n_ts_us,
+              n.value AS n_value, n.period AS n_period
+       FROM tgt o JOIN merged n
+         ON o.user_id = n.user_id AND o.event_type = n.event_type
+       WHERE o.event_id IS DISTINCT FROM n.event_id
+          OR o.ts_us IS DISTINCT FROM n.ts_us
+          OR o.value IS DISTINCT FROM n.value
+          OR o.period IS DISTINCT FROM n.period
+     )
+SELECT n.user_id, n.event_type, n.event_id, n.ts_us, n.value, n.period,
+       'insert' AS _change_type, {_CDF_V2}
+FROM merged n
+WHERE NOT EXISTS (SELECT 1 FROM tgt o
+  WHERE o.user_id = n.user_id AND o.event_type = n.event_type)
+UNION ALL
+SELECT o.user_id, o.event_type, o.event_id, o.ts_us, o.value, o.period,
+       'delete' AS _change_type, {_CDF_V2}
+FROM tgt o
+WHERE NOT EXISTS (SELECT 1 FROM merged n
+  WHERE n.user_id = o.user_id AND n.event_type = o.event_type)
+UNION ALL
+SELECT user_id, event_type, o_event_id, o_ts_us, o_value, o_period,
+       'update_preimage' AS _change_type, {_CDF_V2}
+FROM changed
+UNION ALL
+SELECT user_id, event_type, n_event_id, n_ts_us, n_value, n_period,
+       'update_postimage' AS _change_type, {_CDF_V2}
+FROM changed
+"""
+
+
 def incremental_between_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10 range predicate + P11 FILTER_EXP/{0}{1} substitution.
 
@@ -961,33 +1061,24 @@ FROM s
 """
 
 
-def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom stateful operator (`applyInPandasWithState`
-    sessionizer, streaming/sessionize.py) through the oracle gate:
-    events staged as a time-ordered drop → one slice per micro-batch →
-    30-min-gap sessionization with event-time timeouts → availableNow
+def _sessionize_gate(
+    spark: SparkSession, sf_dir: str, make_sessions, tmp_prefix: str
+) -> DataFrame:
+    """Shared staging for the two streaming-sessionizer gates: events
+    staged as a time-ordered multi-file drop → file-source stream (one
+    slice per micro-batch) → the caller's sessionizer → availableNow
     drain → read back CLOSED sessions.
 
     A far-future sentinel row (user_id −1) rides in the last slice so
     the watermark passes every real session's last+gap and the final
-    timeout sweep closes them all; the sentinel's own session never
-    closes and stays withheld, so it cannot appear in the output.
-
-    The gate compares ALL session columns including total_value: the
-    state function processes each batch in (ts, event_id) order and
-    accumulates value in exact integer micro-units (replicating the
-    double→DECIMAL(18,6) cast both Spark's batch twin and the DuckDB
-    oracle apply), so the total is independent of arrival order and
-    micro-batch slicing — cross-engine deterministic, hence gateable."""
+    sweep closes them all; the sentinel's own session never closes and
+    stays withheld, so it cannot appear in the output."""
     import datetime as _dt
     import glob as _glob
     import os as _os
     import tempfile
 
     from cdk_datalake_ingest_spark.streaming.events import run_available_now
-    from cdk_datalake_ingest_spark.streaming.sessionize import (
-        sessionize_stream,
-    )
 
     _prep(spark)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
@@ -998,7 +1089,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(ts_us_expr(ev_raw)).alias("ts"),
         "value",
     )
-    tmp = tempfile.mkdtemp(prefix="cdk_stream_sess_")
+    tmp = tempfile.mkdtemp(prefix=tmp_prefix)
     drop = f"{tmp}/drop"
     _os.makedirs(drop)
     max_ts = ev.agg(F.max("ts")).first()[0]
@@ -1026,7 +1117,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", str(_FILES_PER_DROP))
         .parquet(drop)
     )
-    sessions = sessionize_stream(src, gap_minutes=30, ts_col="ts")
+    sessions = make_sessions(src)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -1039,6 +1130,58 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end_us",
         "n_events",
         "total_value",
+    )
+
+
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (`applyInPandasWithState`
+    sessionizer, streaming/sessionize.py) through the oracle gate:
+    30-min-gap sessionization with event-time timeouts over the staged
+    micro-batch drop (see :func:`_sessionize_gate`).
+
+    The gate compares ALL session columns including total_value: the
+    state function processes each batch in (ts, event_id) order and
+    accumulates value in exact integer micro-units (replicating the
+    double→DECIMAL(18,6) cast both Spark's batch twin and the DuckDB
+    oracle apply), so the total is independent of arrival order and
+    micro-batch slicing — cross-engine deterministic, hence gateable."""
+    from cdk_datalake_ingest_spark.streaming.sessionize import (
+        sessionize_stream,
+    )
+
+    return _sessionize_gate(
+        spark,
+        sf_dir,
+        lambda src: sessionize_stream(src, gap_minutes=30, ts_col="ts"),
+        "cdk_stream_sess_",
+    )
+
+
+def streaming_sessionize_native_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The JVM ``session_window`` twin (streaming/sessionize.py:
+    sessionize_stream_native) through the SAME staged micro-batch gate
+    and the SAME batch-session oracle as
+    :func:`streaming_sessionize_events` — proving the native
+    aggregate-shaped sessionizer (no Python state, whole-stage codegen,
+    ~30× smaller state store per SCALE.md's probe) emits row-identical
+    sessions including the DECIMAL-exact total.  The operator pair is
+    the library's documented crossover: ``session_window`` whenever the
+    payload is aggregate-shaped; the Python stateful operator only for
+    what an aggregate cannot express (emit-on-gap, in-batch event
+    order, per-element state)."""
+    from cdk_datalake_ingest_spark.streaming.sessionize import (
+        sessionize_stream_native,
+    )
+
+    return _sessionize_gate(
+        spark,
+        sf_dir,
+        lambda src: sessionize_stream_native(
+            src, gap_minutes=30, ts_col="ts"
+        ),
+        "cdk_stream_sessjvm_",
     )
 
 
@@ -5346,10 +5489,23 @@ def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     The cost expression multiplies an integer cents value by 0.01 and
     casts to DECIMAL(12,2): the double is within half an ulp of the
     exact 2-decimal value, so Spark's HALF_UP cast and DuckDB's
-    decimal multiply land on the identical decimal."""
+    decimal multiply land on the identical decimal.
+
+    The '4 distinct suppliers per part' contract requires >= 4
+    suppliers ((p*4+i) % n_supp collides below that, silently
+    double-counting q02/q09 in BOTH engines — parity would hold but
+    the relation would be wrong as partsupp); a sub-4-supplier
+    fixture raises here instead."""
     if sf_dir not in _SUPP_COUNT:
         _SUPP_COUNT[sf_dir] = _t(spark, sf_dir, "supplier").count()
     n_supp = _SUPP_COUNT[sf_dir]
+    if n_supp < 4:
+        raise ValueError(
+            f"_partsupp: fixture has {n_supp} suppliers; the derived "
+            "partsupp needs >= 4 for distinct (ps_partkey, ps_suppkey) "
+            "pairs — a smaller dim would alias pairs and double-count "
+            "downstream aggregates."
+        )
     part = _t(spark, sf_dir, "part").select("p_partkey")
     ps0 = part.select(
         "p_partkey",
@@ -5754,25 +5910,92 @@ WHERE r_name = 'AMERICA'
 # and all re-verified locally at sf0.01 this round); rotate them
 # back next round.
 #
-# ROUND-7 ROTATION PLAN: put the never-gated entries first
-# (q02/q09/q11/q16/q20 over derived partsupp, substring_dedup_docs,
-# nb_quality_filter_docs, gopher_rules_docs,
-# incremental_minhash_ingest_docs — all green in the local
-# sf0.001 AND sf0.01 parity runs this round), then fill the rest of
-# the 50-row window with the r5-fresh tail entries, oldest-risk
-# first.  The few left over should be entries whose code paths are
-# already window-covered by a twin (e.g. ann_cosine vs ann_lsh
-# family, distinct_rows vs w1) so nothing substantive goes two rounds
-# without an external row.
+# ROUND-7 ROTATION (window = first 50; see the rotation policy
+# note above): (a) the 9 entries that had never seen the driver's
+# oracle plus this round's 2 new gates lead; (b) 39 of the 48
+# r5-aged entries fill the window, heaviest/most-custom operators
+# prioritized.  The 9 r5 entries left over (q01/q03/q05/q10/q12/
+# q17, orders_without_lineitems, customers_with_open_orders,
+# returned_vs_finished_setops) are ALL pure Catalyst-native
+# relational shapes with zero library-operator code of their own:
+# their scan/join/agg/semi/anti machinery is in-window via the 13
+# TPC-H shapes (q21 = exists/not-exists, q22 = anti + scalar avg,
+# q16 = not-in + distinct agg, q02/q11/q17-shape correlated
+# aggregates) and the setops semantics stay pinned by the
+# 1-round-old sql_interface_setops row + local sf0.01 parity.
+# ROUND-8 ROTATION PLAN: lead with these 9, then the r6-fresh 50's
+# oldest; the then-two-round-old tail must again be twin-covered.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # (a) new this round / never driver-gated
+    # (a) never driver-gated: round-6 additions + round-7 new gates
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q09_product_profit": q09_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
+    "substring_dedup_docs": substring_dedup_docs,
+    "nb_quality_filter_docs": nb_quality_filter_docs,
+    "gopher_rules_docs": gopher_rules_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "table_change_feed_events": table_change_feed_events,
+    "streaming_sessionize_native_events": streaming_sessionize_native_events,
+    # (b) last driver row is r5 (oldest first-risk)
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "q07_volume_shipping": q07_volume_shipping,
+    "q08_market_share": q08_market_share,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
+    "unigram_lm_docs": unigram_lm_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "chunk_docs_sliding": chunk_docs_sliding,
+    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "events_value_percentiles": events_value_percentiles,
+    "gap_fill_user_hours": gap_fill_user_hours,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "dq_validate_orders": dq_validate_orders,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "window_rank_suite_events": window_rank_suite_events,
+    "streaming_corpus_stats": streaming_corpus_stats,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "sessionize_events": sessionize_events,
+    "user_value_analytics": user_value_analytics,
+    "asof_purchase_click": asof_purchase_click,
+    "range_join_purchase_clicks": range_join_purchase_clicks,
+    "skew_salted_join_events": skew_salted_join_events,
+    "events_pivot_by_type": events_pivot_by_type,
+    "user_engagement_approx": user_engagement_approx,
+    "events_daily_rollup_sets": events_daily_rollup_sets,
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "schema_evolution_merge": schema_evolution_merge,
+    "stage_pipeline_lineitem": stage_pipeline_lineitem,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
+    "planner_multi_table_run": planner_multi_table_run,
+    "streaming_dedup_ingest": streaming_dedup_ingest,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # 9 r5 leftovers (twin-covered, see note above) ...
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "customers_with_open_orders": customers_with_open_orders,
+    "returned_vs_finished_setops": returned_vs_finished_setops,
+    # ... then the 50 entries fresh-green in CORRECTNESS_r06
     "sql_interface_q13": sql_interface_q13,
     "decontaminate_multi_docs": decontaminate_multi_docs,
     "sql_interface_window": sql_interface_window,
     "sql_interface_setops": sql_interface_setops,
     "kmeans_train_hash_docs": kmeans_train_hash_docs,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
-    # (b) last driver row is r4
     "streaming_windowed_counts": streaming_windowed_counts,
     "curate_documents": curate_documents,
     "embedding_near_dup": embedding_near_dup,
@@ -5815,79 +6038,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_split_docs": dataset_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
-    # (c) code changed this round
     "hash_embed_docs": hash_embed_docs,
     "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
-    # ---- tail: beyond the driver's 50-entry window (all r5 green,
-    # ---- pytest + local sf0.01 parity still cover them; rotate back
-    # ---- next round)
-    # semantic_dedup_embeddings heads the tail: its round-6 code paths
-    # (Arrow assignment + pair kernels, checkpointed rel, degenerate-
-    # cluster guard) are all exercised in-window by its raw-text twin
-    # semantic_dedup_hash_docs, and it re-verified at sf0.01 locally
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "q07_volume_shipping": q07_volume_shipping,
-    "q08_market_share": q08_market_share,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_dormant_customers": q22_dormant_customers,
-    "unigram_lm_docs": unigram_lm_docs,
-    "tfidf_top_terms_docs": tfidf_top_terms_docs,
-    "chunk_docs_sliding": chunk_docs_sliding,
-    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-    "perplexity_buckets_docs": perplexity_buckets_docs,
-    "events_unpivot_metrics": events_unpivot_metrics,
-    "events_value_percentiles": events_value_percentiles,
-    "gap_fill_user_hours": gap_fill_user_hours,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
-    "dq_validate_orders": dq_validate_orders,
-    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
-    "window_rank_suite_events": window_rank_suite_events,
-    "streaming_corpus_stats": streaming_corpus_stats,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_top_orders": q03_top_orders,
-    "q05_region_revenue": q05_region_revenue,
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "orders_without_lineitems": orders_without_lineitems,
-    "customers_with_open_orders": customers_with_open_orders,
-    "returned_vs_finished_setops": returned_vs_finished_setops,
-    "sessionize_events": sessionize_events,
-    "user_value_analytics": user_value_analytics,
-    "asof_purchase_click": asof_purchase_click,
-    "range_join_purchase_clicks": range_join_purchase_clicks,
-    "skew_salted_join_events": skew_salted_join_events,
-    "events_pivot_by_type": events_pivot_by_type,
-    "user_engagement_approx": user_engagement_approx,
-    "events_daily_rollup_sets": events_daily_rollup_sets,
-    "merge_upsert_events": merge_upsert_events,
-    "merge_delete_window_events": merge_delete_window_events,
-    "schema_evolution_merge": schema_evolution_merge,
-    "stage_pipeline_lineitem": stage_pipeline_lineitem,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
-    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
-    "planner_multi_table_run": planner_multi_table_run,
-    "streaming_dedup_ingest": streaming_dedup_ingest,
-    # new this round, added at the tail AFTER the 50-row window was
-    # already committed to the never-gated + r4-aged entries: the five
-    # partsupp-dependent TPC-H shapes over the derived partsupp
-    # relation.  Local sf0.001/sf0.01 parity green
-    # (tests/test_oracle_parity.py + tools/check_parity.py); rotate
-    # into the driver window next round.
-    "q02_min_cost_supplier": q02_min_cost_supplier,
-    "q09_product_profit": q09_product_profit,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q20_promotion_suppliers": q20_promotion_suppliers,
-    "substring_dedup_docs": substring_dedup_docs,
-    "nb_quality_filter_docs": nb_quality_filter_docs,
-    "gopher_rules_docs": gopher_rules_docs,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -5949,6 +6101,9 @@ ORACLES: dict[str, str] = {
     "vocab_top_tokens": VOCAB_SQL,
     "streaming_dedup_ingest": STREAMING_DEDUP_SQL,
     "streaming_sessionize_events": STREAMING_SESSIONIZE_SQL,
+    # the JVM session_window twin answers the SAME batch-session oracle
+    "streaming_sessionize_native_events": STREAMING_SESSIONIZE_SQL,
+    "table_change_feed_events": TABLE_CHANGE_FEED_SQL,
     "near_dup_clusters_docs": NEAR_DUP_CLUSTERS_SQL,
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,

@@ -13,6 +13,8 @@ the raw parquet zone.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -20,16 +22,55 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
+#: (session key, view name) -> sf_dir the view currently points at.
+#: Registration costs a parquet-footer read per table; at a 10-table
+#: catalog that dominated short queries (sql_interface_q13 regressed
+#: 0.79->1.53 s when every call re-registered all 10 views).  Keyed by
+#: the CURRENT sf_dir so switching fixture dirs re-registers and
+#: switching back re-registers again — correctness never depends on
+#: the cache, only cost does.  Assumes the parquet under a given
+#: sf_dir is immutable for the session (same contract as the k-means
+#: centroid cache); pass ``force=True`` after mutating fixtures.
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
+def _session_key(spark: SparkSession) -> int:
+    # id() of the live session object: stable for the session's
+    # lifetime, distinct across concurrently-live sessions. A new
+    # session reusing a dead one's id() merely re-registers views it
+    # doesn't have yet (the .get() mismatch), never skips one it needs.
+    return id(spark)
+
+
+def referenced_tables(query: str) -> list[str]:
+    """Catalog tables mentioned (word-boundary) in the query text.
+    Over-approximate by design: a CTE or string literal named like a
+    table registers one extra view (harmless); a miss is impossible
+    because any real table reference IS the bare word."""
+    return [
+        t for t in TABLES if re.search(rf"\b{t}\b", query, re.IGNORECASE)
+    ]
+
 
 def register_tables(
-    spark: SparkSession, sf_dir: str, tables: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    tables: list[str] | None = None,
+    force: bool = False,
 ) -> list[str]:
     """Register each parquet table under ``sf_dir`` as a temp view
     (create-or-replace, so repeated registration against different
-    sf_dirs is safe). Returns the registered names."""
+    sf_dirs is safe), skipping views already pointing at this
+    ``sf_dir``. Returns the requested names."""
     names = list(tables) if tables is not None else TABLES
+    sf = str(sf_dir)
+    skey = _session_key(spark)
     for t in names:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        key = (skey, t)
+        if not force and _REGISTERED.get(key) == sf:
+            continue
+        spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
+        _REGISTERED[key] = sf
     return names
 
 
@@ -38,6 +79,10 @@ def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     The plan goes through the same Catalyst pipeline as the DataFrame
     API — pushdown/pruning/broadcast decisions are identical, so
     everything tests/test_plans.py pins for DataFrame queries holds
-    for the SQL surface too."""
-    register_tables(spark, sf_dir)
+    for the SQL surface too.
+
+    Only the tables the text references are (re)registered, and a
+    view already pointing at this ``sf_dir`` is not re-read — a
+    2-table query costs 0-2 footer reads, not 10."""
+    register_tables(spark, sf_dir, referenced_tables(query))
     return spark.sql(query)

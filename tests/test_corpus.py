@@ -393,8 +393,35 @@ def test_dedup_substrings_overlong_document_raises(spark, monkeypatch):
         [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
         "doc_id long, text string",
     )
-    with pytest.raises(Exception, match="exceeds 4 tokens"):
+    with pytest.raises(Exception, match="pos cap 4 tokens"):
         corpus_mod.dedup_substrings(docs, length=3).collect()
+
+
+def test_dedup_substrings_huge_doc_id_raises(spark):
+    """The other half of the packing guard: a doc_id at/above 2^39
+    would wrap ``doc_id * 2^24`` in int64 under Spark's non-ANSI
+    arithmetic — silently aliasing key spaces and mis-picking the
+    surviving occurrence (while the DuckDB oracle ERRORS on the same
+    overflow, a latent cross-engine divergence). Raises in-plan
+    instead."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators import corpus as corpus_mod
+
+    big = 1 << 39
+    docs = spark.createDataFrame(
+        [(big, "a b c d e f"), (1, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match=r"\|id\| cap"):
+        corpus_mod.dedup_substrings(docs, length=3).collect()
+    # one below the cap packs fine
+    ok = spark.createDataFrame(
+        [(big - 1, "a b c d e f"), (1, "a b c d e f")],
+        "doc_id long, text string",
+    )
+    out = corpus_mod.dedup_substrings(ok, length=3).collect()
+    assert {r["doc_id"] for r in out} == {big - 1, 1}
 
 
 def test_nb_quality_scores_separates_vocabularies(spark):
@@ -464,3 +491,21 @@ def test_nb_quality_scores_rejects_nonpositive_alpha(spark):
     )
     with pytest.raises(ValueError, match="alpha"):
         nb_quality_scores(df, "lab", alpha=0.0)
+
+
+def test_partsupp_requires_four_suppliers(spark):
+    """The derived partsupp's '4 distinct suppliers per part' contract
+    breaks below 4 suppliers ((p*4+i) % n collides, silently
+    double-counting q02/q09 in both engines); the builder raises
+    instead of deriving an aliased relation."""
+    import pytest
+
+    from cdk_datalake_ingest_spark import queries as q
+
+    fake = "/nonexistent/sub4supplier"
+    q._SUPP_COUNT[fake] = 3
+    try:
+        with pytest.raises(ValueError, match="needs >= 4"):
+            q._partsupp(spark, fake)
+    finally:
+        del q._SUPP_COUNT[fake]

@@ -208,3 +208,38 @@ def test_minhash_banding_rejects_degenerate_band_counts(spark):
         minhash_signature_index(
             df, "doc_id", "text", num_hashes=32, bands=5
         )
+
+
+def test_incremental_near_dup_batch_cap_raises(spark):
+    """The pinned-broadcast contract is ENFORCED: a batch over
+    max_batch_rows raises (pointing at the batch operator) instead of
+    pinning a broadcast that OOMs; the same call with the cap lifted
+    (or at default) still works."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        incremental_near_dup,
+        minhash_signature_index,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "totally unrelated text about spark shuffle behavior"),
+        ],
+        "doc_id long, text string",
+    )
+    bands, sets = minhash_signature_index(existing, "doc_id", "text")
+    with pytest.raises(ValueError, match="max_batch_rows=1"):
+        incremental_near_dup(
+            batch, bands, sets, "doc_id", "text", max_batch_rows=1
+        )
+    out = incremental_near_dup(
+        batch, bands, sets, "doc_id", "text",
+        jaccard_threshold=0.3, max_batch_rows=None,
+    ).collect()
+    assert [r["new_id"] for r in out] == [10]

@@ -502,3 +502,20 @@ def test_incremental_ingest_broadcasts_the_batch(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_change_feed_scans_each_snapshot_once(spark):
+    """The CDF diff must be ONE full-outer join + ONE Generate over the
+    joined relation — a filter-union of four projections would make
+    Catalyst re-plan (and re-scan) the join per change type: 4x the
+    snapshot reads at 100 TB. Pinned: exactly two parquet scans (one
+    per snapshot version), one Generate, no Union."""
+    plan = _plan(spark, "table_change_feed_events")
+    # formatted explain lists each node twice (tree + details): count
+    # the numbered detail headers only
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 2, plan
+    assert "Generate" in plan
+    assert "Union" not in plan
+    # tree line prints once; the second "FullOuter" hit is the detail
+    # node's Join-type argument line
+    assert plan.count("SortMergeJoin FullOuter") == 1, plan

@@ -136,3 +136,116 @@ def test_changes_default_to_current_and_vacuumed_raises(spark, table):
     assert {r["_commit_version"] for r in ch.collect()} == {2}
     with pytest.raises(FileNotFoundError, match="does not exist"):
         table.changes_between(7)
+
+
+# ---------------------------------------------------------------------------
+# Property: keyed diff == direct Python reference == keyless exceptAll
+# (same pattern as substring dedup's direct-Python twin)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_row = st.tuples(
+    st.one_of(st.none(), st.integers(min_value=0, max_value=4)),   # key
+    st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),        # name
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=3)),  # val
+)
+_snap = st.lists(_row, min_size=0, max_size=8)
+
+
+def _write_versions(spark, tmp, old_rows, new_rows, evolve):
+    import tempfile
+
+    t = ManagedTable(spark, tempfile.mkdtemp(dir=tmp, prefix="cdc_prop_"))
+    t.write(
+        spark.createDataFrame(old_rows, "k int, name string, val int")
+        if old_rows
+        else spark.createDataFrame([], "k int, name string, val int")
+    )
+    if evolve:
+        rows2 = [(k, n, v, None if v is None else str(v)) for k, n, v in new_rows]
+        schema2 = "k int, name string, val int, extra string"
+    else:
+        rows2, schema2 = new_rows, "k int, name string, val int"
+    t.write(
+        spark.createDataFrame(rows2, schema2)
+        if rows2
+        else spark.createDataFrame([], schema2)
+    )
+    return t
+
+
+@given(old=_snap, new=_snap, evolve=st.booleans())
+@settings(max_examples=12, deadline=None)
+def test_keyed_cdc_matches_python_reference(spark, tmp_path_factory, old, new, evolve):
+    """Random snapshot pairs (NULL keys/values, schema evolution,
+    duplicate keys): duplicate keys must raise; otherwise the keyed
+    diff must equal a direct Python classification AND be content-
+    equivalent to the keyless exceptAll diff (keyed update_pre/post ==
+    keyless delete/insert of the same rows)."""
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    t = _write_versions(spark, tmp, old, new, evolve)
+
+    def as_map(rows, extra):
+        m = {}
+        for r in rows:
+            k, n, v = r
+            m[k] = (n, v, (None if v is None else str(v)) if extra else None)
+        return m
+
+    dup = len({r[0] for r in old}) < len(old) or len({r[0] for r in new}) < len(new)
+    if dup:
+        with pytest.raises(Exception, match="duplicate key"):
+            t.changes_between(1, 2, key_cols=["k"]).collect()
+        return
+
+    got = t.changes_between(1, 2, key_cols=["k"]).collect()
+    cols = ["k", "name", "val"] + (["extra"] if evolve else [])
+    got_set = {
+        (tuple(r[c] for c in cols), r["_change_type"]) for r in got
+    }
+    assert all(r["_commit_version"] == 2 for r in got)
+
+    # evolve pads old's missing `extra` with NULL — mirror that
+    o = as_map(old, False)   # old never has extra; pad None below
+    n = as_map(new, evolve)
+    want = set()
+    for k in n:
+        row_n = (k, n[k][0], n[k][1]) + ((n[k][2],) if evolve else ())
+        if k not in o:
+            want.add((row_n, "insert"))
+        else:
+            row_o = (k, o[k][0], o[k][1]) + ((None,) if evolve else ())
+            if row_o[1:] != row_n[1:]:
+                want.add((row_o, "update_preimage"))
+                want.add((row_n, "update_postimage"))
+    for k in o:
+        if k not in n:
+            row_o = (k, o[k][0], o[k][1]) + ((None,) if evolve else ())
+            want.add((row_o, "delete"))
+    assert got_set == want
+
+    # keyless multiset diff: same rows, coarser labels
+    keyless = t.changes_between(1, 2).collect()
+
+    def key_(rows):
+        return sorted(
+            rows, key=lambda r: tuple((x is None, str(x)) for x in r)
+        )
+
+    kl_ins = [
+        tuple(r[c] for c in cols) for r in keyless
+        if r["_change_type"] == "insert"
+    ]
+    kl_del = [
+        tuple(r[c] for c in cols) for r in keyless
+        if r["_change_type"] == "delete"
+    ]
+    kd_ins = [
+        row for row, ct in got_set if ct in ("insert", "update_postimage")
+    ]
+    kd_del = [
+        row for row, ct in got_set if ct in ("delete", "update_preimage")
+    ]
+    assert key_(kl_ins) == key_(kd_ins)
+    assert key_(kl_del) == key_(kd_del)

@@ -317,3 +317,46 @@ def test_rp_lsh_bucket_rejects_more_than_62_planes(spark):
     planes = hyperplanes(dim=4, n_planes=63)
     with pytest.raises(ValueError, match="62"):
         rp_lsh_bucket(F.col("v"), planes)
+
+
+def test_dot_arrow_matches_expression_on_degenerate_inputs(spark):
+    """dot_arrow is a public drop-in for the expression ``dot`` — the
+    degenerate rows must agree too: NULL on either side -> NULL, both
+    empty -> 0.0, mismatched lengths -> NULL (zip_with's NULL pad
+    propagates through the fold). A mixed batch exercises the
+    row-at-a-time fallback; the final uniform pair pins that the fast
+    path still runs underneath."""
+    from cdk_datalake_ingest_spark.functions.similarity import dot, dot_arrow
+
+    rows = [
+        (1, [1.0, 2.0], [3.0, 4.0]),   # normal -> 11.0
+        (2, [], []),                   # empty  -> 0.0
+        (3, None, [1.0, 2.0]),         # null   -> NULL
+        (4, [1.0, 2.0], [3.0]),        # ragged -> NULL
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = {
+        r["id"]: (r["k"], r["e"])
+        for r in df.select(
+            "id",
+            dot_arrow(F.col("a"), F.col("b")).alias("k"),
+            dot(F.col("a"), F.col("b")).alias("e"),
+        ).collect()
+    }
+    assert got[1] == (11.0, 11.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+
+    # all-uniform batch (vectorized path) still exact
+    uni = spark.createDataFrame(
+        [(1, [1.5, -2.0, 0.5], [2.0, 1.0, 4.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    r = uni.select(
+        dot_arrow(F.col("a"), F.col("b")).alias("k"),
+        dot(F.col("a"), F.col("b")).alias("e"),
+    ).first()
+    assert r["k"] == r["e"] == 3.0

@@ -219,6 +219,21 @@ NOTES = {
         "runs before data moves. (n_planes+1)x recall probing without "
         "widening the corpus-side plan at all."
     ),
+    "table_change_feed_events": (
+        "Snapshot-diff change data feed (the Delta CDF table_changes "
+        "role over ManagedTable's versioned snapshots): ONE full-outer "
+        "join keyed on the merge keys, then each joined row maps to an "
+        "array of tagged change structs that a single Generate "
+        "explodes — insert/delete one struct, update a pre/post PAIR. "
+        "A filter-union of four projections would have made Catalyst "
+        "re-plan (and re-SCAN) the join per branch — 4x the snapshot "
+        "reads; this dump shows each snapshot scanned ONCE. The "
+        "unique-key invariant rides the same keyed shuffle as a "
+        "raise_error woven into the key column — no extra pass. At "
+        "100 TB the cost floor for any snapshot diff is O(old + new) "
+        "through one keyed exchange per side — this plan is exactly "
+        "that, never an all-pairs or full-row-key comparison."
+    ),
 }
 
 #: appended verbatim — control-plane-dominated chain whose interesting

@@ -89,6 +89,13 @@ QUERIES = [
     # incremental ingest: index build + batch probe both scale with
     # documents (the 1/5 batch split scales with them)
     "incremental_minhash_ingest_docs",
+    # round-7 additions: the snapshot-diff CDF (one keyed full-outer
+    # shuffle over two snapshots — the newest shuffle-heavy operator;
+    # both snapshots derive from events, which scales 10x) and the
+    # multi-probe LSH ANN (corpus side = embeddings scales 10x, query
+    # side stays a broadcast-sized sample)
+    "table_change_feed_events",
+    "ann_lsh_multiprobe_topk",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
