@@ -428,16 +428,6 @@ def _reassemble_without(
     )
 
 
-#: ``pos`` is packed below ``doc_id`` into one orderable int64; caps
-#: per-document length at 2^24 tokens (a 16M-token document is beyond
-#: any real training corpus's doc bound — chunk first if one exists).
-_POS_PACK = 1 << 24
-#: ...and ``|doc_id|`` at 2^39: above that ``doc_id * 2^24`` wraps
-#: int64 under Spark's non-ANSI arithmetic (silently mis-picking the
-#: surviving occurrence and aliasing key spaces) while the DuckDB
-#: oracle errors — a latent cross-engine divergence, so both bounds
-#: raise in-plan.
-_ID_CAP = (1 << 63) // _POS_PACK
 
 
 def dedup_substrings(
@@ -461,12 +451,15 @@ def dedup_substrings(
     md5 of the window text — 16 bytes per occurrence on the shuffle
     instead of L tokens, so the groupBy's exchange volume is ~tokens ×
     16 B, not tokens × L × avg_token.  The duplicated-window relation
-    (count >= 2 with its min packed (doc,pos) key) joins back on the
-    same key — AQE reuses the exchange — and the covered-position
-    union + rewrite is the shared native scrub tail.  A 128-bit
-    collision merging two distinct windows is ~2^-64 at corpus scale;
-    the DuckDB oracle groups by the raw window text, so the gate
-    cross-checks the hashed path against the exact one."""
+    (count >= 2 with its MIN (doc,pos) STRUCT — lexicographic struct
+    ordering, so no packed-int64 key and therefore no document-length
+    or doc-id range caps; ties are impossible because (doc,pos) is
+    unique per occurrence) joins back on the same key — AQE reuses the
+    exchange — and the covered-position union + rewrite is the shared
+    native scrub tail.  A 128-bit collision merging two distinct
+    windows is ~2^-64 at corpus scale; the DuckDB oracle groups by the
+    raw window text, so the gate cross-checks the hashed path against
+    the exact one."""
     from cdk_datalake_ingest_spark.session import ensure_parallelism
 
     if length < 1:
@@ -486,43 +479,20 @@ def dedup_substrings(
             F.col("pos"),
             F.md5(F.col("__w")).alias("__h"),
         )
-        .withColumn(
-            # enforced, not just documented: a pos at/above the pack
-            # radix would collide with the next doc_id's okey space,
-            # and an id at/above _ID_CAP wraps int64 — either silently
-            # mis-picks the surviving occurrence
-            "__okey",
-            F.when(
-                (F.col("pos") < _POS_PACK)
-                & (F.abs(F.col(id_col).cast("long")) < F.lit(_ID_CAP)),
-                F.col(id_col) * F.lit(_POS_PACK) + F.col("pos"),
-            ).otherwise(
-                F.raise_error(
-                    F.concat(
-                        F.lit(
-                            "dedup_substrings: packed (doc,pos) key out "
-                            f"of range (pos cap {_POS_PACK} tokens — "
-                            "chunk the document first; |id| cap "
-                            f"{_ID_CAP}) at id "
-                        ),
-                        F.col(id_col).cast("string"),
-                    )
-                )
-            ),
-        )
     )
+    occ = F.struct(F.col(id_col), F.col("pos"))
     dup_windows = (
         wins.groupBy("__h")
         .agg(
             F.count(F.lit(1)).alias("__cnt"),
-            F.min("__okey").alias("__keep"),
+            F.min(occ).alias("__keep"),
         )
         .filter(F.col("__cnt") >= 2)
         .select("__h", "__keep")
     )
     covered = (
         wins.join(dup_windows, "__h")
-        .filter(F.col("__okey") != F.col("__keep"))
+        .filter(occ != F.col("__keep"))
         .select(
             F.col(id_col),
             F.explode(

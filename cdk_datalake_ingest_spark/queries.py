@@ -5134,6 +5134,10 @@ _KM_K, _KM_ITERS, _KM_DIM, _SEM_THRESHOLD = 8, 2, 64, 0.4
 #: the three k-means consumers (histogram, SemDeDup, IVF quantizer)
 #: train the quantizer once per process instead of three times. This
 #: is also the production pattern: train once, reuse everywhere.
+#: keyed by the sf_dir STRING: correct because the fixture dirs are
+#: immutable for the process lifetime (same contract as sql.py's view
+#: cache) — a caller that mutates parquet under a cached dir would be
+#: served stale centroids; clear() the cache after mutating fixtures.
 _KM_CACHE: dict[tuple[str, int, int, int], list[list[float]]] = {}
 
 

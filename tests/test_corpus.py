@@ -380,48 +380,30 @@ def test_dedup_substrings_within_one_document(spark):
     assert out["n_removed_tokens"] == 4
 
 
-def test_dedup_substrings_overlong_document_raises(spark, monkeypatch):
-    """The (doc, pos) packing guard is enforced, not just documented: a
-    document whose token positions reach the pack radix raises instead
-    of silently colliding into the next doc's key space."""
-    import pytest
-
+def test_dedup_substrings_has_no_id_or_length_caps(spark):
+    """The survivor key is min(struct(doc_id, pos)) — lexicographic
+    struct ordering, not packed int64 arithmetic — so there is NO
+    doc-id or document-length cap to overflow: a doc_id far beyond the
+    old 2^39 pack radix (which used to silently wrap int64 and
+    mis-pick the surviving occurrence) dedups correctly, with the
+    smaller-id document surviving."""
     from cdk_datalake_ingest_spark.operators import corpus as corpus_mod
 
-    monkeypatch.setattr(corpus_mod, "_POS_PACK", 4)
+    big = 1 << 55
     docs = spark.createDataFrame(
-        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        [(big, "a b c d e f"), (1, "a b c d e f"), (big + 1, "x y z q")],
         "doc_id long, text string",
     )
-    with pytest.raises(Exception, match="pos cap 4 tokens"):
-        corpus_mod.dedup_substrings(docs, length=3).collect()
-
-
-def test_dedup_substrings_huge_doc_id_raises(spark):
-    """The other half of the packing guard: a doc_id at/above 2^39
-    would wrap ``doc_id * 2^24`` in int64 under Spark's non-ANSI
-    arithmetic — silently aliasing key spaces and mis-picking the
-    surviving occurrence (while the DuckDB oracle ERRORS on the same
-    overflow, a latent cross-engine divergence). Raises in-plan
-    instead."""
-    import pytest
-
-    from cdk_datalake_ingest_spark.operators import corpus as corpus_mod
-
-    big = 1 << 39
-    docs = spark.createDataFrame(
-        [(big, "a b c d e f"), (1, "a b c d e f")],
-        "doc_id long, text string",
-    )
-    with pytest.raises(Exception, match=r"\|id\| cap"):
-        corpus_mod.dedup_substrings(docs, length=3).collect()
-    # one below the cap packs fine
-    ok = spark.createDataFrame(
-        [(big - 1, "a b c d e f"), (1, "a b c d e f")],
-        "doc_id long, text string",
-    )
-    out = corpus_mod.dedup_substrings(ok, length=3).collect()
-    assert {r["doc_id"] for r in out} == {big - 1, 1}
+    out = {
+        r["doc_id"]: r
+        for r in corpus_mod.dedup_substrings(docs, length=3).collect()
+    }
+    assert set(out) == {big, 1, big + 1}
+    # doc 1 is the min (doc,pos) occurrence of every shared window ->
+    # it survives intact, the huge-id twin is fully scrubbed
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[big]["n_removed_tokens"] == 6
+    assert out[big + 1]["n_removed_tokens"] == 0
 
 
 def test_nb_quality_scores_separates_vocabularies(spark):
