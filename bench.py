@@ -32,9 +32,15 @@ EXCLUDE = {"ngram_jaccard_docs", "embedding_near_dup"}
 
 
 def bench_queries() -> list[str]:
+    # ALPHABETICAL, not registry order: the registry rotates every
+    # round (driver-freshness policy), and run position changes a
+    # query's JIT/codegen warmth — round 7's rotation made the moved
+    # entries read 1.3-1.9x "slower" with zero code change (total over
+    # common entries: +0.1%). A rotation-independent order keeps
+    # per-query numbers comparable across rounds.
     from cdk_datalake_ingest_spark.queries import QUERIES
 
-    return [q for q in QUERIES if q not in EXCLUDE]
+    return sorted(q for q in QUERIES if q not in EXCLUDE)
 
 
 def main() -> None:

@@ -291,10 +291,14 @@ class ManagedTable:
         shuffle is keyed, so cost is O(both snapshots) with column-
         pruned scans, never a full-row comparison shuffle.  Keys must
         be unique per snapshot (the merge invariant); a duplicate key
-        raises at action time (raise_error riding the same keyed
-        shuffle) instead of silently emitting a many-to-many join's
-        cross rows — pass ``check_unique_keys=False`` to opt out when
-        the invariant is enforced upstream.
+        raises at action time (raise_error woven into the key column)
+        instead of silently emitting a many-to-many join's cross rows.
+        Cost note: the guard's window partitions by the plain keys
+        while the null-safe join re-partitions by its coalesced key
+        expressions, so the check adds one extra keyed exchange per
+        side (same volume, visible in PLANS.md) — pass
+        ``check_unique_keys=False`` to skip it when the invariant is
+        enforced upstream (every ManagedTable merge enforces it).
 
         Without ``key_cols``: multiset diff via ``exceptAll`` both
         ways — ``insert``/``delete`` rows only (no update pairing).

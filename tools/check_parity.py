@@ -110,16 +110,23 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    args = sys.argv[1:]
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
     import __spark_entry__ as entry_mod
     from cdk_datalake_ingest_spark.session import get_spark
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    only = set(sys.argv[2:])
+    only = set(args[1:])
     spark = get_spark("parity-check")
     con = duck_conn(sf_dir)
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -127,15 +134,18 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"[FAIL] {name}: spark error: {e}")
+            results[name] = {"ok": False, "problems": [f"spark error: {e}"]}
             failures += 1
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows")
+            results[name] = {"ok": True, "rows": len(sdf), "mode": "rows-only"}
             continue
         try:
             ddf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: duckdb error: {e}")
+            results[name] = {"ok": False, "problems": [f"duckdb error: {e}"]}
             failures += 1
             continue
         problems = compare(name, sdf, ddf)
@@ -144,9 +154,28 @@ def main() -> int:
             print(f"[FAIL] {name} ({len(sdf)} rows):")
             for p in problems:
                 print(f"    {p}")
+            results[name] = {
+                "ok": False, "rows": len(sdf), "problems": problems,
+            }
         else:
             print(f"[ok] {name}: {len(sdf)} rows match")
+            results[name] = {"ok": True, "rows": len(sdf), "mode": "oracle"}
     spark.stop()
+    if json_path:
+        import json as _json
+
+        Path(json_path).write_text(
+            _json.dumps(
+                {
+                    "sf_dir": sf_dir,
+                    "entries": len(results),
+                    "failures": failures,
+                    "results": results,
+                },
+                indent=1,
+                sort_keys=True,
+            )
+        )
     return 1 if failures else 0
 
 

@@ -367,7 +367,7 @@ def main() -> None:
                           "shape": shape_note}))
 
     md = [
-        "# SCALE — 10x rehearsal (round 6)",
+        "# SCALE — 10x rehearsal (round 7)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",
@@ -407,18 +407,25 @@ def main() -> None:
         "narrow corpus scan against a broadcast centroid literal; see",
         "tests/test_plans.py:test_kmeans_assignment_is_narrow).",
         "",
-        "Two plan-shape deltas are EXPECTED and benign, not scale bugs:",
+        "Two plan-shape delta SIGNATURES are EXPECTED and benign, not",
+        "scale bugs:",
         "(1) queries that call `ensure_parallelism` (substring dedup,",
-        "boilerplate scrub, near-dup) insert a small-input repartition",
-        "Exchange only when the scan has fewer partitions than cores —",
-        "at 10x (and a fortiori at 100 TB) the input is already wide and",
-        "the Exchange disappears, once per consumer branch of the",
-        "relation; (2) q20's 1996-shipments pre-aggregate outgrows the",
-        "broadcast threshold at 10x and AQE flips that one join to",
-        "sort-merge — the adaptive right-sizing the session config is",
-        "FOR (the partsupp/part/dim joins stay broadcast). A DIFFERS",
-        "note composed only of these two signatures is healthy; any",
-        "other operator flip still warrants a follow-up.",
+        "boilerplate scrub, near-dup, multi-probe ANN) insert a",
+        "small-input repartition Exchange only when the scan has fewer",
+        "partitions than cores — at 10x (and a fortiori at 100 TB) the",
+        "input is already wide and the Exchange disappears, once per",
+        "consumer branch of the relation; (2) a relation that outgrows",
+        "the broadcast threshold at 10x flips its join to sort-merge —",
+        "the adaptive right-sizing the session config is FOR. Signature",
+        "(2) instances this round: q20's 1996-shipments pre-aggregate",
+        "(the partsupp/part/dim joins stay broadcast), and the",
+        "incremental-ingest EXACT-VERIFY joins, whose stored shingle-set",
+        "side grows with the corpus (the batch's banded signatures stay",
+        "PINNED broadcast at both scales — exactly the operator's",
+        "contract: the probe side may never flip, the verify side",
+        "should). A DIFFERS note composed only of these two signatures",
+        "is healthy; any other operator flip still warrants a",
+        "follow-up.",
         "",
     ]
     md += _sessionizer_section()
