@@ -14,6 +14,7 @@ the raw parquet zone.
 from __future__ import annotations
 
 import re
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -22,24 +23,22 @@ TABLES = (
     "events documents embeddings"
 ).split()
 
-#: (session key, view name) -> sf_dir the view currently points at.
+#: per-session {view name -> sf_dir the view currently points at}.
 #: Registration costs a parquet-footer read per table; at a 10-table
 #: catalog that dominated short queries (sql_interface_q13 regressed
 #: 0.79->1.53 s when every call re-registered all 10 views).  Keyed by
 #: the CURRENT sf_dir so switching fixture dirs re-registers and
 #: switching back re-registers again — correctness never depends on
-#: the cache, only cost does.  Assumes the parquet under a given
-#: sf_dir is immutable for the session (same contract as the k-means
-#: centroid cache); pass ``force=True`` after mutating fixtures.
-_REGISTERED: dict[tuple[int, str], str] = {}
-
-
-def _session_key(spark: SparkSession) -> int:
-    # id() of the live session object: stable for the session's
-    # lifetime, distinct across concurrently-live sessions. A new
-    # session reusing a dead one's id() merely re-registers views it
-    # doesn't have yet (the .get() mismatch), never skips one it needs.
-    return id(spark)
+#: the cache, only cost does.  A WeakKeyDictionary on the live session
+#: object, NOT id(spark): an id can be reused after the old session is
+#: garbage-collected, and an aliased entry would make a fresh session
+#: (which has no temp views) silently skip a registration it needs.
+#: Assumes the parquet under a given sf_dir is immutable for the
+#: session (same contract as the k-means centroid cache); pass
+#: ``force=True`` after mutating fixtures.
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def referenced_tables(query: str) -> list[str]:
@@ -64,13 +63,12 @@ def register_tables(
     ``sf_dir``. Returns the requested names."""
     names = list(tables) if tables is not None else TABLES
     sf = str(sf_dir)
-    skey = _session_key(spark)
+    views = _REGISTERED.setdefault(spark, {})
     for t in names:
-        key = (skey, t)
-        if not force and _REGISTERED.get(key) == sf:
+        if not force and views.get(t) == sf:
             continue
         spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
-        _REGISTERED[key] = sf
+        views[t] = sf
     return names
 
 

@@ -491,3 +491,49 @@ def test_partsupp_requires_four_suppliers(spark):
             q._partsupp(spark, fake)
     finally:
         del q._SUPP_COUNT[fake]
+
+
+def test_register_tables_memoizes_per_session_and_sf_dir(spark, monkeypatch):
+    """run_sql's view registration is memoized per (session, sf_dir):
+    a repeated registration against the same dir reads no parquet
+    footers, switching dirs re-registers, switching BACK re-registers
+    again (the cache tracks where each view currently points — never
+    what was once registered), and force=True busts the cache."""
+    from cdk_datalake_ingest_spark import sql as sql_mod
+
+    reads = []
+    real_reader = spark.read
+
+    class CountingReader:
+        def parquet(self, path):
+            reads.append(path)
+            return real_reader.parquet(path)
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda self: CountingReader())
+    )
+    sql_mod._REGISTERED.pop(spark, None)
+    a, b = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+
+    sql_mod.register_tables(spark, a, ["orders", "customer"])
+    assert len(reads) == 2
+    sql_mod.register_tables(spark, a, ["orders", "customer"])
+    assert len(reads) == 2  # memoized — no footer re-reads
+    sql_mod.register_tables(spark, b, ["orders"])
+    assert len(reads) == 3  # new dir -> re-register
+    sql_mod.register_tables(spark, a, ["orders"])
+    assert len(reads) == 4  # back to the old dir -> re-register again
+    sql_mod.register_tables(spark, a, ["orders"], force=True)
+    assert len(reads) == 5  # force busts the cache
+    sql_mod._REGISTERED.pop(spark, None)
+
+
+def test_referenced_tables_word_boundary():
+    from cdk_datalake_ingest_spark.sql import referenced_tables
+
+    q = "SELECT * FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+    assert referenced_tables(q) == ["orders", "lineitem"]
+    # substrings do not count: 'reorders' is not 'orders'
+    assert referenced_tables("SELECT * FROM reorders") == []
+    # case-insensitive
+    assert referenced_tables("select count(*) from EVENTS") == ["events"]

@@ -7,7 +7,6 @@ Usage: python tools/check_parity.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 from pathlib import Path
 
