@@ -173,7 +173,11 @@ def _minhash_banded(
         # self-join left/right + verify left/right); shingling+hashing
         # is the expensive narrow stage, so materialize it once. At
         # cluster scale prefer a checkpoint/persisted table for very
-        # large corpora.
+        # large corpora. Lifetime: the persist is lazy and its blocks
+        # are released by the ContextCleaner once the returned plans
+        # are garbage-collected (same contract as semantic_dedup's
+        # checkpoint) — long sessions should drop finished results
+        # rather than accumulate them.
         shingled = shingled.persist()
     sig = shingled.select(
         F.col(id_col),

@@ -35,6 +35,13 @@ def assign_sessions(
     ``ts_col`` is bigint epoch microseconds; ties broken totally by
     ``tiebreak_col`` so results are deterministic under re-runs.
     """
+    # same contract as the streaming variants (_check_gap): a
+    # non-positive gap silently degenerates here but errors in the JVM
+    # session_window twin — raise uniformly at the boundary instead
+    if gap_minutes <= 0:
+        raise ValueError(
+            f"sessionize: gap_minutes must be positive, got {gap_minutes}"
+        )
     w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(tiebreak_col))
     gap_us = gap_minutes * MICROS_PER_MIN
     prev_ts = F.lag(ts_col).over(w)

@@ -322,6 +322,15 @@ class ManagedTable:
                     f"version {v} of {self.path} does not exist "
                     "(never written, or removed by vacuum)"
                 )
+        if from_version > to_version:
+            # a reversed range would emit a diff whose labels are all
+            # inverted (deletes as inserts, pre/post swapped) under a
+            # _commit_version EARLIER than the rows it describes —
+            # reject it like Delta's table_changes does
+            raise ValueError(
+                f"changes_between: from_version ({from_version}) must "
+                f"not exceed to_version ({to_version})"
+            )
         old = self.read(version=from_version)
         new = self.read(version=to_version)
         all_cols = list(new.columns) + [

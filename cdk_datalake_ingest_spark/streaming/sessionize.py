@@ -60,6 +60,19 @@ _OUT_COLS = [
 ]
 
 
+def _check_gap(gap_minutes: int) -> None:
+    """Both sessionizer variants reject a non-positive gap UP FRONT:
+    the JVM ``session_window`` errors at analysis time, but the Python
+    stateful operator would silently degenerate (gap 0 makes every
+    timestamp-distinct event its own session; negative never merges) —
+    a cross-variant divergence at the boundary, so both raise the same
+    way instead."""
+    if gap_minutes <= 0:
+        raise ValueError(
+            f"sessionize: gap_minutes must be positive, got {gap_minutes}"
+        )
+
+
 def sessionize_stream(
     events: DataFrame,
     user_col: str = "user_id",
@@ -78,6 +91,7 @@ def sessionize_stream(
     exact integer micro-units, so every output column — including the
     value total — is independent of arrival order and micro-batch
     slicing, and equal to the batch twin's DECIMAL(18,6) sum."""
+    _check_gap(gap_minutes)
     gap_us = gap_minutes * MICROS_PER_MIN
     gap_ms = gap_us // 1000
 
@@ -181,6 +195,7 @@ def sessionize_stream_native(
     twin and the DuckDB oracle. ``session_window.end`` is
     ``last_event + gap``; subtracting the gap restores the last event
     timestamp so the output schema matches ``OUT_SCHEMA`` exactly."""
+    _check_gap(gap_minutes)
     gap_us = gap_minutes * MICROS_PER_MIN
     zero = F.lit(0).cast("decimal(18,6)")
     return (

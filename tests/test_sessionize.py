@@ -70,3 +70,30 @@ def test_tiebreak_same_timestamp(spark):
     df = _mk(spark, [(1, 2, 100, 1.0), (1, 1, 100, 1.0)])
     got = sessionize(df, gap_minutes=30).collect()
     assert len(got) == 1 and got[0].n_events == 2
+
+
+def test_sessionize_rejects_nonpositive_gap(spark):
+    """All three sessionizer variants raise the same way on gap <= 0:
+    the JVM session_window would error at analysis time while the
+    window/stateful formulations silently degenerate — uniform raise
+    at the boundary instead of a cross-variant divergence."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.sessionize import (
+        assign_sessions,
+    )
+    from cdk_datalake_ingest_spark.streaming.sessionize import (
+        sessionize_stream,
+        sessionize_stream_native,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 1, 1.0)], "user_id long, ts_us long, event_id long, value double"
+    )
+    for gap in (0, -5):
+        with pytest.raises(ValueError, match="must be positive"):
+            assign_sessions(df, gap_minutes=gap)
+        with pytest.raises(ValueError, match="must be positive"):
+            sessionize_stream(df, gap_minutes=gap)
+        with pytest.raises(ValueError, match="must be positive"):
+            sessionize_stream_native(df, gap_minutes=gap)

@@ -249,3 +249,13 @@ def test_keyed_cdc_matches_python_reference(spark, tmp_path_factory, old, new, e
     ]
     assert key_(kl_ins) == key_(kd_ins)
     assert key_(kl_del) == key_(kd_del)
+
+
+def test_changes_rejects_reversed_version_range(spark, table):
+    table.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0)], "id long, name string, val double"
+        )
+    )
+    with pytest.raises(ValueError, match="must not exceed"):
+        table.changes_between(2, 1, key_cols=["id"])
