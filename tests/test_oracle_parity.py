@@ -26,26 +26,32 @@ SUBSET = [
     "gap_fill_user_hours",
     "decontaminate_multi_docs",
     "sql_interface_q13",
-    # new this round
     "sql_interface_window",
     "sql_interface_setops",
     "kmeans_train_hash_docs",
     "semantic_dedup_hash_docs",
-    # partsupp-derived TPC-H shapes, new this round (tail of the
-    # registry — no driver row until the round-7 rotation, so the
-    # local gate is the hard signal)
+    # round-6 additions (now in the round-7 driver window; kept here
+    # because they are the newest operator families)
     "q02_min_cost_supplier",
     "q09_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_promotion_suppliers",
-    # exact substring dedup (Lee et al. 2022) and the Naive-Bayes
-    # quality classifier, new this round — same
-    # no-driver-row-until-round-7 situation as the partsupp family
     "substring_dedup_docs",
     "nb_quality_filter_docs",
-    "gopher_rules_docs",
     "incremental_minhash_ingest_docs",
+    # round-7 gates, new this round
+    "table_change_feed_events",
+    "streaming_sessionize_native_events",
+    # the 9 r5 entries the round-7 rotation left outside the 50-row
+    # driver window (q01 is already above): their driver rows go two
+    # rounds stale, so this local gate is their hard per-commit signal
+    # (PARITY_LOCAL_r07.json carries the full-registry sf0.01 run)
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q10_returned_customers",
+    "q12_priority_shipping",
+    "q17_small_quantity_revenue",
+    "orders_without_lineitems",
+    "customers_with_open_orders",
+    "returned_vs_finished_setops",
 ]
 
 
