@@ -817,6 +817,79 @@ class ManagedTable:
             expected_base_version=int(m["version"]),
         )
 
+    @staticmethod
+    def _infer_partition_by(snap: Path) -> list[str]:
+        """Partition columns of a snapshot from its hive layout
+        (``col=value`` directory chain).  Needed by :meth:`restore`
+        because the manifest records only the CURRENT version's
+        ``partition_by`` — the restored snapshot may have been written
+        under a different layout."""
+        pby: list[str] = []
+        d = snap
+        while True:
+            nested = [
+                c
+                for c in d.iterdir()
+                if c.is_dir()
+                and "=" in c.name
+                and not c.name.startswith("_")
+            ]
+            if not nested:
+                return pby
+            pby.append(nested[0].name.split("=", 1)[0])
+            d = nested[0]
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... TO VERSION AS OF``: roll the table
+        back to an earlier snapshot AS A NEW COMMIT.  History is
+        preserved — the rolled-back-from version stays time-travelable
+        until ``vacuum``, and a downstream CDF consumer sees the
+        rollback as ordinary row changes via :meth:`changes_between`
+        (the un-deletes come back as inserts, the undone updates as
+        update pairs).
+
+        Zero-copy: the restored snapshot's files are hard-linked into
+        the new snapshot directory (copy fallback on filesystems
+        without links) — O(#files) metadata, no data rewrite, the same
+        carry-forward machinery as the partition-scoped merge.  The
+        new manifest's ``partition_by`` is inferred from the restored
+        snapshot's own hive layout, so restoring across a
+        re-partitioning keeps the scoped-merge fast path honest.
+        Returns the new version number."""
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            dt = DeltaTable.forPath(self.spark, str(self.path))
+            dt.restoreToVersion(int(version))
+            return int(dt.history(1).collect()[0]["version"])
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no ManagedTable at {self.path}")
+        src = self.path / f"v{version:05d}"
+        if not src.is_dir():
+            raise FileNotFoundError(
+                f"version {version} of {self.path} does not exist "
+                "(never written, or removed by vacuum)"
+            )
+        base_version = int(m["version"])
+        new_version, data_dir = self._claim_snapshot(base_version)
+        dst = self.path / data_dir
+        for root, _dirs, files in os.walk(src):
+            rel = Path(root).relative_to(src)
+            (dst / rel).mkdir(parents=True, exist_ok=True)
+            for f in files:
+                try:
+                    os.link(Path(root, f), dst / rel / f)
+                except OSError:  # filesystem without hard links
+                    shutil.copy2(Path(root, f), dst / rel / f)
+        self._commit(
+            {
+                "version": new_version,
+                "data_dir": data_dir,
+                "partition_by": self._infer_partition_by(src),
+            },
+            expected_version=base_version,
+        )
+        return new_version
+
     def vacuum(self, keep_snapshots: int = 1) -> list[str]:
         """Drop superseded snapshot directories (S11)."""
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
