@@ -818,6 +818,21 @@ class ManagedTable:
         )
 
     @staticmethod
+    def _link_tree(src: Path, dst: Path) -> None:
+        """Hard-link every file under ``src`` into the same relative
+        layout under ``dst`` (copy fallback on filesystems without
+        links) — the zero-copy snapshot carry used by :meth:`restore`,
+        :meth:`clone`, and (per-leaf) the scoped merge."""
+        for root, _dirs, files in os.walk(src):
+            rel = Path(root).relative_to(src)
+            (dst / rel).mkdir(parents=True, exist_ok=True)
+            for f in files:
+                try:
+                    os.link(Path(root, f), dst / rel / f)
+                except OSError:  # filesystem without hard links
+                    shutil.copy2(Path(root, f), dst / rel / f)
+
+    @staticmethod
     def _infer_partition_by(snap: Path) -> list[str]:
         """Partition columns of a snapshot from its hive layout
         (``col=value`` directory chain).  Needed by :meth:`restore`
@@ -871,15 +886,7 @@ class ManagedTable:
             )
         base_version = int(m["version"])
         new_version, data_dir = self._claim_snapshot(base_version)
-        dst = self.path / data_dir
-        for root, _dirs, files in os.walk(src):
-            rel = Path(root).relative_to(src)
-            (dst / rel).mkdir(parents=True, exist_ok=True)
-            for f in files:
-                try:
-                    os.link(Path(root, f), dst / rel / f)
-                except OSError:  # filesystem without hard links
-                    shutil.copy2(Path(root, f), dst / rel / f)
+        self._link_tree(src, self.path / data_dir)
         self._commit(
             {
                 "version": new_version,
@@ -889,6 +896,38 @@ class ManagedTable:
             expected_version=base_version,
         )
         return new_version
+
+    def clone(self, target: str | os.PathLike) -> "ManagedTable":
+        """Delta shallow ``CLONE``: materialize the CURRENT snapshot as
+        a new independent ManagedTable at ``target`` — zero-copy (files
+        hard-linked, copy fallback), so a dev/test copy of a huge table
+        costs O(#files) metadata.  The clone starts its own history at
+        v1 and diverges freely: writes/merges/vacuum on either table
+        never affect the other (hard links share immutable data blocks;
+        every commit here writes NEW files, and vacuum unlinks names,
+        not blocks).  Source history does not transfer — clone the
+        output of ``read(version=...)`` via a plain ``write`` if an
+        older snapshot is wanted."""
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no ManagedTable at {self.path}")
+        tgt = ManagedTable(self.spark, target)
+        if tgt._read_manifest() is not None:
+            raise FileExistsError(
+                f"clone target {tgt.path} is already a ManagedTable"
+            )
+        src = self.path / m["data_dir"]
+        version, data_dir = tgt._claim_snapshot(0)
+        self._link_tree(src, tgt.path / data_dir)
+        tgt._commit(
+            {
+                "version": version,
+                "data_dir": data_dir,
+                "partition_by": m.get("partition_by") or [],
+            },
+            expected_version=0,
+        )
+        return tgt
 
     def vacuum(self, keep_snapshots: int = 1) -> list[str]:
         """Drop superseded snapshot directories (S11)."""

@@ -227,3 +227,55 @@ def test_restore_recovers_old_partition_layout(spark, tmp_path):
         (r["id"], r["part"], r["v"]) for r in t.read().collect()
     )
     assert got == [(1, "x", 10), (2, "y", 20)]
+
+
+# ---------------------------------------------------------------------------
+# clone — Delta shallow CLONE (zero-copy independent table copy)
+# ---------------------------------------------------------------------------
+
+
+def test_clone_is_zero_copy_and_divergent(spark, tmp_path):
+    """The clone shares data blocks via hard links but histories are
+    fully independent: writes and vacuum on either side never change
+    what the other reads."""
+    import os
+
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "src")
+    t.write(
+        spark.createDataFrame(
+            [(1, "x", 10), (2, "y", 20)], "id long, part string, v int"
+        ),
+        partition_by=["part"],
+    )
+    c = t.clone(tmp_path / "dev")
+    assert sorted((r["id"], r["part"], r["v"]) for r in c.read().collect()) \
+        == [(1, "x", 10), (2, "y", 20)]
+    # zero-copy: cloned files share inodes with the source
+    linked = [
+        f for f in (c.path / "v00001").rglob("*.parquet")
+        if os.stat(f).st_nlink > 1
+    ]
+    assert linked
+    # partition layout carried over -> scoped merges work on the clone
+    import json
+    m = json.loads((c.path / "_manifest.json").read_text())
+    assert m["partition_by"] == ["part"]
+
+    # divergence: write to the clone, source unchanged; vacuum source,
+    # clone still reads (links hold the blocks)
+    c.merge_upsert(
+        spark.createDataFrame([(1, "x", 99)], "id long, part string, v int"),
+        ["id"],
+    )
+    assert sorted(r["v"] for r in c.read().collect()) == [20, 99]
+    assert sorted(r["v"] for r in t.read().collect()) == [10, 20]
+    t.write(spark.createDataFrame([(7, "q", 7)], "id long, part string, v int"))
+    t.vacuum()
+    assert sorted(r["v"] for r in c.read().collect()) == [20, 99]
+
+    with pytest.raises(FileExistsError, match="already a ManagedTable"):
+        t.clone(tmp_path / "dev")
