@@ -12,6 +12,12 @@ Subcommands:
       List registry query names.
   validate [--sf-dir DIR]
       Run the data-quality expectation report for orders.
+  table <path> {versions|restore V|clone TARGET|vacuum|compact [N]|
+                changes FROM [TO] [--keys k1,k2]}
+      Versioned-table maintenance over a ManagedTable path: list
+      snapshot versions, RESTORE to an earlier version, shallow-CLONE,
+      vacuum superseded snapshots, bin-pack compact, or print the
+      change data feed between two versions as JSON lines.
 
 Exit code is 0 on success, 1 on a failed query — scriptable the same
 way the reference's job status checks are.
@@ -55,6 +61,24 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser("list", help="list registry query names")
     sub.add_parser("validate", help="orders data-quality report")
 
+    t = sub.add_parser(
+        "table", help="versioned-table maintenance (ManagedTable)"
+    )
+    t.add_argument("path")
+    t.add_argument(
+        "action",
+        choices=[
+            "versions", "restore", "clone", "vacuum", "compact", "changes",
+        ],
+    )
+    t.add_argument("args", nargs="*")
+    t.add_argument(
+        "--keys", default=None,
+        help="comma-separated key columns for `changes` (keyed CDF)",
+    )
+    t.add_argument("--keep", type=int, default=1, help="vacuum keep count")
+    t.add_argument("--limit", type=int, default=None)
+
     a = ap.parse_args(argv)
 
     if a.cmd == "list":
@@ -85,6 +109,29 @@ def main(argv: list[str] | None = None) -> int:
                 with open(text[1:]) as fh:
                     text = fh.read()
             _emit(run_sql(spark, a.sf_dir, text), a.limit)
+        elif a.cmd == "table":
+            from cdk_datalake_ingest_spark.operators.table import (
+                ManagedTable,
+            )
+
+            tbl = ManagedTable(spark, a.path)
+            if a.action == "versions":
+                print(json.dumps(tbl.versions()))
+            elif a.action == "restore":
+                print(json.dumps({"version": tbl.restore(int(a.args[0]))}))
+            elif a.action == "clone":
+                c = tbl.clone(a.args[0])
+                print(json.dumps({"cloned_to": str(c.path)}))
+            elif a.action == "vacuum":
+                print(json.dumps({"removed": tbl.vacuum(a.keep)}))
+            elif a.action == "compact":
+                tbl.compact(int(a.args[0]) if a.args else None)
+                print(json.dumps({"version": tbl.versions()[-1]}))
+            elif a.action == "changes":
+                frm = int(a.args[0])
+                to = int(a.args[1]) if len(a.args) > 1 else None
+                keys = a.keys.split(",") if a.keys else None
+                _emit(tbl.changes_between(frm, to, key_cols=keys), a.limit)
         elif a.cmd == "validate":
             from cdk_datalake_ingest_spark.queries import dq_validate_orders
 

@@ -194,3 +194,53 @@ def test_hash_embed_null_text_is_zero_vector(spark):
 def test_quarantine_requires_rules(spark, dirty):
     with pytest.raises(ValueError):
         quarantine(dirty, [])
+
+
+def test_cli_table_maintenance_roundtrip(spark, tmp_path):
+    """The `table` subcommand drives the full maintenance surface:
+    versions -> changes (keyed CDF as JSON lines) -> restore -> clone
+    -> vacuum, all through the CLI with scriptable JSON output."""
+    import contextlib
+    import io
+    import json as _json
+
+    from cdk_datalake_ingest_spark.__main__ import main
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    p = str(tmp_path / "cli_tbl")
+    t = ManagedTable(spark, p)
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.write(spark.createDataFrame([(1, "a2")], "id long, v string"))
+
+    def run(args):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            rc = main(args)
+        return rc, buf.getvalue()
+
+    rc, out = run(["table", p, "versions"])
+    assert rc == 0 and _json.loads(out) == [1, 2]
+
+    rc, out = run(["table", p, "changes", "1", "2", "--keys", "id"])
+    assert rc == 0
+    types = sorted(
+        _json.loads(l)["_change_type"] for l in out.splitlines()
+    )
+    assert types == ["delete", "update_postimage", "update_preimage"]
+
+    rc, out = run(["table", p, "restore", "1"])
+    assert rc == 0 and _json.loads(out)["version"] == 3
+
+    clone_path = str(tmp_path / "cli_clone")
+    rc, out = run(["table", p, "clone", clone_path])
+    assert rc == 0 and _json.loads(out)["cloned_to"] == clone_path
+    assert ManagedTable(spark, clone_path).read().count() == 2
+
+    rc, out = run(["table", p, "vacuum"])
+    assert rc == 0 and _json.loads(out)["removed"] == ["v00001", "v00002"]
+
+    # bad version -> failure exit with a message, not a stack dump
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        assert main(["table", p, "restore", "99"]) == 1
+    assert "does not exist" in err.getvalue()
