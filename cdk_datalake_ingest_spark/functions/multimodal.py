@@ -168,6 +168,11 @@ def target_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
     """Aspect-preserving fit into a ``max_dim`` bounding box (the real,
     non-stubbed part of resizing): scale the longer side down to
     max_dim, never upscale, round half-up, floor at 1px."""
+    if max_dim <= 0:
+        # 0 would silently collapse every image to 1x1 via the
+        # max(1, ...) floor — same raise-at-boundary contract as the
+        # sessionizer gap / dedup caps
+        raise ValueError(f"target_dims: max_dim must be positive, got {max_dim}")
     w, h = int(width or 0), int(height or 0)
     if w <= 0 or h <= 0:
         return 0, 0
@@ -221,6 +226,12 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plan for video rows: explodes per-frame timestamp
     offsets natively; frame decode itself would be a mapInPandas stage
     like :func:`decode_image_features`."""
+    if every_ms <= 0:
+        # Spark's sequence() raises on a zero step only at RUNTIME and
+        # deep inside a task; fail at plan-construction time instead
+        raise ValueError(
+            f"sample_frames: every_ms must be positive, got {every_ms}"
+        )
     return (
         df.filter(F.col("media_type") == "video")
         .withColumn(

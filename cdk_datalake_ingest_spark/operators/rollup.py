@@ -48,6 +48,20 @@ class ContinuousRollup:
     lookback_buckets: int = 1
 
     def __post_init__(self) -> None:
+        # raise-at-boundary: bucket_us=0 divides by zero deep in a
+        # task; a negative lookback silently SKIPS late buckets
+        # instead of re-extracting them — both are config bugs, not
+        # data conditions
+        if self.bucket_us <= 0:
+            raise ValueError(
+                f"ContinuousRollup: bucket_us must be positive, "
+                f"got {self.bucket_us}"
+            )
+        if self.lookback_buckets < 0:
+            raise ValueError(
+                f"ContinuousRollup: lookback_buckets must be >= 0, "
+                f"got {self.lookback_buckets}"
+            )
         self.table = ManagedTable(self.spark, self.path)
 
     def _last_end_us(self) -> int:

@@ -52,6 +52,12 @@ def max_watermark(
     source Spark pushes the scan; at 100 TB a max() over a sorted/
     partitioned watermark column prunes to the tail partitions.
     """
+    if not filter_columns:
+        # an empty column list would crash below in an opaque
+        # max()-of-empty — name the actual mistake instead
+        raise ValueError(
+            "max_watermark: filter_columns must name at least one column"
+        )
     exprs = [
         F.date_format(
             F.coalesce(F.max(F.col(c)), F.lit(default).cast("timestamp")),

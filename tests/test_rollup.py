@@ -88,3 +88,18 @@ def test_watermark_is_event_time_and_partial_bucket_recovers(spark, tmp_path):
 def test_empty_refresh_returns_zero(spark, tmp_path):
     r = _rollup(spark, tmp_path)
     assert r.refresh(_rows(spark, (10, "a", 1)).filter("ts_us > 99")) == 0
+
+
+def test_rollup_rejects_degenerate_config(spark, tmp_path):
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.rollup import ContinuousRollup
+    from cdk_datalake_ingest_spark.operators.watermark import WatermarkStore
+
+    store = WatermarkStore(tmp_path / "wm.json")
+    with pytest.raises(ValueError, match="bucket_us must be positive"):
+        ContinuousRollup(spark, str(tmp_path / "r"), store, "r", bucket_us=0)
+    with pytest.raises(ValueError, match="lookback_buckets must be >= 0"):
+        ContinuousRollup(
+            spark, str(tmp_path / "r"), store, "r", lookback_buckets=-1
+        )

@@ -189,3 +189,22 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # one survivor per key; repeats within the watermark horizon dropped
     assert got.count() == 3
     assert {r.k for r in got.collect()} == {1, 2, 3}
+
+
+def test_multimodal_boundary_params_raise(spark):
+    import pytest
+
+    from cdk_datalake_ingest_spark.functions.multimodal import (
+        sample_frames,
+        target_dims,
+    )
+
+    with pytest.raises(ValueError, match="max_dim must be positive"):
+        target_dims(100, 50, 0)
+    df = spark.createDataFrame(
+        [(1, "video", 5000, b"x")],
+        "media_id long, media_type string, duration_ms long, content binary",
+    )
+    for bad in (0, -100):
+        with pytest.raises(ValueError, match="every_ms must be positive"):
+            sample_frames(df, every_ms=bad)

@@ -174,3 +174,13 @@ def test_dialect_urls():
         DIALECTS["mssql"].url("h", 1433, "db")
         == "jdbc:sqlserver://h:1433;databaseName=db"
     )
+
+
+def test_max_watermark_requires_columns(spark):
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.watermark import max_watermark
+
+    df = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="at least one column"):
+        max_watermark(df, [])
