@@ -12,8 +12,8 @@ Subcommands:
       List registry query names.
   validate [--sf-dir DIR]
       Run the data-quality expectation report for orders.
-  table <path> {versions|restore V|clone TARGET|vacuum|compact [N]|
-                changes FROM [TO] [--keys k1,k2]}
+  table <path> {versions|history|restore V|clone TARGET|vacuum|
+                compact [N]|changes FROM [TO] [--keys k1,k2]}
       Versioned-table maintenance over a ManagedTable path: list
       snapshot versions, RESTORE to an earlier version, shallow-CLONE,
       vacuum superseded snapshots, bin-pack compact, or print the
@@ -68,7 +68,8 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument(
         "action",
         choices=[
-            "versions", "restore", "clone", "vacuum", "compact", "changes",
+            "versions", "history", "restore", "clone", "vacuum",
+            "compact", "changes",
         ],
     )
     t.add_argument("args", nargs="*")
@@ -117,6 +118,9 @@ def main(argv: list[str] | None = None) -> int:
             tbl = ManagedTable(spark, a.path)
             if a.action == "versions":
                 print(json.dumps(tbl.versions()))
+            elif a.action == "history":
+                for entry in tbl.history(a.limit):
+                    print(json.dumps(entry, default=str))
             elif a.action == "restore":
                 print(json.dumps({"version": tbl.restore(int(a.args[0]))}))
             elif a.action == "clone":

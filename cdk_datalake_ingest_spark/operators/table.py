@@ -35,6 +35,7 @@ implementations corrupt data).
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import shutil
@@ -55,6 +56,7 @@ except Exception:
     HAS_DELTA = False
 
 MANIFEST = "_manifest.json"
+HISTORY = "_history.jsonl"
 COMMIT_LOCK = "_manifest.lock"
 #: per-snapshot schema pin (underscore-prefixed => invisible to the
 #: parquet reader's file listing, like _SUCCESS)
@@ -117,7 +119,9 @@ class ManagedTable:
             except FileExistsError:
                 version += 1
 
-    def _commit(self, manifest: dict, expected_version: int) -> None:
+    def _commit(
+        self, manifest: dict, expected_version: int, op: str = "write"
+    ) -> None:
         """Compare-and-swap the manifest under an O_EXCL lock file.
 
         On a shared POSIX filesystem this is a real critical section; on
@@ -206,6 +210,25 @@ class ManagedTable:
                     "during write; retry from a fresh read"
                 )
             self._swap_manifest(manifest)
+            # the op log (Delta DESCRIBE HISTORY role): appended inside
+            # the same critical section, so history order == commit
+            # order. Append-only; vacuum drops snapshots, not history.
+            with (self.path / HISTORY).open("a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "version": int(manifest["version"]),
+                            "op": op,
+                            "data_dir": manifest.get("data_dir"),
+                            "partition_by": manifest.get("partition_by")
+                            or [],
+                            "timestamp": _dt.datetime.now(
+                                _dt.timezone.utc
+                            ).isoformat(timespec="seconds"),
+                        }
+                    )
+                    + "\n"
+                )
         finally:
             os.close(fd)
             lock.unlink(missing_ok=True)
@@ -455,6 +478,7 @@ class ManagedTable:
         partition_by: list[str] | None = None,
         coalesce_single_file: bool = False,
         expected_base_version: int | None = None,
+        op: str = "overwrite",
     ) -> None:
         """Full overwrite (S9): new immutable snapshot + manifest swap.
 
@@ -491,6 +515,7 @@ class ManagedTable:
                 "partition_by": partition_by or [],
             },
             expected_version=base_version,
+            op=op,
         )
 
     def _write_schema_sidecar(self, data_dir: str, df: DataFrame) -> None:
@@ -512,7 +537,8 @@ class ManagedTable:
                 if not order_by
                 else merge_dataframes(
                     source.limit(0), source, keys, order_by=order_by
-                )
+                ),
+                op="merge",
             )
             return
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
@@ -551,6 +577,7 @@ class ManagedTable:
             merged,
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
+            op="merge",
         )
 
     #: Fast-path ceiling: above this many touched partitions a pruned
@@ -645,7 +672,7 @@ class ManagedTable:
             delete_predicate=delete_predicate,
             broadcast_source=broadcast_source,
         )
-        self._write_scoped(m, pby, touched_set, merged, by_name)
+        self._write_scoped(m, pby, touched_set, merged, by_name, op="merge")
         return True
 
     def _delete_partition_scoped(
@@ -680,7 +707,7 @@ class ManagedTable:
             return True
         kept = target.filter(cond).filter(~hit)
         touched_set = {tuple(str(v) for v in t) for t in touched}
-        self._write_scoped(m, pby, touched_set, kept, by_name)
+        self._write_scoped(m, pby, touched_set, kept, by_name, op="delete")
         return True
 
     #: Spark's sentinel leaf for NULL partition values
@@ -743,6 +770,7 @@ class ManagedTable:
         touched_set: set[tuple[str, ...]],
         df: DataFrame,
         by_name: dict[str, str] | None = None,
+        op: str = "write",
     ) -> None:
         """Write ``df`` (the rewritten touched partitions) as a new
         snapshot, carry every untouched partition forward by hard link
@@ -775,6 +803,7 @@ class ManagedTable:
         self._commit(
             {"version": version, "data_dir": data_dir, "partition_by": pby},
             expected_version=base_version,
+            op=op,
         )
 
     @staticmethod
@@ -815,6 +844,7 @@ class ManagedTable:
             kept,
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
+            op="delete",
         )
 
     @staticmethod
@@ -894,6 +924,7 @@ class ManagedTable:
                 "partition_by": self._infer_partition_by(src),
             },
             expected_version=base_version,
+            op=f"restore(v{int(version)})",
         )
         return new_version
 
@@ -926,8 +957,47 @@ class ManagedTable:
                 "partition_by": m.get("partition_by") or [],
             },
             expected_version=0,
+            op=f"clone({self.path})",
         )
         return tgt
+
+    def history(self, limit: int | None = None) -> list[dict]:
+        """Delta ``DESCRIBE HISTORY``: the commit log, newest first —
+        one entry per committed version with its operation (overwrite /
+        merge / delete / compact / optimize / restore(vN) / clone(src)),
+        data dir, partition columns, and UTC timestamp.
+
+        The log is an append-only ``_history.jsonl`` written inside the
+        commit critical section (so its order IS the commit order) and
+        survives ``vacuum`` — history describes versions whose data may
+        be gone, exactly like Delta's.  Tables created before the log
+        existed fall back to a synthesized listing of on-disk versions
+        with ``op: "unknown"``."""
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            h = DeltaTable.forPath(self.spark, str(self.path)).history(
+                limit if limit is not None else 2**31 - 1
+            )
+            return [r.asDict() for r in h.collect()]
+        log = self.path / HISTORY
+        if log.is_file():
+            entries = [
+                json.loads(line)
+                for line in log.read_text().splitlines()
+                if line.strip()
+            ]
+        else:
+            entries = [
+                {
+                    "version": v,
+                    "op": "unknown",
+                    "data_dir": f"v{v:05d}",
+                    "partition_by": [],
+                    "timestamp": None,
+                }
+                for v in self.versions()
+            ]
+        entries.reverse()
+        return entries[:limit] if limit is not None else entries
 
     def vacuum(self, keep_snapshots: int = 1) -> list[str]:
         """Drop superseded snapshot directories (S11)."""
@@ -972,6 +1042,7 @@ class ManagedTable:
             df,
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
+            op="compact",
         )
 
     def compact_hot_partitions(self, max_files: int = 8) -> list[tuple[str, ...]]:
@@ -1033,7 +1104,7 @@ class ManagedTable:
         df = snap.filter(cond).repartition(max(len(typed), 1), *[
             F.col(c) for c in pby
         ])
-        self._write_scoped(m, pby, set(hot), df, by_name)
+        self._write_scoped(m, pby, set(hot), df, by_name, op="compact")
         return hot
 
     def optimize(self, cluster_by: list[str], num_files: int | None = None) -> None:
@@ -1056,6 +1127,7 @@ class ManagedTable:
             df,
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
+            op="optimize",
         )
 
     def register(self, name: str, grants=None, principal: str | None = None) -> None:

@@ -34,9 +34,9 @@ def test_racing_overwrites_single_winner(spark, tmp_path):
     barrier = threading.Barrier(2)
     orig_commit = ManagedTable._commit
 
-    def gated_commit(self, manifest, expected_version):
+    def gated_commit(self, manifest, expected_version, **kw):
         barrier.wait(timeout=30)  # both finish writing before either commits
-        return orig_commit(self, manifest, expected_version)
+        return orig_commit(self, manifest, expected_version, **kw)
 
     errors: list[Exception | None] = [None, None]
 
@@ -77,12 +77,12 @@ def test_loser_retry_from_fresh_read_merges_both(spark, tmp_path):
         )
         first_try = True
 
-        def gated(self, manifest, expected_version):
+        def gated(self, manifest, expected_version, **kw):
             nonlocal first_try
             if first_try:
                 first_try = False
                 barrier.wait(timeout=30)
-            return orig_commit(self, manifest, expected_version)
+            return orig_commit(self, manifest, expected_version, **kw)
 
         for attempt in range(3):
             try:
@@ -229,9 +229,9 @@ def test_scoped_merge_racing_compaction_single_winner(spark, tmp_path):
     barrier = threading.Barrier(2)
     orig_commit = ManagedTable._commit
 
-    def gated_commit(self, manifest, expected_version):
+    def gated_commit(self, manifest, expected_version, **kw):
         barrier.wait(timeout=60)
-        return orig_commit(self, manifest, expected_version)
+        return orig_commit(self, manifest, expected_version, **kw)
 
     results: dict[str, Exception | None] = {}
 

@@ -279,3 +279,48 @@ def test_clone_is_zero_copy_and_divergent(spark, tmp_path):
 
     with pytest.raises(FileExistsError, match="already a ManagedTable"):
         t.clone(tmp_path / "dev")
+
+
+def test_history_logs_every_commit_op(spark, tmp_path):
+    """DESCRIBE HISTORY role: one entry per commit, newest first, with
+    the operation that produced it — across overwrite, merge (scoped
+    and full), delete, compact, restore and clone; order == commit
+    order because the log is appended inside the commit critical
+    section, and history survives vacuum."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "h")
+    t.write(spark.createDataFrame(
+        [(1, "x", 10.0), (2, "y", 20.0)], "id long, part string, v double"
+    ), partition_by=["part"])
+    t.merge_upsert(
+        spark.createDataFrame([(1, "x", 99.0)], "id long, part string, v double"),
+        ["id"],
+    )
+    t.delete_where(F.col("id") == 2)
+    t.compact(1)
+    t.restore(1)
+    c = t.clone(tmp_path / "h_clone")
+
+    ops = [(e["version"], e["op"]) for e in t.history()]
+    assert ops == [
+        (5, "restore(v1)"),
+        (4, "compact"),
+        (3, "delete"),
+        (2, "merge"),
+        (1, "overwrite"),
+    ]
+    assert all(e["timestamp"] for e in t.history())
+    assert t.history(limit=2) == t.history()[:2]
+    clone_ops = [(e["version"], e["op"]) for e in c.history()]
+    assert clone_ops == [(1, f"clone({t.path})")]
+
+    # history survives vacuum (describes versions whose data is gone)
+    t.vacuum()
+    assert [e["version"] for e in t.history()] == [5, 4, 3, 2, 1]
+
+    # pre-log tables synthesize from on-disk versions
+    (t.path / "_history.jsonl").unlink()
+    assert [(e["version"], e["op"]) for e in t.history()] == [(5, "unknown")]
