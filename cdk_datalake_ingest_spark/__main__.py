@@ -115,6 +115,16 @@ def main(argv: list[str] | None = None) -> int:
                 ManagedTable,
             )
 
+            _USAGE = {
+                "restore": (1, "table <path> restore <version>"),
+                "clone": (1, "table <path> clone <dest>"),
+                "changes": (1, "table <path> changes <from> [to]"),
+            }
+            need = _USAGE.get(a.action)
+            if need is not None and len(a.args) < need[0]:
+                print(f"usage: {need[1]}", file=sys.stderr)
+                return 1
+
             tbl = ManagedTable(spark, a.path)
             if a.action == "versions":
                 print(json.dumps(tbl.versions()))

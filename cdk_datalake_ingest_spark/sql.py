@@ -65,11 +65,35 @@ def register_tables(
     sf = str(sf_dir)
     views = _REGISTERED.setdefault(spark, {})
     for t in names:
-        if not force and views.get(t) == sf:
+        if (
+            not force
+            and views.get(t) == sf
+            # The cache only records registrations made HERE; the view
+            # can be dropped elsewhere (spark.catalog.dropTempView).
+            # tableExists is a driver-side catalog lookup (no IO), so
+            # validating costs ~nothing and prevents silently querying
+            # a missing view.  The *replaced* case (a colliding
+            # ManagedTable.register()) is closed at the source:
+            # register() calls invalidate_view below, the single other
+            # temp-view creation site in the package.
+            and spark.catalog.tableExists(t)
+        ):
             continue
         spark.read.parquet(f"{sf}/{t}.parquet").createOrReplaceTempView(t)
         views[t] = sf
     return names
+
+
+def invalidate_view(spark: SparkSession, name: str) -> None:
+    """Evict ``name`` from the per-session registration cache.
+
+    Called by any code that creates/replaces a temp view outside
+    ``register_tables`` (today: ``ManagedTable.register``), so a view
+    name colliding with a catalog table never leaves the cache
+    claiming the view still points at an sf_dir it no longer does."""
+    views = _REGISTERED.get(spark)
+    if views is not None:
+        views.pop(name, None)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -244,3 +244,24 @@ def test_cli_table_maintenance_roundtrip(spark, tmp_path):
     with contextlib.redirect_stderr(err):
         assert main(["table", p, "restore", "99"]) == 1
     assert "does not exist" in err.getvalue()
+
+
+def test_cli_table_missing_args_clean_usage(spark, tmp_path):
+    """`table <path> restore|clone|changes` without the positional arg
+    must print a usage line and exit 1, not dump an IndexError
+    (round-8 ADVICE)."""
+    import contextlib
+    import io
+
+    from cdk_datalake_ingest_spark.__main__ import main
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    p = str(tmp_path / "cli_usage")
+    ManagedTable(spark, p).write(spark.range(1))
+
+    for action in ("restore", "clone", "changes"):
+        err = io.StringIO()
+        with contextlib.redirect_stderr(err):
+            rc = main(["table", p, action])
+        assert rc == 1, action
+        assert err.getvalue().startswith("usage: table <path> "), action
