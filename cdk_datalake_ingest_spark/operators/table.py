@@ -939,6 +939,14 @@ class ManagedTable:
         not blocks).  Source history does not transfer — clone the
         output of ``read(version=...)`` via a plain ``write`` if an
         older snapshot is wanted."""
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            # Delta's own zero-copy path; target table is Delta-backed
+            # too, matching restore/history/vacuum's backend symmetry.
+            self.spark.sql(
+                f"CREATE TABLE delta.`{os.fspath(target)}` "
+                f"SHALLOW CLONE delta.`{self.path}`"
+            )
+            return ManagedTable(self.spark, target)
         m = self._read_manifest()
         if m is None:
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
@@ -970,32 +978,46 @@ class ManagedTable:
         The log is an append-only ``_history.jsonl`` written inside the
         commit critical section (so its order IS the commit order) and
         survives ``vacuum`` — history describes versions whose data may
-        be gone, exactly like Delta's.  Tables created before the log
-        existed fall back to a synthesized listing of on-disk versions
-        with ``op: "unknown"``."""
+        be gone, exactly like Delta's.  Pre-log versions (tables created
+        before the log existed) are synthesized from the on-disk
+        ``vNNNNN`` listing with ``op: "unknown"`` and merged in version
+        order with any logged entries, so one new commit on an old
+        table does not erase its visible past.  Caveat: a pre-log
+        version that was ALSO vacuumed before the first logged commit
+        left no trace anywhere and is absent (not ``unknown``) — the
+        one place this differs from Delta's log-first design."""
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
             h = DeltaTable.forPath(self.spark, str(self.path)).history(
                 limit if limit is not None else 2**31 - 1
             )
             return [r.asDict() for r in h.collect()]
         log = self.path / HISTORY
+        entries = []
         if log.is_file():
             entries = [
                 json.loads(line)
                 for line in log.read_text().splitlines()
                 if line.strip()
             ]
-        else:
-            entries = [
-                {
-                    "version": v,
-                    "op": "unknown",
-                    "data_dir": f"v{v:05d}",
-                    "partition_by": [],
-                    "timestamp": None,
-                }
-                for v in self.versions()
-            ]
+        logged = {int(e["version"]) for e in entries}
+        synthesized = [
+            {
+                "version": v,
+                "op": "unknown",
+                "data_dir": f"v{v:05d}",
+                "partition_by": [],
+                "timestamp": None,
+            }
+            for v in self.versions()
+            if v not in logged
+        ]
+        if synthesized:
+            # Pre-log versions sort strictly before the first logged
+            # commit (the log starts at the first post-upgrade write),
+            # so version order == commit order for the merged list.
+            entries = sorted(
+                synthesized + entries, key=lambda e: int(e["version"])
+            )
         entries.reverse()
         return entries[:limit] if limit is not None else entries
 
@@ -1107,28 +1129,130 @@ class ManagedTable:
         self._write_scoped(m, pby, set(hot), df, by_name, op="compact")
         return hot
 
-    def optimize(self, cluster_by: list[str], num_files: int | None = None) -> None:
+    def optimize(
+        self,
+        cluster_by: list[str],
+        num_files: int | None = None,
+        zorder: bool = False,
+        zorder_bits: int = 6,
+    ) -> None:
         """Clustered rewrite for min/max data skipping (the OPTIMIZE
-        ZORDER role, with linear range clustering): range-repartition on
-        ``cluster_by`` then sort within partitions, so each output file
-        covers a narrow, disjoint slice of the key space and parquet
-        footer min/max statistics prune whole files for range
-        predicates. Linear order is optimal for one key and a good
-        approximation for a leading-key workload; true Z-order only
-        wins for multi-key box queries."""
+        ZORDER role): range-repartition on ``cluster_by`` then sort
+        within partitions, so each output file covers a narrow,
+        disjoint slice of the key space and parquet footer min/max
+        statistics prune whole files for range predicates.
+
+        ``zorder=False`` (default) is LINEAR clustering — optimal for
+        one key and a good approximation for a leading-key workload.
+        ``zorder=True`` is true multi-dimensional Z-ordering (Delta
+        ``OPTIMIZE ... ZORDER BY (a, b, ...)``): each column is
+        quantile-bucketed into ``2**zorder_bits`` rank buckets (one
+        driver-side ``approxQuantile`` pass; boundaries become a
+        broadcast literal array), the bucket ids are bit-interleaved
+        into a single z-value by a closed-form shiftleft/and
+        expression (no UDF), and the rewrite range-partitions + sorts
+        on that z-value.  Every output file then covers a compact
+        hyper-rectangle of the key space, so a predicate on ANY
+        z-column — not just the leading one — prunes files; linear
+        clustering leaves trailing columns spanning the full range in
+        every file.  ``tests/test_table_maintenance.py`` pins the
+        skipping win with per-file min/max candidate counts.
+
+        Z-columns must be numeric, date, or timestamp (ranked via a
+        cast to epoch); other types raise — hashing strings would
+        destroy the range locality the layout exists for, so the
+        boundary is explicit (repo raise-at-boundary convention).
+        NULLs rank into bucket 0.  The bucketing comparison is
+        O(2**zorder_bits) per row per column inside the rewrite job
+        only; reads pay nothing.
+
+        Scale: one approxQuantile scan + one range shuffle of the
+        snapshot — the same cost class as the linear rewrite; the
+        z-value is a narrow bigint shuffle key, never a sort on all
+        z-columns."""
         m, df = self._pinned_snapshot()
-        cols = [F.col(c) for c in cluster_by]
-        if num_files:
-            df = df.repartitionByRange(int(num_files), *cols)
+        if zorder:
+            zcol = self._zvalue_column(df, cluster_by, zorder_bits)
+            df = df.withColumn("__z", zcol)
+            if num_files:
+                df = df.repartitionByRange(int(num_files), F.col("__z"))
+            else:
+                df = df.repartitionByRange(F.col("__z"))
+            df = df.sortWithinPartitions(F.col("__z")).drop("__z")
         else:
-            df = df.repartitionByRange(*cols)
-        df = df.sortWithinPartitions(*cols)
+            cols = [F.col(c) for c in cluster_by]
+            if num_files:
+                df = df.repartitionByRange(int(num_files), *cols)
+            else:
+                df = df.repartitionByRange(*cols)
+            df = df.sortWithinPartitions(*cols)
         self.write(
             df,
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
-            op="optimize",
+            op="zorder" if zorder else "optimize",
         )
+
+    @staticmethod
+    def _zvalue_column(df: DataFrame, cols: list[str], bits: int) -> Column:
+        """Bit-interleaved Z-value over quantile-rank buckets of
+        ``cols`` — a pure Column expression (whole-stage codegen'd).
+
+        Rank buckets, not raw bits: interleaving raw value bits would
+        let one wide-range column dominate the curve; quantile ranks
+        give every column equal weight regardless of distribution
+        (the same reason Delta z-orders on range ids)."""
+        if not cols:
+            raise ValueError("optimize(zorder=True) needs >=1 column")
+        if not 1 <= bits <= 10:
+            raise ValueError(f"zorder_bits must be in [1,10], got {bits}")
+        dtypes = dict(df.dtypes)
+        rankable = {"tinyint", "smallint", "int", "bigint", "float",
+                    "double", "date", "timestamp", "timestamp_ntz"}
+        numeric = []
+        for c in cols:
+            t = dtypes.get(c)
+            if t is None:
+                raise ValueError(f"zorder column {c!r} not in schema")
+            if t.startswith("decimal"):
+                numeric.append(F.col(c).cast("double"))
+            elif t in ("date", "timestamp", "timestamp_ntz"):
+                numeric.append(F.col(c).cast("timestamp").cast("double"))
+            elif t in rankable:
+                numeric.append(F.col(c).cast("double"))
+            else:
+                raise ValueError(
+                    f"zorder column {c!r} has type {t}: Z-ordering needs "
+                    "a rankable (numeric/date/timestamp) column — hash "
+                    "non-rankable keys into a numeric column first if "
+                    "point-lookup skipping is all that's wanted"
+                )
+        nb = 2**bits
+        probes = [i / nb for i in range(1, nb)]
+        # one pass over the snapshot for ALL columns' boundaries
+        tmp = df.select(
+            *[e.alias(f"__zc{i}") for i, e in enumerate(numeric)]
+        )
+        bounds = tmp.approxQuantile(
+            [f"__zc{i}" for i in range(len(numeric))], probes, 0.001
+        )
+        z = F.lit(0).cast("long")
+        for i, (e, bs) in enumerate(zip(numeric, bounds)):
+            # bucket id = #boundaries <= value (NULL -> 0); strictly
+            # increasing boundaries only, so ties collapse benignly.
+            # One-parameter closure, NOT a `lambda v, _e=e:` default-arg
+            # capture: pyspark counts the function's parameters to pick
+            # the unary vs (element, index) HOF form, so a defaulted
+            # second arg silently binds the captured expression to the
+            # ELEMENT INDEX. Eager invocation inside F.filter makes the
+            # loop-variable closure safe.
+            arr = F.array(*[F.lit(float(b)) for b in bs])
+            bucket = F.size(F.filter(arr, lambda __zbnd: __zbnd <= e))
+            bucket = F.coalesce(bucket, F.lit(0)).cast("long")
+            for j in range(bits):
+                bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+                z = z + F.shiftleft(bit, j * len(numeric) + i)
+        return z
 
     def register(self, name: str, grants=None, principal: str | None = None) -> None:
         """Catalog registration replacing the reference's Glue crawlers
@@ -1144,4 +1268,10 @@ class ManagedTable:
 
             db = name.split(".", 1)[0] if "." in name else "default"
             grants.check(principal, "CREATE_TABLE", Resource("database", db))
-        self.read().createOrReplaceTempView(name.replace(".", "__"))
+        view = name.replace(".", "__")
+        self.read().createOrReplaceTempView(view)
+        # Keep run_sql's registration cache honest if this name
+        # shadows a fixture-catalog view (sql.py:invalidate_view).
+        from cdk_datalake_ingest_spark.sql import invalidate_view
+
+        invalidate_view(self.spark, view)

@@ -268,3 +268,96 @@ def test_scoped_merge_racing_compaction_single_winner(spark, tmp_path):
     assert got.select("k").distinct().count() == 20
     if failures == ["compact"]:
         assert got.filter(F.col("k") == 0).collect()[0]["v"] == "merged"
+
+
+def test_restore_racing_merge_single_winner(spark, tmp_path):
+    """restore() rides the same OCC commit as write/merge: a restore and
+    a merge anchored on one base version must serialize to exactly one
+    winner; the loser raises and can retry from a fresh read."""
+    path = tmp_path / "t_restore_race"
+    t = _mk(spark, path, n=10)  # v1
+    t.write(spark.range(10).withColumn("val", F.lit("v2")))  # v2
+    barrier = threading.Barrier(2)
+    orig_commit = ManagedTable._commit
+
+    def gated(self, manifest, expected_version, **kw):
+        barrier.wait(timeout=30)
+        return orig_commit(self, manifest, expected_version, **kw)
+
+    errors: list[Exception | None] = [None, None]
+
+    def run_restore():
+        try:
+            w = ManagedTable(spark, path)
+            w._commit = gated.__get__(w)
+            w.restore(1)
+        except Exception as e:  # noqa: BLE001
+            errors[0] = e
+
+    def run_merge():
+        try:
+            w = ManagedTable(spark, path)
+            w._commit = gated.__get__(w)
+            w.merge_upsert(
+                spark.range(100, 105).withColumn("val", F.lit("m")),
+                keys=["id"],
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[1] = e
+
+    threads = [
+        threading.Thread(target=run_restore),
+        threading.Thread(target=run_merge),
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+    raised = [e for e in errors if e is not None]
+    assert len(raised) == 1, f"expected exactly one loser, got {errors}"
+    assert isinstance(raised[0], ConcurrentWriteError)
+    # the surviving manifest points at a complete, readable snapshot
+    live = ManagedTable(spark, path)
+    m = json.loads((path / "_manifest.json").read_text())
+    assert (path / m["data_dir"]).is_dir()
+    n = live.read().count()
+    winner_is_restore = errors[0] is None
+    assert n == (10 if winner_is_restore else 15)
+
+
+def test_clone_sees_consistent_snapshot_under_concurrent_merge(spark, tmp_path):
+    """A clone whose source takes a commit mid-clone still materializes
+    the exact snapshot it read (immutable version dirs), never a mix of
+    the two manifests."""
+    path = tmp_path / "t_clone_race"
+    t = _mk(spark, path, n=10)  # v1: ids 0..9
+    committed = threading.Event()
+    orig_link = ManagedTable._link_tree
+
+    def stalled_link(src, dst):
+        # pause the clone after it pinned the source snapshot, let a
+        # merge land, then continue linking from the pinned (immutable)
+        # version dir (_link_tree is a staticmethod)
+        assert committed.wait(timeout=60)
+        return orig_link(src, dst)
+
+    cloner = ManagedTable(spark, path)
+    cloner._link_tree = stalled_link
+    out: list = [None]
+
+    def run_clone():
+        out[0] = cloner.clone(tmp_path / "t_clone_dst")
+
+    th = threading.Thread(target=run_clone)
+    th.start()
+    ManagedTable(spark, path).merge_upsert(
+        spark.range(100, 105).withColumn("val", F.lit("m")), keys=["id"]
+    )  # v2 lands while the clone is stalled
+    committed.set()
+    th.join(timeout=120)
+    clone = out[0]
+    assert clone is not None
+    ids = {r["id"] for r in clone.read().collect()}
+    assert ids == set(range(10)), "clone must be exactly the pinned v1"
+    src_ids = {r["id"] for r in ManagedTable(spark, path).read().collect()}
+    assert src_ids == set(range(10)) | set(range(100, 105))

@@ -324,3 +324,109 @@ def test_history_logs_every_commit_op(spark, tmp_path):
     # pre-log tables synthesize from on-disk versions
     (t.path / "_history.jsonl").unlink()
     assert [(e["version"], e["op"]) for e in t.history()] == [(5, "unknown")]
+
+
+def test_history_merges_prelog_versions_with_new_log(spark, tmp_path):
+    """A pre-log table that takes one logged commit must still show its
+    older on-disk versions (synthesized 'unknown'), not a one-entry
+    history (round-8 ADVICE)."""
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "h2")
+    t.write(spark.range(1))
+    t.write(spark.range(2))
+    (t.path / "_history.jsonl").unlink()  # simulate a pre-log table
+    t.write(spark.range(3))  # first logged commit
+    hist = [(e["version"], e["op"]) for e in t.history()]
+    assert hist == [(3, "overwrite"), (2, "unknown"), (1, "unknown")]
+    # limit applies to the merged, newest-first view
+    assert [e["version"] for e in t.history(limit=2)] == [3, 2]
+
+
+def test_optimize_zorder_skips_files_on_trailing_column(spark, tmp_path):
+    """Z-order vs linear clustering on two independent uniform keys:
+    after linear optimize on x, a predicate on y alone can prune
+    nothing (every file spans y's full range); after zorder on (x, y),
+    per-file min/max prunes most files for BOTH single-column box
+    predicates — and the rewrite is content-preserving."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    n, files = 8192, 8
+    base = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        F.pmod(F.hash(F.col("id")), F.lit(64)).alias("y"),
+    )
+
+    def candidate_files(t, col, lo, hi):
+        stats = (
+            t.read()
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        total = len(stats)
+        cand = sum(1 for r in stats if r.hi >= lo and r.lo <= hi)
+        return cand, total
+
+    lin = ManagedTable(spark, tmp_path / "lin")
+    lin.write(base)
+    lin.optimize(["x"], num_files=files)
+    z = ManagedTable(spark, tmp_path / "zord")
+    z.write(base)
+    z.optimize(["x", "y"], num_files=files, zorder=True)
+
+    # content preserved exactly
+    assert z.read().exceptAll(base).count() == 0
+    assert base.exceptAll(z.read()).count() == 0
+    assert [e["op"] for e in z.history(limit=1)] == ["zorder"]
+
+    cand_lin_y, tot_lin = candidate_files(lin, "y", 10, 17)
+    cand_z_y, tot_z = candidate_files(z, "y", 10, 17)
+    cand_z_x, _ = candidate_files(z, "x", 10, 17)
+    assert tot_lin == files and tot_z == files
+    # linear-on-x cannot prune on y; zorder prunes on BOTH dimensions
+    assert cand_lin_y == files
+    assert cand_z_y < files
+    assert cand_z_x < files
+
+
+def test_optimize_zorder_rejects_unrankable_and_bad_bits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "zbad")
+    t.write(spark.range(4).select("id", F.lit("s").alias("name")))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rankable"):
+        t.optimize(["name"], zorder=True)
+    with _pytest.raises(ValueError, match="not in schema"):
+        t.optimize(["nope"], zorder=True)
+    with _pytest.raises(ValueError, match="zorder_bits"):
+        t.optimize(["id"], zorder=True, zorder_bits=0)
+    with _pytest.raises(ValueError, match=">=1 column"):
+        t.optimize([], zorder=True)
+
+
+def test_optimize_zorder_nulls_and_time_travel(spark, tmp_path):
+    """NULL z-keys rank into bucket 0 (rows survive the rewrite), and
+    the pre-optimize version stays time-travelable."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "znull")
+    df = spark.range(100).select(
+        "id",
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("x"),
+        (F.col("id") % 7).cast("double").alias("v"),
+    )
+    t.write(df)
+    t.optimize(["x", "v"], num_files=4, zorder=True)
+    assert t.read().count() == 100
+    assert t.read().filter(F.col("x").isNull()).count() == 10
+    assert t.read(version=1).exceptAll(df).count() == 0
