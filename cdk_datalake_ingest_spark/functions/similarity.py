@@ -62,25 +62,29 @@ def dot_arrow(a: Column, b: Column) -> Column:
 
         @pandas_udf("double")
         def _kernel(pa: pd.Series, pb: pd.Series) -> pd.Series:
-            ra, rb = pa.tolist(), pb.tolist()
-            if not ra:
+            import pyarrow as _pa
+
+            n = len(pa)
+            if n == 0:
                 return pd.Series([], dtype="float64")
-            dims = {
-                len(v) for v in ra if v is not None
-            } | {len(v) for v in rb if v is not None}
-            uniform = (
-                len(dims) == 1
-                and 0 not in dims
-                and all(
-                    x is not None and y is not None for x, y in zip(ra, rb)
-                )
-            )
-            if uniform:
-                A = np.stack([np.asarray(r, dtype=np.float64) for r in ra])
-                B = np.stack([np.asarray(r, dtype=np.float64) for r in rb])
-                return pd.Series((A * B).cumsum(axis=1)[:, -1])
+            # Validity check stays C-speed (null_count + value_lengths
+            # on the Arrow list arrays) so the uniform fast path — the
+            # only shape the SemDeDup pair stream produces — pays no
+            # per-row Python.  The pd->arrow conversion is a single
+            # C-level pass; it replaces the old tolist()+len-set scan.
+            aa, bb = _pa.array(pa), _pa.array(pb)
+            if aa.null_count == 0 and bb.null_count == 0:
+                la = aa.value_lengths().to_numpy()
+                lb = bb.value_lengths().to_numpy()
+                d = int(la[0])
+                if d > 0 and (la == d).all() and (lb == d).all():
+                    A = aa.flatten().to_numpy(zero_copy_only=False)
+                    B = bb.flatten().to_numpy(zero_copy_only=False)
+                    A = A.astype(np.float64, copy=False).reshape(n, d)
+                    B = B.astype(np.float64, copy=False).reshape(n, d)
+                    return pd.Series((A * B).cumsum(axis=1)[:, -1])
             out: list[float | None] = []
-            for x, y in zip(ra, rb):
+            for x, y in zip(pa.tolist(), pb.tolist()):
                 if x is None or y is None or len(x) != len(y):
                     out.append(None)
                     continue

@@ -302,6 +302,12 @@ def semantic_dedup(
     unpersists them once the result (and plans derived from it) are
     garbage-collected, so long sessions calling this repeatedly should
     drop references to finished results rather than accumulate them.
+    One more lazy-checkpoint caveat: the blocks materialize during the
+    FIRST action's job — if an executor loses those blocks later (or
+    the result is recomputed after the cleaner dropped them), the
+    assignment kernel re-runs from the corpus; callers that will take
+    many actions over the result should ``.persist()`` the returned
+    DataFrame themselves.
     """
     if centroids is not None:
         cents = [list(c) for c in centroids]
