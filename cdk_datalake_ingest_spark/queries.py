@@ -730,11 +730,17 @@ def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``changes_between`` — the Delta CDF ``table_changes`` role)
     through the oracle gate, exercising the REAL versioned-table
     machinery end to end: a ManagedTable is written at v1 (latest
-    pre-Jan-20 state per (user_id, event_type)), a delete-window
-    merge lands the Jan-15+ batch as v2 (delete period >= 20240115,
-    then upsert — so all four change types occur), and the gate
-    returns the classified keyed diff: ``insert`` / ``delete`` /
-    ``update_preimage`` / ``update_postimage`` + ``_commit_version``.
+    pre-Jan-20 state per (user_id, event_type)); v2 is an
+    erasure-plus-backfill merge — delete the ``user_id % 5 = 3``
+    cohort (a GDPR-style erasure, deliberately independent of the
+    source window so the deletes SURVIVE the upsert), then upsert the
+    Jan-20+ latest state for the remaining users plus one derived
+    ``daily_total`` rollup row per active user (a key shape absent
+    from v1, so inserts are structurally guaranteed).  The gate
+    returns the classified keyed diff — ``insert`` / ``delete`` /
+    ``update_preimage`` / ``update_postimage`` + ``_commit_version``
+    — and all four change types occur at every fixture SF
+    (tests/test_table_changes.py pins the presence of each).
 
     The oracle recomputes both snapshots from ``events`` in pure SQL
     and classifies with null-safe comparisons, so the keyed full-outer
@@ -761,9 +767,17 @@ def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = latest_record_dedup(
         ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
     ).select(*cols)
-    source = latest_record_dedup(
-        ev.filter(F.col("ts_us") >= TS_JAN15_US), _EVENT_KEYS, _EVENT_ORDER
-    ).select(*cols)
+    post = ev.filter(
+        (F.col("ts_us") >= TS_JAN20_US) & (F.col("user_id") % 5 != 3)
+    )
+    latest = latest_record_dedup(post, _EVENT_KEYS, _EVENT_ORDER).select(*cols)
+    rollup = post.groupBy("user_id").agg(
+        F.min("event_id").alias("event_id"),
+        F.max("ts_us").alias("ts_us"),
+        F.count(F.lit(1)).cast("double").alias("value"),
+        F.max("period").alias("period"),
+    ).withColumn("event_type", F.lit("daily_total")).select(*cols)
+    source = latest.unionByName(rollup)
     t = ManagedTable(
         spark, tempfile.mkdtemp(prefix="cdk_cdf_") + "/events_cdf"
     )
@@ -771,7 +785,7 @@ def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge_upsert(
         source,
         _EVENT_KEYS,
-        delete_predicate=F.col("period") >= F.lit(20240115),
+        delete_predicate=F.col("user_id") % 5 == 3,
     )  # v2
     return t.changes_between(1, 2, key_cols=_EVENT_KEYS)
 
@@ -780,8 +794,30 @@ _CDF_V2 = "CAST(2 AS INTEGER) AS _commit_version"
 
 TABLE_CHANGE_FEED_SQL = f"""
 WITH tgt AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) < 1705708800000000")}),
-     src AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) >= 1705276800000000")}),
-     kept AS (SELECT * FROM tgt WHERE NOT (period >= 20240115)),
+     post AS (
+       SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
+              CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS period
+       FROM events
+       WHERE epoch_us(ts) >= 1705708800000000 AND user_id % 5 <> 3
+     ),
+     latest AS (
+       SELECT * FROM post
+       QUALIFY row_number() OVER (
+         PARTITION BY user_id, event_type
+         ORDER BY ts_us DESC, event_id DESC) = 1
+     ),
+     rollup AS (
+       SELECT user_id, 'daily_total' AS event_type,
+              min(event_id) AS event_id, max(ts_us) AS ts_us,
+              CAST(count(*) AS DOUBLE) AS value, max(period) AS period
+       FROM post GROUP BY user_id
+     ),
+     src AS (
+       SELECT user_id, event_type, event_id, ts_us, value, period FROM latest
+       UNION ALL
+       SELECT user_id, event_type, event_id, ts_us, value, period FROM rollup
+     ),
+     kept AS (SELECT * FROM tgt WHERE NOT (user_id % 5 = 3)),
      merged AS (
        SELECT * FROM src
        UNION ALL
@@ -822,6 +858,142 @@ UNION ALL
 SELECT user_id, event_type, n_event_id, n_ts_us, n_value, n_period,
        'update_postimage' AS _change_type, {_CDF_V2}
 FROM changed
+"""
+
+
+def table_restore_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned-table RESTORE through the oracle gate (operators/
+    table.py:``restore`` — Delta ``RESTORE TABLE ... TO VERSION AS
+    OF``): write v1 (latest pre-Jan-20 state per (user_id,
+    event_type)), land the Jan-20+ batch as a v2 merge, then
+    ``restore(1)`` — rollback lands AS A NEW COMMIT v3 — and return
+    the v3 read.  The oracle is the v1 snapshot recomputed in pure
+    SQL, so a restore that leaks v2 rows, drops v1 rows, or perturbs
+    any value fails the cross-engine hash.
+
+    The gate also pins the control-plane invariants in-line (raising
+    breaks the driver row): versions == [1, 2, 3] and ``history()``
+    newest-first with op ``restore(v1)`` on top — rollback is a
+    commit, not an erasure; v2 stays time-travelable.
+
+    Scale shape: restore is O(#files) hard-link metadata — no data
+    rewrite, no shuffle; the only dataflow is the v1-build dedup
+    (one keyed window) and the final scan."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    ev = _events(spark, sf_dir).withColumn(
+        "period",
+        F.date_format(
+            F.timestamp_micros(F.col("ts_us")), "yyyyMMdd"
+        ).cast("int"),
+    )
+    cols = ["user_id", "event_type", "event_id", "ts_us", "value", "period"]
+    target = latest_record_dedup(
+        ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    source = latest_record_dedup(
+        ev.filter(F.col("ts_us") >= TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
+    ).select(*cols)
+    t = ManagedTable(
+        spark, tempfile.mkdtemp(prefix="cdk_restore_") + "/events_restore"
+    )
+    t.write(target)  # v1
+    t.merge_upsert(source, _EVENT_KEYS)  # v2
+    restored = t.restore(1)  # v3 = rollback-as-new-commit
+    if restored != 3 or t.versions() != [1, 2, 3]:
+        raise AssertionError(
+            f"restore must commit v3 atop [1,2]: got v{restored}, "
+            f"versions={t.versions()}"
+        )
+    ops = [e["op"] for e in t.history()]
+    if ops != ["restore(v1)", "merge", "overwrite"]:
+        raise AssertionError(f"history out of order: {ops}")
+    return t.read()
+
+
+TABLE_RESTORE_SQL = _EVENT_DEDUP_PERIOD_SQL.format(
+    where="WHERE epoch_us(ts) < 1705708800000000"
+)
+
+
+def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER through the oracle gate (operators/table.py:
+    ``optimize(zorder=True)`` — Delta ``OPTIMIZE ... ZORDER BY``):
+    write the projected events table, Z-order it on the two
+    independent dimensions a 100 TB event lake is actually queried by
+    (``user_id`` point lookups, ``ts_us`` time ranges), and return
+    the rewritten table's read — the oracle is the plain projection,
+    so the gate proves the layout rewrite is exactly
+    content-preserving while the physical order changed entirely.
+
+    The layout WIN is pinned in-line (raising breaks the driver row):
+    per-file min/max footer stats must prune files for a box
+    predicate on EACH dimension separately — the property linear
+    clustering cannot deliver for the trailing dimension.  Also
+    pinned: the rewrite is a normal commit (versions [1, 2], history
+    op ``zorder``), so time travel to the pre-optimize layout works.
+
+    Scale shape: one approxQuantile pass + one range shuffle on the
+    interleaved z-value (a single bigint key), exactly the linear
+    OPTIMIZE cost class; the skipping payoff multiplies every
+    subsequent selective scan."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts_us", "value"
+    )
+    t = ManagedTable(
+        spark, tempfile.mkdtemp(prefix="cdk_zorder_") + "/events_z"
+    )
+    t.write(ev)
+    t.optimize(["user_id", "ts_us"], num_files=8, zorder=True)
+    if t.versions() != [1, 2] or t.history(limit=1)[0]["op"] != "zorder":
+        raise AssertionError(
+            f"zorder must land as commit v2: versions={t.versions()}, "
+            f"history={t.history(limit=1)}"
+        )
+    out = t.read()
+    stats = (
+        out.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+            F.min("ts_us").alias("t_lo"), F.max("ts_us").alias("t_hi"),
+        )
+        .collect()
+    )
+    lo = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_us"), F.max("ts_us")
+    ).collect()[0]
+    # Probe at the QUARTER point, not the median: with 8 output files
+    # the file split is the top 3 z-bits, so each dimension's top rank
+    # bit is a file boundary — a median-centered box straddles it and
+    # legitimately touches both halves. A quarter-point box sits inside
+    # one top-bit half of both dimensions.
+    u_mid = lo[0] + (lo[1] - lo[0]) / 4
+    t_mid = lo[2] + (lo[3] - lo[2]) / 4
+    u_w = max((lo[1] - lo[0]) / 32, 1)
+    t_w = max((lo[3] - lo[2]) / 32, 1)
+    cand_u = sum(
+        1 for r in stats if r.u_hi >= u_mid - u_w and r.u_lo <= u_mid + u_w
+    )
+    cand_t = sum(
+        1 for r in stats if r.t_hi >= t_mid - t_w and r.t_lo <= t_mid + t_w
+    )
+    if not (cand_u < len(stats) and cand_t < len(stats)):
+        raise AssertionError(
+            f"z-layout must prune on BOTH dims: user {cand_u}/{len(stats)}, "
+            f"ts {cand_t}/{len(stats)}"
+        )
+    return out
+
+
+ZORDER_LAYOUT_SQL = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events
 """
 
 
@@ -5927,10 +6099,95 @@ WHERE r_name = 'AMERICA'
 # q16 = not-in + distinct agg, q02/q11/q17-shape correlated
 # aggregates) and the setops semantics stay pinned by the
 # 1-round-old sql_interface_setops row + local sf0.01 parity.
-# ROUND-8 ROTATION PLAN: lead with these 9, then the r6-fresh 50's
-# oldest; the then-two-round-old tail must again be twin-covered.
+# ROUND-8 ROTATION (executed as planned): (a) the 9 two-round-stale
+# r5 entries lead; (b) the two new gates (table_restore_roundtrip_
+# events, zorder_layout_events) plus the 4 entries whose code changed
+# this round (CDF gate's erasure+backfill scenario rewrite, both
+# semantic_dedup twins over the vectorized dot_arrow guard,
+# sql_interface_q13 over the validated run_sql cache); (c) 35 of the
+# 48 r6-aged entries, heaviest/most-custom first.  The 13 r6-aged
+# leftovers (pure Catalyst-relational q04/q06/q14/q19 + thin
+# native-Column text maps — machinery window-covered by in-window
+# twins) sit at tail positions 50-62 and MUST lead the r9 window;
+# the 48 r7-fresh entries follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # (a) never driver-gated: round-6 additions + round-7 new gates
+    # (a) two-rounds-stale r5 entries lead (rotation policy: no entry
+    # exceeds 2 rounds without a driver row)
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "customers_with_open_orders": customers_with_open_orders,
+    "returned_vs_finished_setops": returned_vs_finished_setops,
+    # (b) new r8 gate + entries whose code changed this round (CDF
+    # scenario rewrite, dot_arrow guard vectorization, run_sql cache
+    # validation)
+    "table_restore_roundtrip_events": table_restore_roundtrip_events,
+    "zorder_layout_events": zorder_layout_events,
+    "table_change_feed_events": table_change_feed_events,
+    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "sql_interface_q13": sql_interface_q13,
+    # (c) r6-aged backfill, heaviest/most-custom operators first
+    "curate_documents": curate_documents,
+    "streaming_sessionize_events": streaming_sessionize_events,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "minhash_near_dup_docs": minhash_near_dup_docs,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
+    "embedding_near_dup": embedding_near_dup,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
+    "kmeans_train_hash_docs": kmeans_train_hash_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "decontaminate_multi_docs": decontaminate_multi_docs,
+    "multimodal_media_pipeline": multimodal_media_pipeline,
+    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
+    "watermark_events": watermark_events,
+    "incremental_between_events": incremental_between_events,
+    "continuous_rollup_events": continuous_rollup_events,
+    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
+    "simhash_near_dup_docs": simhash_near_dup_docs,
+    "temperature_mixture_docs": temperature_mixture_docs,
+    "sql_interface_window": sql_interface_window,
+    "sql_interface_setops": sql_interface_setops,
+    "dsl_flags_orders": dsl_flags_orders,
+    "salesforce_stage_orders": salesforce_stage_orders,
+    "dsl_magic_codes": dsl_magic_codes,
+    "w1_latest_event": w1_latest_event,
+    "events_hourly_rollup": events_hourly_rollup,
+    "exact_dedup_docs": exact_dedup_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "events_props_json": events_props_json,
+    "hash_embed_docs": hash_embed_docs,
+    "text_metrics_docs": text_metrics_docs,
+    "lang_id_docs": lang_id_docs,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # (vocab_top_tokens rotated out of the planned window to make room
+    # for the new zorder gate: its tokenize+explode machinery is
+    # window-covered by unigram/tfidf/boilerplate twins)
+    "vocab_top_tokens": vocab_top_tokens,
+    # 12 r6-aged leftovers (all pure-relational TPC-H shapes or thin
+    # native-Column maps whose machinery is window-covered; they lead
+    # the r9 window)
+    "q04_priority_exists": q04_priority_exists,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "fingerprint_docs": fingerprint_docs,
+    "token_stats_docs": token_stats_docs,
+    "pii_scrub_docs": pii_scrub_docs,
+    "distinct_rows_lineitem": distinct_rows_lineitem,
+    "repetition_docs": repetition_docs,
+    "dataset_split_docs": dataset_split_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "stratified_sample_docs": stratified_sample_docs,
+    # ... then the 48 entries fresh-green in CORRECTNESS_r07
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q09_product_profit": q09_product_profit,
     "q11_important_stock": q11_important_stock,
@@ -5940,10 +6197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nb_quality_filter_docs": nb_quality_filter_docs,
     "gopher_rules_docs": gopher_rules_docs,
     "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
-    "table_change_feed_events": table_change_feed_events,
     "streaming_sessionize_native_events": streaming_sessionize_native_events,
-    # (b) last driver row is r5 (oldest first-risk)
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
     "q13_order_count_distribution": q13_order_count_distribution,
@@ -5982,68 +6236,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
     "planner_multi_table_run": planner_multi_table_run,
     "streaming_dedup_ingest": streaming_dedup_ingest,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # 9 r5 leftovers (twin-covered, see note above) ...
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_top_orders": q03_top_orders,
-    "q05_region_revenue": q05_region_revenue,
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "orders_without_lineitems": orders_without_lineitems,
-    "customers_with_open_orders": customers_with_open_orders,
-    "returned_vs_finished_setops": returned_vs_finished_setops,
-    # ... then the 50 entries fresh-green in CORRECTNESS_r06
-    "sql_interface_q13": sql_interface_q13,
-    "decontaminate_multi_docs": decontaminate_multi_docs,
-    "sql_interface_window": sql_interface_window,
-    "sql_interface_setops": sql_interface_setops,
-    "kmeans_train_hash_docs": kmeans_train_hash_docs,
-    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
-    "streaming_windowed_counts": streaming_windowed_counts,
-    "curate_documents": curate_documents,
-    "embedding_near_dup": embedding_near_dup,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "ann_ivf_topk": ann_ivf_topk,
-    "decontaminate_docs": decontaminate_docs,
-    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
-    "watermark_events": watermark_events,
-    "incremental_between_events": incremental_between_events,
-    "streaming_sessionize_events": streaming_sessionize_events,
-    "minhash_near_dup_docs": minhash_near_dup_docs,
-    "near_dup_clusters_docs": near_dup_clusters_docs,
-    "multimodal_media_pipeline": multimodal_media_pipeline,
-    "dsl_flags_orders": dsl_flags_orders,
-    "salesforce_stage_orders": salesforce_stage_orders,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
-    "continuous_rollup_events": continuous_rollup_events,
-    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "simhash_near_dup_docs": simhash_near_dup_docs,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "q04_priority_exists": q04_priority_exists,
-    "q06_forecast_revenue": q06_forecast_revenue,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_bracket_revenue": q19_bracket_revenue,
-    "text_metrics_docs": text_metrics_docs,
-    "lang_id_docs": lang_id_docs,
-    "fingerprint_docs": fingerprint_docs,
-    "token_stats_docs": token_stats_docs,
-    "pii_scrub_docs": pii_scrub_docs,
-    "distinct_rows_lineitem": distinct_rows_lineitem,
-    "vocab_top_tokens": vocab_top_tokens,
-    "dsl_magic_codes": dsl_magic_codes,
-    "w1_latest_event": w1_latest_event,
-    "events_hourly_rollup": events_hourly_rollup,
-    "exact_dedup_docs": exact_dedup_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "events_props_json": events_props_json,
-    "repetition_docs": repetition_docs,
-    "dataset_split_docs": dataset_split_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "stratified_sample_docs": stratified_sample_docs,
-    "hash_embed_docs": hash_embed_docs,
-    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
 }
 
 ORACLES: dict[str, str] = {
@@ -6108,6 +6300,8 @@ ORACLES: dict[str, str] = {
     # the JVM session_window twin answers the SAME batch-session oracle
     "streaming_sessionize_native_events": STREAMING_SESSIONIZE_SQL,
     "table_change_feed_events": TABLE_CHANGE_FEED_SQL,
+    "table_restore_roundtrip_events": TABLE_RESTORE_SQL,
+    "zorder_layout_events": ZORDER_LAYOUT_SQL,
     "near_dup_clusters_docs": NEAR_DUP_CLUSTERS_SQL,
     "curate_documents": CURATE_SQL,
     "pii_scrub_docs": PII_SCRUB_SQL,

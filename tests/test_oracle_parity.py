@@ -40,6 +40,11 @@ SUBSET = [
     # round-7 gates, new this round
     "table_change_feed_events",
     "streaming_sessionize_native_events",
+    # round-8 gates: versioned-table RESTORE end to end; Z-order
+    # layout rewrite (content-preserving, file-skipping invariant
+    # raised in-line)
+    "table_restore_roundtrip_events",
+    "zorder_layout_events",
     # the 9 r5 entries the round-7 rotation left outside the 50-row
     # driver window (q01 is already above): their driver rows go two
     # rounds stale, so this local gate is their hard per-commit signal

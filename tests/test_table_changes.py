@@ -259,3 +259,15 @@ def test_changes_rejects_reversed_version_range(spark, table):
     )
     with pytest.raises(ValueError, match="must not exceed"):
         table.changes_between(2, 1, key_cols=["id"])
+
+
+def test_gate_emits_all_four_change_types(spark):
+    """The registry gate's erasure+backfill scenario must produce every
+    _change_type at fixture SFs — a delete predicate correlated with
+    the source window silently starves the insert/delete branches of
+    oracle coverage (round-8 ADVICE)."""
+    from cdk_datalake_ingest_spark.queries import table_change_feed_events
+
+    df = table_change_feed_events(spark, "/root/testdata/sf0.001")
+    kinds = {r._change_type for r in df.select("_change_type").distinct().collect()}
+    assert kinds == {"insert", "delete", "update_preimage", "update_postimage"}
