@@ -96,6 +96,11 @@ QUERIES = [
     # side stays a broadcast-sized sample)
     "table_change_feed_events",
     "ann_lsh_multiprobe_topk",
+    # round-8 addition: versioned-table restore roundtrip — the v1
+    # build scales with events; the restore itself is O(#files)
+    # hard-link metadata, so the ratio should track the dedup window,
+    # not the snapshot size
+    "table_restore_roundtrip_events",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
@@ -367,7 +372,7 @@ def main() -> None:
                           "shape": shape_note}))
 
     md = [
-        "# SCALE — 10x rehearsal (round 7)",
+        "# SCALE — 10x rehearsal (round 8)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",
