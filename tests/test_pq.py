@@ -1,0 +1,129 @@
+"""Product quantization (functions/pq.py): training equivalence,
+encoding contract, ADC correctness, recall floor, boundary raises."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdk_datalake_ingest_spark.functions.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return pq_train(emb, m=16, k=16, iters=2)
+
+
+def test_train_matches_per_subspace_lloyd(spark, emb, books):
+    """The combined one-dataflow training must be bit-identical to
+    running lloyd_kmeans independently on each vector slice — same
+    init, same round-6 means, same tie-breaks."""
+    from cdk_datalake_ingest_spark.functions.similarity import _as_double
+    from cdk_datalake_ingest_spark.operators.semantic import lloyd_kmeans
+
+    assert len(books) == 16 and all(
+        len(b) == 16 and all(len(c) == 4 for c in b) for b in books
+    )
+    for j in (0, 9, 15):
+        sub = emb.select(
+            "vec_id",
+            F.slice(_as_double(F.col("embedding")), j * 4 + 1, 4).alias("s"),
+        )
+        _, cents = lloyd_kmeans(sub, k=16, iters=2, vec_col="s", dim=4)
+        assert cents == books[j], f"subspace {j} diverged"
+
+
+def test_encode_codes_shape_and_determinism(spark, emb, books):
+    enc = pq_encode(emb, books)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows[:50]:
+        assert len(r["codes"]) == 16
+        assert all(1 <= c <= 16 for c in r["codes"])
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, enc.collect()))
+
+
+def test_adc_matches_hand_computation(spark):
+    """Tiny fixture where the ADC arithmetic is checkable by hand:
+    2-dim vectors, 2 subspaces of width 1, 2-centroid codebooks."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 0.0]), (3, [0.0, 10.0]), (4, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = [[[0.0], [10.0]], [[0.0], [10.0]]]
+    enc = {r.vec_id: list(r.codes) for r in pq_encode(df, books).collect()}
+    assert enc == {1: [1, 1], 2: [2, 1], 3: [1, 2], 4: [2, 2]}
+    q = df.filter(F.col("vec_id") == 1)
+    out = {
+        r.neighbor_id: r.adc_dist
+        for r in pq_adc_topk(df, q, k=3, codebooks=books).collect()
+    }
+    # query (0,0): tables per subspace = [0, 100]; ADC to 2 = 100+0,
+    # to 3 = 0+100, to 4 = 100+100
+    assert out == {2: 100.0, 3: 100.0, 4: 200.0}
+
+
+def test_adc_recall_floor_with_rerank(spark, emb, books):
+    """Gate-parameter recall: top-40 ADC candidates exact-reranked to
+    top-5 must recover >= 0.8 of the exact squared-distance top-5."""
+    from cdk_datalake_ingest_spark.functions.similarity import _as_double
+    from cdk_datalake_ingest_spark.operators.semantic import _sq_dist
+
+    q = emb.filter(F.col("vec_id") < 8)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    pairs = c.join(F.broadcast(qq), how="cross").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in pairs.withColumn("d", _sq_dist(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(emb, q, 5, books, refine=8).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_boundary_raises(spark, emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(emb, m=7, dim=64)
+    with pytest.raises(ValueError, match="iters"):
+        pq_train(emb, iters=-1)
+    with pytest.raises(ValueError, match="non-empty"):
+        pq_encode(emb, [])
+    ragged = [[[0.0, 1.0]], [[0.0]]]
+    with pytest.raises(ValueError, match="codebook shape"):
+        pq_encode(emb, ragged)
+    short = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [1.0] * 63)],
+        "vec_id long, embedding array<double>",
+    )
+    books2 = [[[0.0] * 4] * 2] * 16
+    with pytest.raises(Exception, match="vector length"):
+        pq_encode(short, books2).collect()
