@@ -5632,6 +5632,135 @@ SELECT vec_id, cid AS cluster_id FROM af
 WHERE vec_id NOT IN (SELECT dropped FROM pr)
 """
 
+# PQ (product quantization) gate parameters: 16 subspaces x 4 dims,
+# 16-centroid codebooks, 2 Lloyd iterations, ADC top-40 candidates
+# exact-reranked to top-5 — recall@5 >= 0.8 vs exact squared-distance
+# top-k pinned in tests/test_pq.py at every fixture SF.
+_PQ_M, _PQ_K, _PQ_ITERS, _PQ_TOPK, _PQ_REFINE = 16, 16, 2, 5, 8
+_PQ_DSUB = _KM_DIM // _PQ_M
+
+
+def _pq_sq_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_DSUB + 1}), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j])))"
+    )
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (functions/pq.py — Jegou et al. 2011):
+    train the 16x(16x4) per-subspace codebooks with the combined
+    deterministic Lloyd dataflow, encode the corpus to 16 small int
+    codes per vector, answer the vec_id<8 queries by ADC (per-query
+    round-6 distance tables, M-lookup candidate fold in subspace
+    order), then exact-rerank the top-40 ADC candidates to the final
+    top-5 — the compression leg of the ANN family: at 100 TB the
+    scanned corpus state is the code column (~30x smaller than the
+    raw vectors), the queries + tables broadcast, and the exact work
+    is bounded by refine*k per query.
+
+    The oracle retrains all 16 sub-codebooks (one relational Lloyd
+    loop keyed by (subspace, centroid)), re-encodes, rebuilds the
+    tables, and replays ADC + rerank end to end in SQL."""
+    from cdk_datalake_ingest_spark.functions.pq import pq_adc_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(
+        emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_KM_DIM
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(
+        emb, queries, _PQ_TOPK, books, refine=_PQ_REFINE
+    )
+
+
+def _pq_ctes() -> str:
+    """WITH-clause reproducing pq_train + pq_encode: ends with
+    ``codes`` (vec_id, sub 0-based, cid) under the final codebooks
+    ``cent{iters}`` (sub, cid, cv) — the relational twin of the
+    combined Lloyd dataflow, keyed by (subspace, centroid)."""
+    parts = [
+        "c AS (SELECT vec_id, "
+        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"""sub AS (
+  SELECT vec_id, s.j AS sub,
+         v[s.j*{_PQ_DSUB}+1 : s.j*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+  FROM c, (SELECT unnest(range(0, {_PQ_M})) AS j) s)""",
+        f"""cent0 AS (
+  SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id)
+           AS cid, sv AS cv
+  FROM sub
+  QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id)
+            <= {_PQ_K})""",
+    ]
+    for i in range(_PQ_ITERS):
+        parts += [
+            f"""r{i} AS (
+  SELECT sb.vec_id, sb.sub, sb.sv, ct.cid,
+    row_number() OVER (PARTITION BY sb.vec_id, sb.sub
+      ORDER BY round({_pq_sq_sql('sb.sv', 'ct.cv')}, 6) ASC, ct.cid ASC)
+      AS rn
+  FROM sub sb JOIN cent{i} ct USING (sub))""",
+            f"a{i} AS (SELECT vec_id, sub, sv, cid FROM r{i} WHERE rn = 1)",
+            f"""m{i} AS (
+  SELECT sub, cid, dim, round(avg(val), 6) AS mval
+  FROM (SELECT sub, cid, unnest(sv) AS val,
+               unnest(range(1, {_PQ_DSUB + 1})) AS dim FROM a{i})
+  GROUP BY sub, cid, dim)""",
+            f"""cent{i + 1} AS (
+  SELECT p.sub, p.cid, coalesce(n.cv, p.cv) AS cv
+  FROM cent{i} p LEFT JOIN
+    (SELECT sub, cid, list(mval ORDER BY dim) AS cv
+     FROM m{i} GROUP BY sub, cid) n
+    USING (sub, cid))""",
+        ]
+    parts.append(
+        f"""codes AS (
+  SELECT vec_id, sub, cid FROM (
+    SELECT sb.vec_id, sb.sub, ct.cid,
+      row_number() OVER (PARTITION BY sb.vec_id, sb.sub
+        ORDER BY round({_pq_sq_sql('sb.sv', 'ct.cv')}, 6) ASC, ct.cid ASC)
+        AS rn
+    FROM sub sb JOIN cent{_PQ_ITERS} ct USING (sub))
+  WHERE rn = 1)"""
+    )
+    return "WITH " + ",\n".join(parts)
+
+
+ANN_PQ_ADC_SQL = _pq_ctes() + f""",
+qtab AS (
+  SELECT qs.vec_id AS query_id, ct.sub, ct.cid,
+         round({_pq_sq_sql('qs.sv', 'ct.cv')}, 6) AS d
+  FROM (SELECT * FROM sub WHERE vec_id < 8) qs
+  JOIN cent{_PQ_ITERS} ct USING (sub)
+), adc AS (
+  -- ordered list_sum = the Spark fold's left-to-right subspace order
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         list_sum(list(t.d ORDER BY t.sub)) AS adc_dist
+  FROM codes cd JOIN qtab t ON t.sub = cd.sub AND t.cid = cd.cid
+  WHERE cd.vec_id <> t.query_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS arn
+    FROM adc)
+  WHERE arn <= {_PQ_TOPK * _PQ_REFINE}
+), rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.adc_dist,
+         round({_km_sq_sql('qc.v', 'cc.v')}, 6) AS exact_dist
+  FROM cand
+  JOIN c cc ON cc.vec_id = cand.neighbor_id
+  JOIN c qc ON qc.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, adc_dist, exact_dist, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY exact_dist ASC, neighbor_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {_PQ_TOPK}
+"""
+
 
 # --------------------------------------------------------------------------
 # Derived partsupp + the partsupp-dependent TPC-H shapes
@@ -6100,15 +6229,15 @@ WHERE r_name = 'AMERICA'
 # aggregates) and the setops semantics stay pinned by the
 # 1-round-old sql_interface_setops row + local sf0.01 parity.
 # ROUND-8 ROTATION (executed as planned): (a) the 9 two-round-stale
-# r5 entries lead; (b) the two new gates (table_restore_roundtrip_
-# events, zorder_layout_events) plus the 4 entries whose code changed
-# this round (CDF gate's erasure+backfill scenario rewrite, both
-# semantic_dedup twins over the vectorized dot_arrow guard,
-# sql_interface_q13 over the validated run_sql cache); (c) 35 of the
-# 48 r6-aged entries, heaviest/most-custom first.  The 13 r6-aged
-# leftovers (pure Catalyst-relational q04/q06/q14/q19 + thin
+# r5 entries lead; (b) the three new gates (table_restore_roundtrip_
+# events, zorder_layout_events, ann_pq_adc_topk) plus the 4 entries
+# whose code changed this round (CDF gate's erasure+backfill scenario
+# rewrite, both semantic_dedup twins over the vectorized dot_arrow
+# guard, sql_interface_q13 over the validated run_sql cache); (c) 34
+# of the 48 r6-aged entries, heaviest/most-custom first.  The 14
+# r6-aged leftovers (pure Catalyst-relational q04/q06/q14/q19 + thin
 # native-Column text maps — machinery window-covered by in-window
-# twins) sit at tail positions 50-62 and MUST lead the r9 window;
+# twins) sit at tail positions 50-63 and MUST lead the r9 window;
 # the 48 r7-fresh entries follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) two-rounds-stale r5 entries lead (rotation policy: no entry
@@ -6127,6 +6256,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # validation)
     "table_restore_roundtrip_events": table_restore_roundtrip_events,
     "zorder_layout_events": zorder_layout_events,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
     "table_change_feed_events": table_change_feed_events,
     "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -6166,11 +6296,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_props_json": events_props_json,
     "hash_embed_docs": hash_embed_docs,
     "text_metrics_docs": text_metrics_docs,
-    "lang_id_docs": lang_id_docs,
     # ---- tail: beyond the driver's 50-entry window ----
-    # (vocab_top_tokens rotated out of the planned window to make room
-    # for the new zorder gate: its tokenize+explode machinery is
-    # window-covered by unigram/tfidf/boilerplate twins)
+    # (vocab_top_tokens and lang_id_docs rotated out of the planned
+    # window to make room for the new zorder + PQ gates: their
+    # tokenize/explode and native-Column-map machinery is
+    # window-covered by unigram/tfidf/boilerplate/text_metrics twins)
+    "lang_id_docs": lang_id_docs,
     "vocab_top_tokens": vocab_top_tokens,
     # 12 r6-aged leftovers (all pure-relational TPC-H shapes or thin
     # native-Column maps whose machinery is window-covered; they lead
@@ -6260,6 +6391,7 @@ ORACLES: dict[str, str] = {
     "sql_interface_setops": SETOPS_SQL,
     "gap_fill_user_hours": GAP_FILL_SQL,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
+    "ann_pq_adc_topk": ANN_PQ_ADC_SQL,
     "dq_validate_orders": DQ_VALIDATE_SQL,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_SQL,
     "window_rank_suite_events": WINDOW_RANK_SQL,

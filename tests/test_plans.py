@@ -519,3 +519,16 @@ def test_change_feed_scans_each_snapshot_once(spark):
     # tree line prints once; the second "FullOuter" hit is the detail
     # node's Join-type argument line
     assert plan.count("SortMergeJoin FullOuter") == 1, plan
+
+
+def test_pq_adc_corpus_never_shuffles_before_scoring(spark):
+    """PQ ADC scoring: the query side (ids + distance tables) must
+    broadcast onto the encoded corpus — no corpus sort-merge and no
+    unbroadcast cartesian. The only Python in the plan is the single
+    Arrow encode kernel (the documented exception family)."""
+    plan = _plan(spark, "ann_pq_adc_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # row-at-a-time Python never appears; Arrow kernels do
+    assert "BatchEvalPython" not in plan

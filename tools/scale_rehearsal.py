@@ -101,6 +101,10 @@ QUERIES = [
     # hard-link metadata, so the ratio should track the dedup window,
     # not the snapshot size
     "table_restore_roundtrip_events",
+    # round-8 addition: PQ ANN — training + encode scale with the
+    # embeddings corpus; the ADC scan reads only the code column and
+    # the query side stays broadcast
+    "ann_pq_adc_topk",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
