@@ -263,6 +263,24 @@ def _adc_tables(vec: Column, codebooks) -> Column:
     return F.array(*tabs)
 
 
+def _coarse_probe_structs(vec: Column, centroids) -> Column:
+    """array<struct(dist, cid)> of round-6 squared distances to the
+    coarse centroids — sort ascending for the probe order (same
+    round-6 + smaller-cid contract as semantic._nearest_struct, which
+    reuses the same Arrow distance kernel)."""
+    from cdk_datalake_ingest_spark.operators.semantic import _sq_dists_udf
+
+    key = tuple(tuple(float(x) for x in c) for c in centroids)
+    dists = _sq_dists_udf(key)(vec)
+    return F.transform(
+        dists,
+        lambda d, i: F.struct(
+            F.round(d, 6).alias("dist"),
+            (i + 1).cast("integer").alias("cid"),
+        ),
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -272,6 +290,8 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     refine: int | None = None,
+    coarse_centroids: list[list[float]] | None = None,
+    n_probe: int = 4,
 ) -> DataFrame:
     """Approximate top-k by ADC over PQ codes: encode the corpus
     (narrow), broadcast the queries with their distance tables, score
@@ -287,8 +307,19 @@ def pq_adc_topk(
     per query. ``tests/test_pq.py`` pins recall@5 >= 0.8 on the
     fixture embeddings with the gate's parameters.
 
+    ``coarse_centroids`` upgrades the scan to IVFADC (the composition
+    real systems deploy — IVF routing over PQ-compressed lists): the
+    encoded corpus is assigned to its nearest coarse list (the same
+    narrow kernel projection as ``operators.semantic.assign_clusters``,
+    smaller round-6 distance + smaller-cid tie-break), each query
+    probes its ``n_probe`` closest lists, and the ADC fold runs only
+    inside probed lists — the cross join becomes an equi-join on list
+    id, cutting candidates from |corpus| to the probed fraction while
+    everything else (tables, fold, rerank) is unchanged.
+
     Scale shape: the corpus is scanned once and never shuffled (the
-    query side with its tables is broadcast); the only per-candidate
+    query side with its tables is broadcast; the IVFADC probe join
+    broadcasts the exploded query list ids); the only per-candidate
     state read is the M-int code column — at 100 TB the encoded corpus
     is the single big operand and it is ~30x smaller than the raw
     vectors."""
@@ -299,11 +330,50 @@ def pq_adc_topk(
         F.col(id_col).alias("query_id"),
         _guarded_vec(id_col, vec_col, dim, "pq_adc_topk"),
     ).select(
-        "query_id", _adc_tables(F.col("__v"), codebooks).alias("__tabs")
+        "query_id",
+        F.col("__v"),
+        _adc_tables(F.col("__v"), codebooks).alias("__tabs"),
     )
-    pairs = enc.withColumnRenamed(id_col, "neighbor_id").join(
-        F.broadcast(q), how="cross"
-    )
+    if coarse_centroids is not None:
+        from cdk_datalake_ingest_spark.operators.semantic import (
+            _nearest_struct,
+        )
+
+        cdim = _centroid_dim(coarse_centroids, "pq_adc_topk")
+        if cdim != dim:
+            raise ValueError(
+                f"pq_adc_topk: coarse centroid width {cdim} != dim={dim}"
+            )
+        if not 1 <= n_probe <= len(coarse_centroids):
+            raise ValueError(
+                f"pq_adc_topk: n_probe={n_probe} outside "
+                f"[1, {len(coarse_centroids)}]"
+            )
+        # corpus -> one list id (ride the encode projection: the vec
+        # is still in scope there, so re-derive enc WITH the list)
+        base = ensure_parallelism(corpus).select(
+            F.col(id_col), _guarded_vec(id_col, vec_col, dim, "pq_adc_topk")
+        )
+        enc = base.select(
+            F.col(id_col),
+            _pq_codes_col(F.col("__v"), codebooks).alias("codes"),
+            _nearest_struct(F.col("__v"), coarse_centroids)["cid"].alias(
+                "__list"
+            ),
+        )
+        # query -> n_probe list ids, exploded for the equi-join
+        scored = _coarse_probe_structs(F.col("__v"), coarse_centroids)
+        probe = F.transform(
+            F.slice(F.array_sort(scored), 1, n_probe), lambda s: s["cid"]
+        )
+        q = q.withColumn("__list", F.explode(probe))
+        pairs = enc.withColumnRenamed(id_col, "neighbor_id").join(
+            F.broadcast(q.drop("__v")), on="__list"
+        )
+    else:
+        pairs = enc.withColumnRenamed(id_col, "neighbor_id").join(
+            F.broadcast(q.drop("__v")), how="cross"
+        )
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     # fold in subspace order (left-to-right over zip_with output) so

@@ -127,3 +127,93 @@ def test_boundary_raises(spark, emb):
     books2 = [[[0.0] * 4] * 2] * 16
     with pytest.raises(Exception, match="vector length"):
         pq_encode(short, books2).collect()
+
+
+@pytest.fixture(scope="module")
+def coarse(emb):
+    from cdk_datalake_ingest_spark.operators.semantic import lloyd_kmeans
+
+    _, cents = lloyd_kmeans(emb, k=16, iters=2)
+    return cents
+
+
+def test_ivfadc_recall_floor(spark, emb, books, coarse):
+    """IVF routing over PQ codes (IVFADC): probing 4/16 lists with the
+    same rerank budget must keep recall@5 >= 0.8 on the fixture."""
+    from cdk_datalake_ingest_spark.functions.similarity import _as_double
+    from cdk_datalake_ingest_spark.operators.semantic import _sq_dist
+
+    q = emb.filter(F.col("vec_id") < 8)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    qq = q.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    )
+    pairs = c.join(F.broadcast(qq), how="cross").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id").asc()
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in pairs.withColumn("d", _sq_dist(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(
+            emb, q, 5, books, refine=8, coarse_centroids=coarse, n_probe=4
+        ).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.8
+
+
+def test_ivfadc_candidates_come_only_from_probed_lists(spark, emb, books, coarse):
+    """Every IVFADC result must live in one of its query's n_probe
+    coarse lists — the routing actually restricts the scan."""
+    from cdk_datalake_ingest_spark.operators.semantic import assign_clusters
+
+    q = emb.filter(F.col("vec_id") < 8)
+    out = pq_adc_topk(
+        emb, q, 5, books, coarse_centroids=coarse, n_probe=2
+    ).collect()
+    lists = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters(emb, coarse).collect()
+    }
+    # recompute the 2-probe set per query via the operator's own order
+    from cdk_datalake_ingest_spark.functions.pq import _coarse_probe_structs
+    from cdk_datalake_ingest_spark.functions.similarity import _as_double
+
+    pr = q.select(
+        F.col("vec_id"),
+        F.slice(
+            F.array_sort(
+                _coarse_probe_structs(
+                    _as_double(F.col("embedding")), coarse
+                )
+            ),
+            1,
+            2,
+        ).alias("p"),
+    ).collect()
+    probes = {r["vec_id"]: {s["cid"] for s in r["p"]} for r in pr}
+    assert out, "no results"
+    for r in out:
+        assert lists[r.neighbor_id] in probes[r.query_id], r
+
+
+def test_ivfadc_boundary_raises(spark, emb, books):
+    with pytest.raises(ValueError, match="coarse centroid width"):
+        pq_adc_topk(emb, emb, 5, books, coarse_centroids=[[0.0] * 8] * 4)
+    with pytest.raises(ValueError, match="n_probe"):
+        pq_adc_topk(
+            emb, emb, 5, books,
+            coarse_centroids=[[0.0] * 64] * 4, n_probe=5,
+        )
