@@ -5674,57 +5674,147 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_ctes() -> str:
+def _pq_ctes(prefix: str = "", with_kw: bool = True) -> str:
     """WITH-clause reproducing pq_train + pq_encode: ends with
-    ``codes`` (vec_id, sub 0-based, cid) under the final codebooks
-    ``cent{iters}`` (sub, cid, cv) — the relational twin of the
-    combined Lloyd dataflow, keyed by (subspace, centroid)."""
-    parts = [
-        "c AS (SELECT vec_id, "
-        f"list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        f"""sub AS (
+    ``{prefix}codes`` (vec_id, sub 0-based, cid) under the final
+    codebooks ``{prefix}cent{iters}`` (sub, cid, cv) — the relational
+    twin of the combined Lloyd dataflow, keyed by
+    (subspace, centroid).  ``prefix``/``with_kw`` let the block
+    compose with other CTE builders (the IVFADC gate chains it after
+    ``_kmeans_ctes``, whose names it must not shadow — the shared
+    ``c`` source is defined once by whichever block comes first)."""
+    p = prefix
+    parts = []
+    if with_kw:
+        parts.append(
+            "c AS (SELECT vec_id, "
+            "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+        )
+    parts += [
+        f"""{p}sub AS (
   SELECT vec_id, s.j AS sub,
          v[s.j*{_PQ_DSUB}+1 : s.j*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
   FROM c, (SELECT unnest(range(0, {_PQ_M})) AS j) s)""",
-        f"""cent0 AS (
+        f"""{p}cent0 AS (
   SELECT sub, row_number() OVER (PARTITION BY sub ORDER BY vec_id)
            AS cid, sv AS cv
-  FROM sub
+  FROM {p}sub
   QUALIFY row_number() OVER (PARTITION BY sub ORDER BY vec_id)
             <= {_PQ_K})""",
     ]
     for i in range(_PQ_ITERS):
         parts += [
-            f"""r{i} AS (
+            f"""{p}r{i} AS (
   SELECT sb.vec_id, sb.sub, sb.sv, ct.cid,
     row_number() OVER (PARTITION BY sb.vec_id, sb.sub
       ORDER BY round({_pq_sq_sql('sb.sv', 'ct.cv')}, 6) ASC, ct.cid ASC)
       AS rn
-  FROM sub sb JOIN cent{i} ct USING (sub))""",
-            f"a{i} AS (SELECT vec_id, sub, sv, cid FROM r{i} WHERE rn = 1)",
-            f"""m{i} AS (
+  FROM {p}sub sb JOIN {p}cent{i} ct USING (sub))""",
+            f"{p}a{i} AS "
+            f"(SELECT vec_id, sub, sv, cid FROM {p}r{i} WHERE rn = 1)",
+            f"""{p}m{i} AS (
   SELECT sub, cid, dim, round(avg(val), 6) AS mval
   FROM (SELECT sub, cid, unnest(sv) AS val,
-               unnest(range(1, {_PQ_DSUB + 1})) AS dim FROM a{i})
+               unnest(range(1, {_PQ_DSUB + 1})) AS dim FROM {p}a{i})
   GROUP BY sub, cid, dim)""",
-            f"""cent{i + 1} AS (
+            f"""{p}cent{i + 1} AS (
   SELECT p.sub, p.cid, coalesce(n.cv, p.cv) AS cv
-  FROM cent{i} p LEFT JOIN
+  FROM {p}cent{i} p LEFT JOIN
     (SELECT sub, cid, list(mval ORDER BY dim) AS cv
-     FROM m{i} GROUP BY sub, cid) n
+     FROM {p}m{i} GROUP BY sub, cid) n
     USING (sub, cid))""",
         ]
     parts.append(
-        f"""codes AS (
+        f"""{p}codes AS (
   SELECT vec_id, sub, cid FROM (
     SELECT sb.vec_id, sb.sub, ct.cid,
       row_number() OVER (PARTITION BY sb.vec_id, sb.sub
         ORDER BY round({_pq_sq_sql('sb.sv', 'ct.cv')}, 6) ASC, ct.cid ASC)
         AS rn
-    FROM sub sb JOIN cent{_PQ_ITERS} ct USING (sub))
+    FROM {p}sub sb JOIN {p}cent{_PQ_ITERS} ct USING (sub))
   WHERE rn = 1)"""
     )
-    return "WITH " + ",\n".join(parts)
+    body = ",\n".join(parts)
+    return ("WITH " + body) if with_kw else body
+
+
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the composition real ANN systems deploy (Jegou et al.
+    2011 §IV): IVF coarse routing OVER PQ-compressed lists. The corpus
+    is assigned to its nearest of 16 k-means coarse centroids and
+    encoded to 16 PQ codes; each query probes its 4 closest lists and
+    ADC-scores only those lists' codes, then the top-40 candidates are
+    exact-reranked to top-5.  Candidates shrink from |corpus| to the
+    probed fraction while the scanned state stays the code column —
+    at 100 TB this is routing x compression multiplying out.
+
+    Both quantizers retrain on every run (the honest benched cost);
+    the oracle replays BOTH trainings — the 64-dim coarse Lloyd
+    (`_kmeans_ctes`) and the 16-subspace PQ Lloyd (`_pq_ctes`,
+    prefix-namespaced to compose) — then routing, ADC, and rerank,
+    end to end in SQL."""
+    from cdk_datalake_ingest_spark.functions.pq import pq_adc_topk, pq_train
+    from cdk_datalake_ingest_spark.operators.semantic import lloyd_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dim=_KM_DIM)
+    _, coarse = lloyd_kmeans(emb, k=16, iters=_KM_ITERS, dim=_KM_DIM)
+    queries = emb.filter(F.col("vec_id") < 8)
+    return pq_adc_topk(
+        emb,
+        queries,
+        _PQ_TOPK,
+        books,
+        refine=_PQ_REFINE,
+        coarse_centroids=coarse,
+        n_probe=4,
+    )
+
+
+ANN_IVFADC_SQL = (
+    _kmeans_ctes(16, _KM_ITERS)
+    + ",\n"
+    + _pq_ctes(prefix="pq_", with_kw=False)
+    + f""",
+probes AS (
+  SELECT vec_id AS query_id, cid FROM rf
+  WHERE vec_id < 8 AND rn <= 4
+), qtab AS (
+  SELECT qs.vec_id AS query_id, ct.sub, ct.cid,
+         round({_pq_sq_sql('qs.sv', 'ct.cv')}, 6) AS d
+  FROM (SELECT * FROM pq_sub WHERE vec_id < 8) qs
+  JOIN pq_cent{_PQ_ITERS} ct USING (sub)
+), adc AS (
+  SELECT t.query_id, cd.vec_id AS neighbor_id,
+         list_sum(list(t.d ORDER BY t.sub)) AS adc_dist
+  FROM pq_codes cd
+  JOIN af l ON l.vec_id = cd.vec_id
+  JOIN probes pb ON pb.cid = l.cid
+  JOIN qtab t ON t.query_id = pb.query_id
+             AND t.sub = cd.sub AND t.cid = cd.cid
+  WHERE cd.vec_id <> pb.query_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS arn
+    FROM adc)
+  WHERE arn <= {_PQ_TOPK * _PQ_REFINE}
+), rer AS (
+  SELECT cand.query_id, cand.neighbor_id, cand.adc_dist,
+         round({_km_sq_sql('qc.v', 'cc.v')}, 6) AS exact_dist
+  FROM cand
+  JOIN c cc ON cc.vec_id = cand.neighbor_id
+  JOIN c qc ON qc.vec_id = cand.query_id
+)
+SELECT query_id, neighbor_id, adc_dist, exact_dist, rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY exact_dist ASC, neighbor_id ASC) AS rank
+  FROM rer)
+WHERE rank <= {_PQ_TOPK}
+"""
+)
 
 
 ANN_PQ_ADC_SQL = _pq_ctes() + f""",
@@ -6229,16 +6319,17 @@ WHERE r_name = 'AMERICA'
 # aggregates) and the setops semantics stay pinned by the
 # 1-round-old sql_interface_setops row + local sf0.01 parity.
 # ROUND-8 ROTATION (executed as planned): (a) the 9 two-round-stale
-# r5 entries lead; (b) the three new gates (table_restore_roundtrip_
-# events, zorder_layout_events, ann_pq_adc_topk) plus the 4 entries
-# whose code changed this round (CDF gate's erasure+backfill scenario
-# rewrite, both semantic_dedup twins over the vectorized dot_arrow
-# guard, sql_interface_q13 over the validated run_sql cache); (c) 34
-# of the 48 r6-aged entries, heaviest/most-custom first.  The 14
-# r6-aged leftovers (pure Catalyst-relational q04/q06/q14/q19 + thin
-# native-Column text maps — machinery window-covered by in-window
-# twins) sit at tail positions 50-63 and MUST lead the r9 window;
-# the 48 r7-fresh entries follow.
+# r5 entries lead; (b) the four new gates (table_restore_roundtrip_
+# events, zorder_layout_events, ann_pq_adc_topk, ann_ivfadc_topk)
+# plus the 4 entries whose code changed this round (CDF gate's
+# erasure+backfill scenario rewrite, both semantic_dedup twins over
+# the vectorized dot_arrow guard, sql_interface_q13 over the
+# validated run_sql cache); (c) 33 of the 48 r6-aged entries,
+# heaviest/most-custom first.  The 15 r6-aged leftovers (pure
+# Catalyst-relational q04/q06/q14/q19 + thin native-Column text maps
+# — machinery window-covered by in-window twins) sit at tail
+# positions 50-64 and MUST lead the r9 window; the 48 r7-fresh
+# entries follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) two-rounds-stale r5 entries lead (rotation policy: no entry
     # exceeds 2 rounds without a driver row)
@@ -6257,6 +6348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_restore_roundtrip_events": table_restore_roundtrip_events,
     "zorder_layout_events": zorder_layout_events,
     "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivfadc_topk": ann_ivfadc_topk,
     "table_change_feed_events": table_change_feed_events,
     "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
@@ -6295,12 +6387,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "events_props_json": events_props_json,
     "hash_embed_docs": hash_embed_docs,
-    "text_metrics_docs": text_metrics_docs,
     # ---- tail: beyond the driver's 50-entry window ----
-    # (vocab_top_tokens and lang_id_docs rotated out of the planned
-    # window to make room for the new zorder + PQ gates: their
-    # tokenize/explode and native-Column-map machinery is
-    # window-covered by unigram/tfidf/boilerplate/text_metrics twins)
+    # (vocab_top_tokens, lang_id_docs and text_metrics_docs rotated
+    # out of the planned window to make room for the new zorder + PQ +
+    # IVFADC gates: their tokenize/explode and native-Column-map
+    # machinery is window-covered by unigram/tfidf/boilerplate/
+    # gopher twins)
+    "text_metrics_docs": text_metrics_docs,
     "lang_id_docs": lang_id_docs,
     "vocab_top_tokens": vocab_top_tokens,
     # 12 r6-aged leftovers (all pure-relational TPC-H shapes or thin
@@ -6392,6 +6485,7 @@ ORACLES: dict[str, str] = {
     "gap_fill_user_hours": GAP_FILL_SQL,
     "ann_ivf_kmeans_topk": ANN_IVF_KMEANS_SQL,
     "ann_pq_adc_topk": ANN_PQ_ADC_SQL,
+    "ann_ivfadc_topk": ANN_IVFADC_SQL,
     "dq_validate_orders": DQ_VALIDATE_SQL,
     "jsonl_roundtrip_docs": JSONL_ROUNDTRIP_SQL,
     "window_rank_suite_events": WINDOW_RANK_SQL,

@@ -46,6 +46,7 @@ SUBSET = [
     "table_restore_roundtrip_events",
     "zorder_layout_events",
     "ann_pq_adc_topk",
+    "ann_ivfadc_topk",
     # the 9 r5 entries the round-7 rotation left outside the 50-row
     # driver window (q01 is already above): their driver rows go two
     # rounds stale, so this local gate is their hard per-commit signal

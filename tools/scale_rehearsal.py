@@ -105,6 +105,7 @@ QUERIES = [
     # embeddings corpus; the ADC scan reads only the code column and
     # the query side stays broadcast
     "ann_pq_adc_topk",
+    "ann_ivfadc_topk",
 ]
 STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
 #: merge queries end in a ManagedTable snapshot read-back; the final
