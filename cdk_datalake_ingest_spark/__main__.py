@@ -68,7 +68,7 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument(
         "action",
         choices=[
-            "versions", "history", "restore", "clone", "vacuum",
+            "versions", "detail", "history", "restore", "clone", "vacuum",
             "compact", "changes",
         ],
     )
@@ -128,6 +128,8 @@ def main(argv: list[str] | None = None) -> int:
             tbl = ManagedTable(spark, a.path)
             if a.action == "versions":
                 print(json.dumps(tbl.versions()))
+            elif a.action == "detail":
+                print(json.dumps(tbl.detail(), default=str))
             elif a.action == "history":
                 for entry in tbl.history(a.limit):
                     print(json.dumps(entry, default=str))

@@ -293,6 +293,36 @@ class ManagedTable:
             if c.is_dir() and c.name.startswith("v") and c.name[1:].isdigit()
         )
 
+    def detail(self) -> dict:
+        """Delta ``DESCRIBE DETAIL``: one dict describing the CURRENT
+        snapshot — version, data location, partition columns, file
+        count, total bytes, and how many historical snapshot dirs are
+        still on disk (time-travelable until ``vacuum``).  Metadata
+        only: a directory walk of the current snapshot, no Spark job.
+        """
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            row = (
+                self.spark.sql(f"DESCRIBE DETAIL delta.`{self.path}`")
+                .collect()[0]
+                .asDict()
+            )
+            return row
+        m = self._read_manifest()
+        if m is None:
+            raise FileNotFoundError(f"no ManagedTable at {self.path}")
+        data = self.path / m["data_dir"]
+        files = [f for f in data.rglob("*.parquet") if f.is_file()]
+        return {
+            "format": "parquet",
+            "location": str(self.path),
+            "version": int(m["version"]),
+            "data_dir": m["data_dir"],
+            "partition_by": m.get("partition_by") or [],
+            "num_files": len(files),
+            "size_bytes": sum(f.stat().st_size for f in files),
+            "num_snapshots": len(self.versions()),
+        }
+
     def changes_between(
         self,
         from_version: int,

@@ -430,3 +430,41 @@ def test_optimize_zorder_nulls_and_time_travel(spark, tmp_path):
     assert t.read().count() == 100
     assert t.read().filter(F.col("x").isNull()).count() == 10
     assert t.read(version=1).exceptAll(df).count() == 0
+
+
+def test_detail_describes_current_snapshot(spark, tmp_path):
+    """DESCRIBE DETAIL role: version, partitioning, file count, bytes,
+    and surviving snapshot count — and it tracks maintenance ops."""
+    import contextlib
+    import io
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.__main__ import main
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "det")
+    t.write(
+        spark.range(100).withColumn("p", F.col("id") % 2),
+        partition_by=["p"],
+    )
+    d = t.detail()
+    assert d["version"] == 1 and d["partition_by"] == ["p"]
+    assert d["num_files"] >= 2 and d["size_bytes"] > 0
+    assert d["num_snapshots"] == 1
+
+    t.compact(1)
+    d2 = t.detail()
+    assert d2["version"] == 2 and d2["num_snapshots"] == 2
+    assert d2["num_files"] <= d["num_files"]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert main(["table", str(t.path), "detail"]) == 0
+    assert _json.loads(buf.getvalue())["version"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        ManagedTable(spark, tmp_path / "nope").detail()
