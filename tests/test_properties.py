@@ -604,3 +604,42 @@ def test_incremental_near_dup_equals_batch_restriction(spark, token_lists):
             new_id, dup_of = (a, b) if a % 2 == 1 else (b, a)
             full[(new_id, dup_of)] = r["jaccard"]
     assert incr == full
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            st.one_of(
+                st.none(),
+                st.floats(
+                    allow_nan=False, allow_infinity=False,
+                    min_value=-1e6, max_value=1e6,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_zorder_rewrite_preserves_content_for_any_frame(
+    spark, tmp_path_factory, rows
+):
+    """optimize(zorder=True) is a pure layout rewrite: for ANY frame
+    (NULLs, duplicates, constant columns included) the multiset of
+    rows after the rewrite equals the input exactly."""
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    df = spark.createDataFrame(
+        [(i, x, v) for i, (x, v) in enumerate(rows)],
+        "id long, x long, v double",
+    )
+    t = ManagedTable(
+        spark, tmp_path_factory.mktemp("zprop") / "t"
+    )
+    t.write(df)
+    t.optimize(["x", "v"], num_files=3, zorder=True)
+    got = sorted(tuple(r) for r in t.read().collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want
