@@ -1097,10 +1097,20 @@ class ManagedTable:
             op="compact",
         )
 
-    def compact_hot_partitions(self, max_files: int = 8) -> list[tuple[str, ...]]:
+    def compact_hot_partitions(
+        self,
+        max_files: int = 8,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 6,
+    ) -> list[tuple[str, ...]]:
         """Scoped compaction (the Delta ``OPTIMIZE WHERE`` role): bin-pack
         ONLY partitions that have accumulated more than ``max_files``
         parquet files, hard-linking every other partition forward.
+        ``zorder_by`` upgrades it to ``OPTIMIZE WHERE ... ZORDER BY``:
+        rows inside each rewritten file are clustered by the
+        interleaved quantile-rank z-value (see :meth:`optimize`), so
+        row-group min/max stats prune within the compacted files for
+        predicates on any z column.
 
         Merge-heavy partitioned tables accumulate small files precisely
         in their hot partitions (each scoped merge rewrites a touched
@@ -1156,6 +1166,19 @@ class ManagedTable:
         df = snap.filter(cond).repartition(max(len(typed), 1), *[
             F.col(c) for c in pby
         ])
+        if zorder_by:
+            # OPTIMIZE WHERE ... ZORDER BY: cluster rows INSIDE each
+            # rewritten file by the interleaved z-value (quantile
+            # boundaries computed over the hot slice only), so parquet
+            # ROW-GROUP min/max stats prune within the compacted file
+            # for predicates on any z column. Cold partitions are
+            # hard-linked forward untouched, exactly as without zorder.
+            zcol = self._zvalue_column(df, list(zorder_by), zorder_bits)
+            df = (
+                df.withColumn("__z", zcol)
+                .sortWithinPartitions(*[F.col(c) for c in pby], F.col("__z"))
+                .drop("__z")
+            )
         self._write_scoped(m, pby, set(hot), df, by_name, op="compact")
         return hot
 

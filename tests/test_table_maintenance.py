@@ -468,3 +468,64 @@ def test_detail_describes_current_snapshot(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         ManagedTable(spark, tmp_path / "nope").detail()
+
+
+def test_compact_hot_partitions_with_zorder_clusters_in_file(spark, tmp_path):
+    """OPTIMIZE WHERE ... ZORDER BY: the hot partition's rewritten file
+    holds rows clustered by the interleaved z-value (monotone z in file
+    order), content is preserved, and cold partitions still hard-link
+    forward."""
+    import os
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "hotz")
+    hot = spark.createDataFrame(
+        [
+            Row(k=i, period=20240101, x=i % 32, y=(i * 37) % 32)
+            for i in range(256)
+        ]
+    ).repartition(16)
+    cold = spark.createDataFrame(
+        [Row(k=1000 + i, period=20240102, x=0, y=0) for i in range(4)]
+    ).coalesce(1)
+    t.write(hot.unionByName(cold), partition_by=["period"])
+    cold_inodes = {
+        os.stat(p).st_ino
+        for p in (t.path / "v00001" / "period=20240102").rglob("*.parquet")
+    }
+
+    compacted = t.compact_hot_partitions(max_files=8, zorder_by=["x", "y"])
+    assert compacted == [("20240101",)]
+    # content preserved exactly
+    before = sorted(
+        tuple(r) for r in t.read(version=1).select("k", "x", "y").collect()
+    )
+    after = sorted(
+        tuple(r) for r in t.read().select("k", "x", "y").collect()
+    )
+    assert after == before
+    # single rewritten file, rows inside it z-clustered: recompute the
+    # z-value in file order and require monotone non-decreasing
+    hot_dir = t.path / "v00002" / "period=20240101"
+    assert sum(1 for _ in hot_dir.rglob("*.parquet")) == 1
+    zc = ManagedTable._zvalue_column(
+        t.read().filter(F.col("period") == 20240101), ["x", "y"], 6
+    )
+    rows = (
+        spark.read.parquet(str(hot_dir))
+        .withColumn("__z", zc)
+        .select("__z")
+        .collect()
+    )
+    zs = [r["__z"] for r in rows]
+    assert zs == sorted(zs), "file rows are not z-clustered"
+    # cold partition hard-linked forward
+    after_inodes = {
+        os.stat(p).st_ino
+        for p in (t.path / "v00002" / "period=20240102").rglob("*.parquet")
+    }
+    assert after_inodes == cold_inodes
