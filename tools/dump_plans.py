@@ -234,6 +234,49 @@ NOTES = {
         "through one keyed exchange per side — this plan is exactly "
         "that, never an all-pairs or full-row-key comparison."
     ),
+    "table_restore_roundtrip_events": (
+        "RESTORE-as-new-commit roundtrip: the v1 build is one keyed "
+        "dedup window; the restore itself is O(#files) hard-link "
+        "metadata with NO dataflow, so the dumped plan is just the "
+        "restored snapshot's pruned parquet scan — rollback of a "
+        "100 TB table costs directory metadata, never a rewrite, and "
+        "the rolled-back-from version stays time-travelable."
+    ),
+    "zorder_layout_events": (
+        "Z-order layout rewrite: one approxQuantile pass for the "
+        "per-column rank boundaries (driver-side, boundaries become a "
+        "broadcast literal), one range Exchange on the single "
+        "interleaved bigint z-value, in-partition sort, write. The "
+        "dumped plan is the rewritten table's scan; the payoff — "
+        "file-level min/max pruning on EVERY z-dimension — is raised "
+        "in-line by the gate and pinned vs linear clustering in "
+        "tests/test_table_maintenance.py. At 100 TB the rewrite is "
+        "one shuffle of the table on a narrow key; every selective "
+        "scan afterwards reads a fraction of the files."
+    ),
+    "ann_pq_adc_topk": (
+        "Product-quantization ANN: codebook training is one Arrow "
+        "distance-kernel pass + one m*k-row partially-aggregated "
+        "combine per Lloyd iteration (model-sized collects); encoding "
+        "is a narrow shuffle-free projection to m small ints; search "
+        "broadcasts the queries WITH their round-6 ADC tables so the "
+        "encoded corpus streams through a BroadcastNestedLoop probe "
+        "scoring M array lookups per pair, and the only keyed "
+        "exchange is the per-query rank window. At 100 TB the big "
+        "operand is the code column — ~30x smaller than the vectors "
+        "it replaces."
+    ),
+    "ann_ivfadc_topk": (
+        "IVFADC (routing x compression): the corpus is assigned to "
+        "its coarse list in the SAME narrow encode projection (no "
+        "extra pass), the exploded query probe set broadcasts, and "
+        "the ADC fold runs only inside probed lists — the PQ gate's "
+        "cross join becomes a broadcast equi-join on list id, "
+        "cutting candidates to n_probe/n_lists of the corpus. "
+        "Quantizers come from the process memos (training visible in "
+        "ann_ivf_kmeans_topk / ann_pq_adc_topk); this plan is the "
+        "production query path: scan codes once, probe, rank."
+    ),
 }
 
 #: appended verbatim — control-plane-dominated chain whose interesting
@@ -251,6 +294,68 @@ beyond the 2-scalar min/max stride probe, so at 100 TB the chain is bounded by
 the source RDBMS's read bandwidth, exactly like the service it models. No plan
 dump: the interesting structure is the status/state machinery (pinned in
 tests/test_replication_landing.py), not the trivially-shaped scans.
+"""
+
+
+
+#: appended verbatim — round-8 measurement notes (stage costs,
+#: bench comparison, noise calibration); keep these when adding
+#: NOTES entries so regeneration never loses the analysis.
+ROUND8_NOTES = """
+## curate_documents — stage cost breakdown (round 8, VERDICT #5)
+
+Steady-state wall times at sf0.1, local[32], warm JVM (profiled twice,
+quiet machine; `BENCH_DETAIL.json` steady min for the whole gate was
+6.19 s this round — the three-round 5.0→5.7→6.2 "drift" tracked the
+same ~8% whole-suite environmental shift measured across all 107
+code-unchanged entries, not a plan change):
+
+| stage | wall | share | shape |
+|---|---|---|---|
+| 1. enrich (lang-ID, quality, tokens, md5) + eligibility filter + exact-dedup window | ~2.8 s | ~41% | ONE column-pruned text scan, narrow native-Column maps, one content-hash shuffle |
+| 2. survivor re-join + shingle/MinHash/LSH pair build | ~2.0 s | ~29% | second pruned (doc_id,text) scan, banded join on (band,sig) |
+| 3. connected components (large-star/small-star) | ~1.5 s | ~21% | iterative, bounded by 188-edge graph at this SF |
+| 4. attach reps + self-filter + checkpoint | ~0.8 s | ~11% | broadcast-sized assignment join |
+
+No stage exceeds the 40%-unexplained trigger: stage 1 is the
+irreducible single pass over the corpus text (all four enrichment
+columns computed in one projection — splitting them would re-scan),
+and stages 2-4 shrink with the eligible-survivor set, which is the
+filter-first design doing its job. At 100× the only superlinear risk
+is stage 3's edge count; `connected_components` already banded and
+capped (driver union-find only <1M edges).
+
+## Round-8 bench vs round-7 (first same-order comparison)
+
+`bench.py` has been alphabetical since late round 7, so this is the
+first clean round-over-round read. Common 107 entries: 123.8 → 130.6 s
+(+5.5%); the per-query ratio distribution is a uniform shift (median
+1.084, quartiles 0.85 / 0.99 / 1.08 / 1.18 / 1.30) across
+code-untouched queries — environmental, not plan changes. Confirmed by
+spot re-benching the worst apparent "regressions" in isolation
+(3 repeats, quiet machine): `streaming_corpus_stats` 7.22 in-suite →
+**5.86** isolated (below its r7 6.43 — the round-7 watch item closes),
+`ann_cosine_topk` 1.01 → 0.74 (≈ r7's 0.71). The round-7 prediction
+held: the ANN family reverted to ~r6 levels once order stabilized
+(`ann_ivf_kmeans_topk` 3.18→2.09, `ann_lsh_topk` 2.28→1.67,
+`kmeans_clusters_embeddings` 0.83→0.59, `decontaminate_docs`
+2.24→1.91). The only CODE-attributable change is
+`table_change_feed_events` 1.32→1.77: the erasure+backfill scenario
+adds a per-user rollup aggregation (one extra small shuffle over the
+post-window slice) and a larger classified diff — the price of making
+all four change types structurally occur and oracle-verified.
+
+Run-to-run noise calibration: two full same-code bench runs this round
+(the committed BENCH_DETAIL.json is a later run that also carries the
+four new gates — restore 0.9 s, zorder 2.4 s, PQ 5.8 s, IVFADC 3.1 s;
+PQ retrains its quantizer every run — the visible-training gate, the
+kmeans_train_hash_docs convention — while IVFADC reuses the memoized
+quantizers and times routing + search) had a per-query median
+ratio of 0.98 with single-query
+outliers to 1.5× (`streaming_corpus_stats` 7.2 ↔ 11.0 s — isolated
+3-repeat min 5.86 s; `q21` 1.20 ↔ 1.73 s). Read any per-query delta
+under ~1.5× against this noise floor before calling it a regression;
+totals are comparable only to ~±6%.
 """
 
 
@@ -284,6 +389,7 @@ def main() -> int:
             out.append("\n" + b.strip() + "\n")
         out.append("```\n")
     out.append(DMS_NOTE)
+    out.append(ROUND8_NOTES)
     Path(__file__).resolve().parents[1].joinpath("PLANS.md").write_text(
         "".join(out)
     )
