@@ -153,7 +153,14 @@ def pq_train(
     ``lloyd_kmeans`` on each slice, but all M trainings share one
     dataflow: a single kernel assignment pass and ONE partially
     aggregated groupBy per iteration, collecting m*k centroid rows
-    (model-sized) to the driver."""
+    (model-sized) to the driver.
+
+    Boundary contract: init takes the ``k`` smallest ids' vector
+    slices.  A corpus with ``n < k`` rows trains n-centroid codebooks
+    (every downstream consumer — encode, ADC, IVFADC — reads the
+    codebook length, never the requested k), matching lloyd_kmeans'
+    degenerate-k behavior; an EMPTY corpus raises here rather than
+    handing ``pq_encode`` an unusable empty codebook."""
     if dim % m != 0:
         raise ValueError(f"pq_train: dim={dim} not divisible by m={m}")
     if iters < 0:
@@ -167,6 +174,8 @@ def pq_train(
         .limit(k)
         .collect()
     )
+    if not init_rows:
+        raise ValueError("pq_train: corpus is empty — nothing to train on")
     for r in init_rows:
         if r["cv"] is None or len(r["cv"]) != dim:
             raise ValueError(
@@ -325,7 +334,6 @@ def pq_adc_topk(
     vectors."""
     m, kk, dsub = _check_codebooks(codebooks, "pq_adc_topk")
     dim = dsub * m
-    enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _guarded_vec(id_col, vec_col, dim, "pq_adc_topk"),
@@ -371,6 +379,7 @@ def pq_adc_topk(
             F.broadcast(q.drop("__v")), on="__list"
         )
     else:
+        enc = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col)
         pairs = enc.withColumnRenamed(id_col, "neighbor_id").join(
             F.broadcast(q.drop("__v")), how="cross"
         )

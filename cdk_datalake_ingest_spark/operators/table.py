@@ -299,6 +299,12 @@ class ManagedTable:
         count, total bytes, and how many historical snapshot dirs are
         still on disk (time-travelable until ``vacuum``).  Metadata
         only: a directory walk of the current snapshot, no Spark job.
+
+        Both backends return the SAME snake_case key set (``format``,
+        ``location``, ``version``, ``partition_by``, ``num_files``,
+        ``size_bytes``, ``num_snapshots``) so CLI / JSON consumers can
+        parse one shape; the Delta branch keeps the raw DESCRIBE DETAIL
+        row under ``delta_detail`` for anyone who wants the extras.
         """
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
             row = (
@@ -306,7 +312,22 @@ class ManagedTable:
                 .collect()[0]
                 .asDict()
             )
-            return row
+            n_commits = (
+                self.spark.sql(f"DESCRIBE HISTORY delta.`{self.path}`").count()
+            )
+            return {
+                "format": row.get("format", "delta"),
+                "location": row.get("location", str(self.path)),
+                # DESCRIBE DETAIL has no version column; latest commit
+                # version == history length - 1 (versions start at 0).
+                "version": n_commits - 1,
+                "data_dir": ".",
+                "partition_by": list(row.get("partitionColumns") or []),
+                "num_files": int(row.get("numFiles") or 0),
+                "size_bytes": int(row.get("sizeInBytes") or 0),
+                "num_snapshots": n_commits,
+                "delta_detail": row,
+            }
         m = self._read_manifest()
         if m is None:
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
@@ -1259,6 +1280,15 @@ class ManagedTable:
             raise ValueError("optimize(zorder=True) needs >=1 column")
         if not 1 <= bits <= 10:
             raise ValueError(f"zorder_bits must be in [1,10], got {bits}")
+        if bits * len(cols) > 63:
+            # shiftleft counts >= 64 wrap mod 64 on the JVM, silently
+            # scrambling the z-curve (content preserved, layout junk).
+            raise ValueError(
+                f"zorder_bits * len(columns) must be <= 63 to fit a "
+                f"signed 64-bit z-value, got {bits} * {len(cols)} = "
+                f"{bits * len(cols)}: lower zorder_bits or z-order on "
+                "fewer columns"
+            )
         dtypes = dict(df.dtypes)
         rankable = {"tinyint", "smallint", "int", "bigint", "float",
                     "double", "date", "timestamp", "timestamp_ntz"}

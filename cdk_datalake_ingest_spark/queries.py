@@ -767,9 +767,13 @@ def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = latest_record_dedup(
         ev.filter(F.col("ts_us") < TS_JAN20_US), _EVENT_KEYS, _EVENT_ORDER
     ).select(*cols)
-    post = ev.filter(
-        (F.col("ts_us") >= TS_JAN20_US) & (F.col("user_id") % 5 != 3)
-    )
+    # Null-safe cohort predicate on BOTH engines: a NULL user_id must
+    # land on the same side of the erasure everywhere (Spark's filter
+    # drops NULL-valued predicates while SQL's NOT(...) does too, but
+    # the delete_predicate below would LEAVE a NULL row undeleted while
+    # the oracle's kept-filter removes it — coalesce pins one answer).
+    erased = F.coalesce(F.col("user_id"), F.lit(-1)) % 5 == 3
+    post = ev.filter((F.col("ts_us") >= TS_JAN20_US) & ~erased)
     latest = latest_record_dedup(post, _EVENT_KEYS, _EVENT_ORDER).select(*cols)
     rollup = post.groupBy("user_id").agg(
         F.min("event_id").alias("event_id"),
@@ -785,7 +789,7 @@ def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.merge_upsert(
         source,
         _EVENT_KEYS,
-        delete_predicate=F.col("user_id") % 5 == 3,
+        delete_predicate=erased,
     )  # v2
     return t.changes_between(1, 2, key_cols=_EVENT_KEYS)
 
@@ -798,7 +802,8 @@ WITH tgt AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) < 1705708
        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value,
               CAST(strftime(ts, '%Y%m%d') AS INTEGER) AS period
        FROM events
-       WHERE epoch_us(ts) >= 1705708800000000 AND user_id % 5 <> 3
+       WHERE epoch_us(ts) >= 1705708800000000
+         AND coalesce(user_id, -1) % 5 <> 3
      ),
      latest AS (
        SELECT * FROM post
@@ -817,7 +822,7 @@ WITH tgt AS ({_EVENT_DEDUP_PERIOD_SQL.format(where="WHERE epoch_us(ts) < 1705708
        UNION ALL
        SELECT user_id, event_type, event_id, ts_us, value, period FROM rollup
      ),
-     kept AS (SELECT * FROM tgt WHERE NOT (user_id % 5 = 3)),
+     kept AS (SELECT * FROM tgt WHERE NOT (coalesce(user_id, -1) % 5 = 3)),
      merged AS (
        SELECT * FROM src
        UNION ALL
@@ -950,11 +955,26 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="cdk_zorder_") + "/events_z"
     )
     t.write(ev)
+    pre = t.detail()
     t.optimize(["user_id", "ts_us"], num_files=8, zorder=True)
     if t.versions() != [1, 2] or t.history(limit=1)[0]["op"] != "zorder":
         raise AssertionError(
             f"zorder must land as commit v2: versions={t.versions()}, "
             f"history={t.history(limit=1)}"
+        )
+    # DESCRIBE DETAIL rides the same gate (S11): the metadata view must
+    # track the rewrite — version advanced, exactly the requested file
+    # count, a nonzero byte total, and both snapshots still on disk.
+    post = t.detail()
+    if not (
+        pre["version"] == 1
+        and post["version"] == 2
+        and post["num_files"] == 8
+        and post["size_bytes"] > 0
+        and post["num_snapshots"] == 2
+    ):
+        raise AssertionError(
+            f"detail() must track the optimize commit: pre={pre}, post={post}"
         )
     out = t.read()
     stats = (
@@ -983,10 +1003,23 @@ def zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_t = sum(
         1 for r in stats if r.t_hi >= t_mid - t_w and r.t_lo <= t_mid + t_w
     )
-    if not (cand_u < len(stats) and cand_t < len(stats)):
+    # The pruning must MATTER, not merely exist (`< len(stats)` passes
+    # on skipping one file).  Structural bound for 8 quantile-range
+    # files over a 2-dim curve: the top 3 z-bits split 2:1 between the
+    # dims, so a narrow quarter-point box touches <= half the files on
+    # the dimension owning the top bit and <= half+1 on the other (its
+    # octants are non-contiguous in z-range, so one range-split file
+    # boundary straddles).  Measured stable at sf0.001/0.01/0.1:
+    # (5,4)/(5,4)/(4,4).  A linear layout prunes NOTHING on its
+    # trailing dimension — tests/test_table_maintenance.py holds the
+    # side-by-side control.
+    half = len(stats) // 2
+    if not (
+        max(cand_u, cand_t) <= half + 1 and min(cand_u, cand_t) <= half
+    ):
         raise AssertionError(
-            f"z-layout must prune on BOTH dims: user {cand_u}/{len(stats)}, "
-            f"ts {cand_t}/{len(stats)}"
+            f"z-layout must prune ~half the files on BOTH dims: "
+            f"user {cand_u}/{len(stats)}, ts {cand_t}/{len(stats)}"
         )
     return out
 
@@ -1234,7 +1267,11 @@ FROM s
 
 
 def _sessionize_gate(
-    spark: SparkSession, sf_dir: str, make_sessions, tmp_prefix: str
+    spark: SparkSession,
+    sf_dir: str,
+    make_sessions,
+    tmp_prefix: str,
+    filter_expr=None,
 ) -> DataFrame:
     """Shared staging for the two streaming-sessionizer gates: events
     staged as a time-ordered multi-file drop → file-source stream (one
@@ -1261,6 +1298,9 @@ def _sessionize_gate(
         F.timestamp_micros(ts_us_expr(ev_raw)).alias("ts"),
         "value",
     )
+    if filter_expr is not None:
+        # cohort-scoped gate (the sentinel below rides regardless)
+        ev = ev.filter(filter_expr)
     tmp = tempfile.mkdtemp(prefix=tmp_prefix)
     drop = f"{tmp}/drop"
     _os.makedirs(drop)
@@ -1306,54 +1346,60 @@ def _sessionize_gate(
 
 
 def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The custom stateful operator (`applyInPandasWithState`
-    sessionizer, streaming/sessionize.py) through the oracle gate:
-    30-min-gap sessionization with event-time timeouts over the staged
-    micro-batch drop (see :func:`_sessionize_gate`).
+    """The DEFAULT sessionizer path (streaming/sessionize.py:
+    ``sessionize``, mode="auto") through the oracle gate: 30-min-gap
+    sessionization over the staged micro-batch drop (see
+    :func:`_sessionize_gate`).  The rollup payload is aggregate-shaped
+    (count + DECIMAL-exact value sum), so auto dispatches to the JVM
+    ``session_window`` aggregate — no Python state, whole-stage
+    codegen, ~30× smaller state store (SCALE.md's probe); this gate
+    therefore measures what a user gets by default.  The Python
+    ``applyInPandasWithState`` topology is the explicit
+    simulation/compat mode, gated separately with the SAME oracle
+    (:func:`streaming_sessionize_stateful_events`).
 
-    The gate compares ALL session columns including total_value: the
-    state function processes each batch in (ts, event_id) order and
-    accumulates value in exact integer micro-units (replicating the
-    double→DECIMAL(18,6) cast both Spark's batch twin and the DuckDB
-    oracle apply), so the total is independent of arrival order and
+    The gate compares ALL session columns including total_value: both
+    paths sum value under the double→DECIMAL(18,6) cast the DuckDB
+    oracle applies, so the total is independent of arrival order and
     micro-batch slicing — cross-engine deterministic, hence gateable."""
-    from cdk_datalake_ingest_spark.streaming.sessionize import (
-        sessionize_stream,
-    )
+    from cdk_datalake_ingest_spark.streaming.sessionize import sessionize
 
     return _sessionize_gate(
         spark,
         sf_dir,
-        lambda src: sessionize_stream(src, gap_minutes=30, ts_col="ts"),
+        lambda src: sessionize(src, gap_minutes=30, ts_col="ts"),
         "cdk_stream_sess_",
     )
 
 
-def streaming_sessionize_native_events(
+def streaming_sessionize_stateful_events(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """The JVM ``session_window`` twin (streaming/sessionize.py:
-    sessionize_stream_native) through the SAME staged micro-batch gate
-    and the SAME batch-session oracle as
-    :func:`streaming_sessionize_events` — proving the native
-    aggregate-shaped sessionizer (no Python state, whole-stage codegen,
-    ~30× smaller state store per SCALE.md's probe) emits row-identical
-    sessions including the DECIMAL-exact total.  The operator pair is
-    the library's documented crossover: ``session_window`` whenever the
-    payload is aggregate-shaped; the Python stateful operator only for
-    what an aggregate cannot express (emit-on-gap, in-batch event
-    order, per-element state)."""
-    from cdk_datalake_ingest_spark.streaming.sessionize import (
-        sessionize_stream_native,
-    )
+    """The explicit simulation/compat mode (streaming/sessionize.py:
+    ``sessionize(mode="stateful")`` — the ``applyInPandasWithState``
+    operator with event-time timeouts) through the SAME staged
+    micro-batch gate and the SAME batch-session oracle shape as the
+    default path, scoped to the ``user_id % 4 = 1`` cohort: the
+    stateful operator's semantics (per-batch (ts, event_id) ordering,
+    integer micro-unit accumulation, EventTimeTimeout close) are
+    cohort-independent, so a quarter of the users pins them cross-
+    engine at a quarter of the Arrow/Python cost — the full-corpus
+    run belongs to the default JVM path, not the compat mode.  The
+    state function processes each batch in (ts, event_id) order and
+    accumulates value in exact integer micro-units (replicating the
+    double→DECIMAL(18,6) cast both Spark's batch twin and the DuckDB
+    oracle apply), so every column is arrival-order and batch-slicing
+    independent."""
+    from cdk_datalake_ingest_spark.streaming.sessionize import sessionize
 
     return _sessionize_gate(
         spark,
         sf_dir,
-        lambda src: sessionize_stream_native(
-            src, gap_minutes=30, ts_col="ts"
+        lambda src: sessionize(
+            src, gap_minutes=30, ts_col="ts", mode="stateful"
         ),
-        "cdk_stream_sessjvm_",
+        "cdk_stream_sesspy_",
+        filter_expr=F.col("user_id") % 4 == 1,
     )
 
 
@@ -1378,6 +1424,15 @@ SELECT user_id,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_seq
 """
+
+# The stateful compat gate is cohort-scoped (user_id % 4 = 1 — see
+# streaming_sessionize_stateful_events); sessionization is per-user, so
+# filtering users before or after sessionizing is equivalent and the
+# oracle applies the same cohort filter up front.  Both engines drop
+# NULL user_ids under `% 4 = 1` identically (NULL predicate → filtered).
+STREAMING_SESSIONIZE_STATEFUL_SQL = STREAMING_SESSIONIZE_SQL.replace(
+    "FROM events", "FROM events WHERE user_id % 4 = 1", 1
+)
 
 
 def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2914,6 +2969,13 @@ FROM (
 WHERE rank <= 5
 """
 
+#: the folded two-variant oracle for ann_lsh_suite_topk (round-9 fold)
+ANN_LSH_SUITE_SQL = f"""
+SELECT *, 'probe0' AS variant FROM ({ANN_LSH_SQL})
+UNION ALL
+SELECT *, 'probe1' AS variant FROM ({ANN_LSH_MULTIPROBE_SQL})
+"""
+
 _IVF_COS = (
     f"({_SQL_DOT.format(a='v', b='cv')} / "
     f"(sqrt({_SQL_DOT.format(a='v', b='v')}) * sqrt({_SQL_DOT.format(a='cv', b='cv')})))"
@@ -3003,28 +3065,37 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 3
 """
 
 
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH-bucketed top-k (scale path). Oracle: ANN_LSH_SQL
-    re-runs the SAME algorithm (identical hyperplane constants) in
-    DuckDB — an exact check of the approximation itself."""
+def ann_lsh_suite_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed top-k at BOTH probe radii in one parameterized
+    entry (round-9 registry fold: single-probe ``lsh_topk`` is
+    ``lsh_multiprobe_topk`` at Hamming radius 0 — one shared
+    ``_lsh_topk_impl`` in similarity.py — so the former separate
+    ``ann_lsh_topk`` / ``ann_lsh_multiprobe_topk`` entries collapse
+    into one driver row with a ``variant`` tag; full machinery
+    coverage, one window slot).
+
+    probe0: candidates restricted to the query's own bucket (equi-join
+    on bucket id, ~|corpus|/2^n_planes candidates per query).
+    probe1: Hamming-1 probing (Lv et al. 2007, exhaustive) recovers
+    neighbors that landed one hyperplane away — recall rises toward
+    brute force while the candidate join stays an equi-join (query
+    side exploded to its probe set; corpus never shuffled wide).
+
+    Oracle: ANN_LSH_SUITE_SQL re-runs BOTH algorithms (identical
+    hyperplane constants; the probe-1 set expressed as an
+    xor-is-power-of-two condition) in DuckDB — an exact check of the
+    approximation itself, per variant."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = lsh_topk(emb, queries, k=5, n_planes=8)
-    return out.withColumn("cosine", F.round("cosine", 6))
-
-
-def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH top-k (similarity.py:lsh_multiprobe_topk):
-    Hamming-1 probing recovers neighbors that landed one hyperplane
-    away, lifting recall toward brute force while the candidate join
-    stays an equi-join on bucket id. Oracle: ANN_LSH_MULTIPROBE_SQL
-    re-runs the same algorithm (identical hyperplane constants, the
-    probe set expressed as an xor-is-power-of-two condition) in
-    DuckDB — an exact check of the approximation itself."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = lsh_multiprobe_topk(emb, queries, k=5, n_planes=8)
-    return out.withColumn("cosine", F.round("cosine", 6))
+    single = lsh_topk(emb, queries, k=5, n_planes=8).withColumn(
+        "variant", F.lit("probe0")
+    )
+    multi = lsh_multiprobe_topk(emb, queries, k=5, n_planes=8).withColumn(
+        "variant", F.lit("probe1")
+    )
+    return single.unionByName(multi).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
 
 
 def salesforce_stage_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6343,21 +6414,118 @@ WHERE r_name = 'AMERICA'
 # q16 = not-in + distinct agg, q02/q11/q17-shape correlated
 # aggregates) and the setops semantics stay pinned by the
 # 1-round-old sql_interface_setops row + local sf0.01 parity.
-# ROUND-8 ROTATION (executed as planned): (a) the 9 two-round-stale
-# r5 entries lead; (b) the four new gates (table_restore_roundtrip_
-# events, zorder_layout_events, ann_pq_adc_topk, ann_ivfadc_topk)
-# plus the 4 entries whose code changed this round (CDF gate's
-# erasure+backfill scenario rewrite, both semantic_dedup twins over
-# the vectorized dot_arrow guard, sql_interface_q13 over the
-# validated run_sql cache); (c) 33 of the 48 r6-aged entries,
-# heaviest/most-custom first.  The 15 r6-aged leftovers (pure
-# Catalyst-relational q04/q06/q14/q19 + thin native-Column text maps
-# — machinery window-covered by in-window twins) sit at tail
-# positions 50-64 and MUST lead the r9 window; the 48 r7-fresh
-# entries follow.
+# ROUND-8 ROTATION (executed as planned): the 9 two-round-stale r5
+# entries led; the 15 r6-aged leftovers sat at tail positions 50-64.
+#
+# STALENESS POLICY (written down in round 9; also in COVERAGE.md):
+# at 112 registry entries with a 50-row driver window, a strict
+# "<=2 rounds without a driver row" bound is arithmetically impossible
+# (112/50 = 2.24).  The policy the arithmetic supports, and that this
+# registry follows:
+#   1. every entry gets a driver oracle row at least once every
+#      THREE rounds (strict FIFO rotation: the stalest entries lead
+#      each round's window, after the entries whose code changed);
+#   2. the FULL registry runs against the DuckDB oracle at sf0.01
+#      locally EVERY round (tools/local_parity.py ->
+#      PARITY_LOCAL_r{N}.json, committed) - so "driver-stale" never
+#      means "unchecked", it means "externally re-attested within 3
+#      rounds, locally re-attested this round";
+#   3. the registry must not grow faster than the window rotates:
+#      new gates displace foldable entries (see ann_lsh_suite_topk -
+#      the round-9 fold of ann_lsh_topk + ann_lsh_multiprobe_topk).
+#
+# ROUND-9 ROTATION: (a) the 15 r6-aged entries (2 driver-rounds
+# stale) lead, per the r8 verdict; (b) the 7 entries whose code or
+# gate changed this round - the sessionizer default-path swap
+# (streaming_sessionize_events now dispatches to the JVM
+# session_window; the Python stateful topology is the explicit
+# compat gate streaming_sessionize_stateful_events, cohort-scoped),
+# the zorder gate (tightened half-pruning assertion + DESCRIBE
+# DETAIL assertions riding the same commit), the CDF gate (null-safe
+# erasure predicate both engines), the PQ/IVFADC pair (encode
+# projection restructured), and the new folded LSH suite; (c) 28 of
+# the 47 r7-fresh entries, heaviest/most-custom first.  The 19
+# r7-fresh leftovers (pure-relational TPC-H shapes and thin
+# suites whose machinery is window-covered) sit at tail positions
+# 51-69 and MUST lead the r10 window; the 43 r8-fresh entries follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # (a) two-rounds-stale r5 entries lead (rotation policy: no entry
-    # exceeds 2 rounds without a driver row)
+    # (a) the 15 two-round-stale r6 entries lead
+    "text_metrics_docs": text_metrics_docs,
+    "lang_id_docs": lang_id_docs,
+    "vocab_top_tokens": vocab_top_tokens,
+    "q04_priority_exists": q04_priority_exists,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q14_promo_revenue": q14_promo_revenue,
+    "q19_bracket_revenue": q19_bracket_revenue,
+    "fingerprint_docs": fingerprint_docs,
+    "token_stats_docs": token_stats_docs,
+    "pii_scrub_docs": pii_scrub_docs,
+    "distinct_rows_lineitem": distinct_rows_lineitem,
+    "repetition_docs": repetition_docs,
+    "dataset_split_docs": dataset_split_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "stratified_sample_docs": stratified_sample_docs,
+    # (b) entries whose code or gate changed this round
+    "streaming_sessionize_events": streaming_sessionize_events,
+    "streaming_sessionize_stateful_events": streaming_sessionize_stateful_events,
+    "zorder_layout_events": zorder_layout_events,
+    "table_change_feed_events": table_change_feed_events,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
+    "ann_ivfadc_topk": ann_ivfadc_topk,
+    "ann_lsh_suite_topk": ann_lsh_suite_topk,
+    # (c) r7-fresh backfill, heaviest/most-custom operators first
+    "substring_dedup_docs": substring_dedup_docs,
+    "nb_quality_filter_docs": nb_quality_filter_docs,
+    "gopher_rules_docs": gopher_rules_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "unigram_lm_docs": unigram_lm_docs,
+    "tfidf_top_terms_docs": tfidf_top_terms_docs,
+    "chunk_docs_sliding": chunk_docs_sliding,
+    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+    "perplexity_buckets_docs": perplexity_buckets_docs,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "streaming_corpus_stats": streaming_corpus_stats,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "sessionize_events": sessionize_events,
+    "asof_purchase_click": asof_purchase_click,
+    "range_join_purchase_clicks": range_join_purchase_clicks,
+    "skew_salted_join_events": skew_salted_join_events,
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "schema_evolution_merge": schema_evolution_merge,
+    "stage_pipeline_lineitem": stage_pipeline_lineitem,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
+    "planner_multi_table_run": planner_multi_table_run,
+    "streaming_dedup_ingest": streaming_dedup_ingest,
+    "user_engagement_approx": user_engagement_approx,
+    "events_daily_rollup_sets": events_daily_rollup_sets,
+    "gap_fill_user_hours": gap_fill_user_hours,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # 19 r7-fresh leftovers (pure-relational TPC-H shapes + thin
+    # suites; machinery window-covered by in-window twins; they lead
+    # the r10 window)
+    "q02_min_cost_supplier": q02_min_cost_supplier,
+    "q07_volume_shipping": q07_volume_shipping,
+    "q08_market_share": q08_market_share,
+    "q09_product_profit": q09_product_profit,
+    "q11_important_stock": q11_important_stock,
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q15_top_supplier": q15_top_supplier,
+    "q16_supplier_part_counts": q16_supplier_part_counts,
+    "q18_large_volume_customers": q18_large_volume_customers,
+    "q20_promotion_suppliers": q20_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "events_value_percentiles": events_value_percentiles,
+    "dq_validate_orders": dq_validate_orders,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "window_rank_suite_events": window_rank_suite_events,
+    "user_value_analytics": user_value_analytics,
+    "events_pivot_by_type": events_pivot_by_type,
+    # ... then the 43 entries fresh-green in CORRECTNESS_r08
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
@@ -6367,29 +6535,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_without_lineitems": orders_without_lineitems,
     "customers_with_open_orders": customers_with_open_orders,
     "returned_vs_finished_setops": returned_vs_finished_setops,
-    # (b) new r8 gate + entries whose code changed this round (CDF
-    # scenario rewrite, dot_arrow guard vectorization, run_sql cache
-    # validation)
     "table_restore_roundtrip_events": table_restore_roundtrip_events,
-    "zorder_layout_events": zorder_layout_events,
-    "ann_pq_adc_topk": ann_pq_adc_topk,
-    "ann_ivfadc_topk": ann_ivfadc_topk,
-    "table_change_feed_events": table_change_feed_events,
     "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
     "semantic_dedup_embeddings": semantic_dedup_embeddings,
     "sql_interface_q13": sql_interface_q13,
-    # (c) r6-aged backfill, heaviest/most-custom operators first
     "curate_documents": curate_documents,
-    "streaming_sessionize_events": streaming_sessionize_events,
     "streaming_windowed_counts": streaming_windowed_counts,
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ann_cosine_topk": ann_cosine_topk,
-    "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
-    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "kmeans_train_hash_docs": kmeans_train_hash_docs,
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_multi_docs": decontaminate_multi_docs,
@@ -6412,79 +6569,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_docs": ngram_jaccard_docs,
     "events_props_json": events_props_json,
     "hash_embed_docs": hash_embed_docs,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # (vocab_top_tokens, lang_id_docs and text_metrics_docs rotated
-    # out of the planned window to make room for the new zorder + PQ +
-    # IVFADC gates: their tokenize/explode and native-Column-map
-    # machinery is window-covered by unigram/tfidf/boilerplate/
-    # gopher twins)
-    "text_metrics_docs": text_metrics_docs,
-    "lang_id_docs": lang_id_docs,
-    "vocab_top_tokens": vocab_top_tokens,
-    # 12 r6-aged leftovers (all pure-relational TPC-H shapes or thin
-    # native-Column maps whose machinery is window-covered; they lead
-    # the r9 window)
-    "q04_priority_exists": q04_priority_exists,
-    "q06_forecast_revenue": q06_forecast_revenue,
-    "q14_promo_revenue": q14_promo_revenue,
-    "q19_bracket_revenue": q19_bracket_revenue,
-    "fingerprint_docs": fingerprint_docs,
-    "token_stats_docs": token_stats_docs,
-    "pii_scrub_docs": pii_scrub_docs,
-    "distinct_rows_lineitem": distinct_rows_lineitem,
-    "repetition_docs": repetition_docs,
-    "dataset_split_docs": dataset_split_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "stratified_sample_docs": stratified_sample_docs,
-    # ... then the 48 entries fresh-green in CORRECTNESS_r07
-    "q02_min_cost_supplier": q02_min_cost_supplier,
-    "q09_product_profit": q09_product_profit,
-    "q11_important_stock": q11_important_stock,
-    "q16_supplier_part_counts": q16_supplier_part_counts,
-    "q20_promotion_suppliers": q20_promotion_suppliers,
-    "substring_dedup_docs": substring_dedup_docs,
-    "nb_quality_filter_docs": nb_quality_filter_docs,
-    "gopher_rules_docs": gopher_rules_docs,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
-    "streaming_sessionize_native_events": streaming_sessionize_native_events,
-    "q07_volume_shipping": q07_volume_shipping,
-    "q08_market_share": q08_market_share,
-    "q13_order_count_distribution": q13_order_count_distribution,
-    "q15_top_supplier": q15_top_supplier,
-    "q18_large_volume_customers": q18_large_volume_customers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_dormant_customers": q22_dormant_customers,
-    "unigram_lm_docs": unigram_lm_docs,
-    "tfidf_top_terms_docs": tfidf_top_terms_docs,
-    "chunk_docs_sliding": chunk_docs_sliding,
-    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-    "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-    "perplexity_buckets_docs": perplexity_buckets_docs,
-    "events_unpivot_metrics": events_unpivot_metrics,
-    "events_value_percentiles": events_value_percentiles,
-    "gap_fill_user_hours": gap_fill_user_hours,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
-    "dq_validate_orders": dq_validate_orders,
-    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
-    "window_rank_suite_events": window_rank_suite_events,
-    "streaming_corpus_stats": streaming_corpus_stats,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
-    "sessionize_events": sessionize_events,
-    "user_value_analytics": user_value_analytics,
-    "asof_purchase_click": asof_purchase_click,
-    "range_join_purchase_clicks": range_join_purchase_clicks,
-    "skew_salted_join_events": skew_salted_join_events,
-    "events_pivot_by_type": events_pivot_by_type,
-    "user_engagement_approx": user_engagement_approx,
-    "events_daily_rollup_sets": events_daily_rollup_sets,
-    "merge_upsert_events": merge_upsert_events,
-    "merge_delete_window_events": merge_delete_window_events,
-    "schema_evolution_merge": schema_evolution_merge,
-    "stage_pipeline_lineitem": stage_pipeline_lineitem,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
-    "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
-    "planner_multi_table_run": planner_multi_table_run,
-    "streaming_dedup_ingest": streaming_dedup_ingest,
 }
 
 ORACLES: dict[str, str] = {
@@ -6548,8 +6632,9 @@ ORACLES: dict[str, str] = {
     "vocab_top_tokens": VOCAB_SQL,
     "streaming_dedup_ingest": STREAMING_DEDUP_SQL,
     "streaming_sessionize_events": STREAMING_SESSIONIZE_SQL,
-    # the JVM session_window twin answers the SAME batch-session oracle
-    "streaming_sessionize_native_events": STREAMING_SESSIONIZE_SQL,
+    # the stateful compat mode answers the same batch-session oracle,
+    # cohort-scoped (user_id % 4 = 1) — semantics are per-user
+    "streaming_sessionize_stateful_events": STREAMING_SESSIONIZE_STATEFUL_SQL,
     "table_change_feed_events": TABLE_CHANGE_FEED_SQL,
     "table_restore_roundtrip_events": TABLE_RESTORE_SQL,
     "zorder_layout_events": ZORDER_LAYOUT_SQL,
@@ -6573,8 +6658,7 @@ ORACLES: dict[str, str] = {
     # sketches via exact companions + in-bounds flags).
     "minhash_near_dup_docs": NGRAM_JACCARD_SQL,
     "simhash_near_dup_docs": SIMHASH_SQL,
-    "ann_lsh_topk": ANN_LSH_SQL,
-    "ann_lsh_multiprobe_topk": ANN_LSH_MULTIPROBE_SQL,
+    "ann_lsh_suite_topk": ANN_LSH_SUITE_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "user_engagement_approx": USER_ENGAGEMENT_SQL,

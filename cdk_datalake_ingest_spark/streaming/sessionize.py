@@ -1,6 +1,14 @@
-"""Custom stateful streaming operator: gap-based sessionization.
+"""Streaming gap-based sessionization.
 
-The arbitrary-state counterpart of ``operators/sessionize.py`` (which
+Entry point is :func:`sessionize` — it encodes the crossover rule:
+aggregate-shaped payloads run on the JVM ``session_window`` aggregate
+(the default and the scale path), and only semantics an aggregate
+cannot express (``emit_on_gap``, per-element state) route to the
+Python ``applyInPandasWithState`` operator, which remains available
+explicitly as ``mode="stateful"`` (simulation / compat mode).
+
+The stateful operator is the arbitrary-state counterpart of
+``operators/sessionize.py`` (which
 is the oracle-checked batch reference for these semantics): per-user
 session state is kept in the state store across micro-batches, a
 session closes when a later event arrives more than ``gap`` after its
@@ -71,6 +79,70 @@ def _check_gap(gap_minutes: int) -> None:
         raise ValueError(
             f"sessionize: gap_minutes must be positive, got {gap_minutes}"
         )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+    gap_minutes: int = 30,
+    emit_on_gap: bool = False,
+    mode: str = "auto",
+) -> DataFrame:
+    """THE streaming sessionizer — the crossover rule, in code.
+
+    The session rollup payload here (count + DECIMAL-exact value sum
+    + start/end) is aggregate-shaped, and for aggregate-shaped
+    payloads the JVM ``session_window`` aggregate wins at every scale
+    (no Arrow batch transfer, no Python state, whole-stage codegen;
+    ``tools/sessionize_scale_probe.py`` measured the Python topology
+    at ~30x the state-store bytes and a fraction of the rows/sec —
+    SCALE.md records it).  So ``mode="auto"`` dispatches to
+    :func:`sessionize_stream_native` UNLESS the caller asks for the
+    one semantics an aggregate cannot express — ``emit_on_gap=True``,
+    closing a session the moment a later event reveals the gap instead
+    of when the watermark passes (``session_window`` only emits on
+    watermark close) — which routes to the Python stateful operator.
+
+    ``mode="stateful"`` forces the :func:`sessionize_stream`
+    micro-batch topology explicitly (simulation / compat mode — also
+    the template to extend for per-element session state or in-batch
+    event-order payloads); ``mode="native"`` forces the JVM aggregate
+    and raises if combined with ``emit_on_gap`` rather than silently
+    changing emission semantics.  Both paths are row-identical on
+    closed sessions (same oracle, same gate:
+    queries.py:streaming_sessionize_events /
+    streaming_sessionize_stateful_events)."""
+    if mode not in ("auto", "native", "stateful"):
+        raise ValueError(
+            f"sessionize: mode must be auto|native|stateful, got {mode!r}"
+        )
+    if mode == "auto":
+        mode = "stateful" if emit_on_gap else "native"
+    if mode == "native":
+        if emit_on_gap:
+            raise ValueError(
+                "sessionize: emit_on_gap needs the stateful operator "
+                "(session_window emits only on watermark close) — use "
+                "mode='auto' or mode='stateful'"
+            )
+        return sessionize_stream_native(
+            events,
+            user_col=user_col,
+            ts_col=ts_col,
+            value_col=value_col,
+            gap_minutes=gap_minutes,
+        )
+    return sessionize_stream(
+        events,
+        user_col=user_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        tiebreak_col=tiebreak_col,
+        gap_minutes=gap_minutes,
+    )
 
 
 def sessionize_stream(

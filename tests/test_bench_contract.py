@@ -27,8 +27,8 @@ def _payload(n_queries: int) -> dict:
             for i in range(n_queries)
         },
         "sf": 0.1,
-        "repeats": 2,
-        "timing": "min_of_repeats",
+        "repeats": 3,
+        "timing": "median_of_repeats",
     }
 
 

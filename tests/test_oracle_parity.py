@@ -39,7 +39,10 @@ SUBSET = [
     "incremental_minhash_ingest_docs",
     # round-7 gates, new this round
     "table_change_feed_events",
-    "streaming_sessionize_native_events",
+    # round-9: the default sessionizer path (auto → JVM session_window)
+    # and the cohort-scoped stateful compat mode
+    "streaming_sessionize_events",
+    "streaming_sessionize_stateful_events",
     # round-8 gates: versioned-table RESTORE end to end; Z-order
     # layout rewrite (content-preserving, file-skipping invariant
     # raised in-line)

@@ -173,6 +173,49 @@ def test_ivfadc_recall_floor(spark, emb, books, coarse):
     }
     assert len(got & exact) / len(exact) >= 0.8
 
+    # Two more measured points so the routing/rerank tradeoff curve is
+    # pinned, not a single number (measured on the fixture: (2,8)=0.90,
+    # (8,8)=0.90, (8,4)=0.725, (2,4)=0.775 — the rerank budget, not the
+    # probe count, is the recall-limiting axis here because 2 probes
+    # already capture most true neighbors' lists):
+    #  - halving probes at the same rerank budget keeps the full floor;
+    #  - halving the rerank budget costs recall even at 8 probes, so it
+    #    gets the lower floor.
+    got_p2 = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(
+            emb, q, 5, books, refine=8, coarse_centroids=coarse, n_probe=2
+        ).collect()
+    }
+    assert len(got_p2 & exact) / len(exact) >= 0.8
+    got_r4 = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(
+            emb, q, 5, books, refine=4, coarse_centroids=coarse, n_probe=8
+        ).collect()
+    }
+    assert len(got_r4 & exact) / len(exact) >= 0.6
+
+
+def test_train_with_fewer_rows_than_k(spark):
+    """pq_train on a corpus with n < k rows trains n-centroid
+    codebooks (documented boundary: consumers read codebook length,
+    never the requested k) and the whole encode -> ADC pipeline still
+    works; an empty corpus raises instead of emitting empty books."""
+    few = spark.createDataFrame(
+        [(i, [float(i * 7 % 5)] * 64) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_train(few, m=16, k=16, iters=1)
+    assert len(books) == 16 and all(len(b) == 3 for b in books)
+    enc = pq_encode(few, books).collect()
+    assert all(1 <= c <= 3 for r in enc for c in r["codes"])
+    out = pq_adc_topk(few, few.filter("vec_id = 0"), k=2, codebooks=books)
+    assert out.count() == 2
+    empty = few.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty, m=16, k=16)
+
 
 def test_ivfadc_candidates_come_only_from_probed_lists(spark, emb, books, coarse):
     """Every IVFADC result must live in one of its query's n_probe

@@ -188,3 +188,50 @@ def test_native_session_window_twin_matches_python_stateful(
     by_user = {r.user_id: r for r in nat_rows if r.n_events > 1}
     # exact decimal sums survive the double cast identically
     assert by_user[2].total_value == 7.75
+
+
+def test_sessionize_dispatcher_crossover():
+    """The crossover rule lives in code: auto → JVM session_window for
+    the aggregate-shaped payload; emit_on_gap (the one semantics an
+    aggregate cannot express) routes auto to the stateful operator;
+    native + emit_on_gap is a contradiction and raises instead of
+    silently changing emission semantics."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.streaming import sessionize as mod
+
+    calls = []
+
+    def fake_native(events, **kw):
+        calls.append(("native", kw))
+        return "native_df"
+
+    def fake_stateful(events, **kw):
+        calls.append(("stateful", kw))
+        return "stateful_df"
+
+    orig = mod.sessionize_stream_native, mod.sessionize_stream
+    mod.sessionize_stream_native, mod.sessionize_stream = (
+        fake_native,
+        fake_stateful,
+    )
+    try:
+        assert mod.sessionize(None, gap_minutes=30) == "native_df"
+        assert (
+            mod.sessionize(None, gap_minutes=30, emit_on_gap=True)
+            == "stateful_df"
+        )
+        assert (
+            mod.sessionize(None, gap_minutes=30, mode="stateful")
+            == "stateful_df"
+        )
+        assert mod.sessionize(None, gap_minutes=30, mode="native") == "native_df"
+        with pytest.raises(ValueError, match="emit_on_gap"):
+            mod.sessionize(
+                None, gap_minutes=30, mode="native", emit_on_gap=True
+            )
+        with pytest.raises(ValueError, match="mode"):
+            mod.sessionize(None, gap_minutes=30, mode="batch")
+    finally:
+        mod.sessionize_stream_native, mod.sessionize_stream = orig
+    assert [c[0] for c in calls] == ["native", "stateful", "stateful", "native"]

@@ -387,10 +387,20 @@ def test_optimize_zorder_skips_files_on_trailing_column(spark, tmp_path):
     cand_z_y, tot_z = candidate_files(z, "y", 10, 17)
     cand_z_x, _ = candidate_files(z, "x", 10, 17)
     assert tot_lin == files and tot_z == files
-    # linear-on-x cannot prune on y; zorder prunes on BOTH dimensions
+    # linear-on-x cannot prune on y at all; zorder must prune ~HALF the
+    # files on BOTH dimensions — the same structural bound the driver
+    # gate raises on in-line (queries.py:zorder_layout_events): with 8
+    # quantile-range files the top 3 z-bits split 2:1 between the dims,
+    # so the top-bit owner (y here) prunes to <= half and the other to
+    # <= half+1 (octants non-contiguous in z-range -> one straddling
+    # range boundary).  `< files` would pass on pruning one file; this
+    # is the bound that shows the layout MATTERS.
     assert cand_lin_y == files
-    assert cand_z_y < files
-    assert cand_z_x < files
+    assert cand_z_y <= files // 2
+    assert cand_z_x <= files // 2 + 1
+    # and Z strictly beats linear where linear is blind: the trailing
+    # dimension
+    assert cand_z_y < cand_lin_y
 
 
 def test_optimize_zorder_rejects_unrankable_and_bad_bits(spark, tmp_path):

@@ -205,8 +205,10 @@ NOTES = {
         "the ones described above and are pinned in tests/"
         "test_plans.py."
     ),
-    "ann_lsh_multiprobe_topk": (
-        "Multi-probe LSH top-k: each query explodes to its own bucket "
+    "ann_lsh_suite_topk": (
+        "LSH top-k at both probe radii (round-9 fold; the union's two "
+        "branches share one _lsh_topk_impl). probe0 is the plain "
+        "bucket equi-join; for probe1 each query explodes to its own bucket "
         "plus the n_planes Hamming-1 neighbor buckets (9 probe keys "
         "at n_planes=8), and the query side — still tiny — broadcasts "
         "into the bucket equi-join, so the corpus is bucketed in a "
@@ -327,9 +329,23 @@ capped (driver union-find only <1M edges).
 
 ## Round-8 bench vs round-7 (first same-order comparison)
 
+CORRECTION (round 9, r8 verdict "What's wrong" #1): the +5.5% figure
+below was computed from an earlier run that was NOT the committed
+BENCH_DETAIL.json; the committed r8 artifact shows the common-107
+total at 123.8 → 140.4 s (+13.4%), outside the stated ±6% band, with
+1.4-1.7× swings on code-untouched queries. The noise analysis below
+(and the isolated re-benches that WERE committed) still supports the
+environmental-shift reading, but the number was not reproducible from
+the artifact the driver records — a process defect, fixed in round 9:
+bench.py now reports the median-of-3 (min-of-2 was under-powered
+against the documented 1.4-1.7× single-query noise floor) and every
+round-over-round section from round 9 on is computed FROM the
+committed BENCH_DETAIL.json of both rounds.
+
 `bench.py` has been alphabetical since late round 7, so this is the
 first clean round-over-round read. Common 107 entries: 123.8 → 130.6 s
-(+5.5%); the per-query ratio distribution is a uniform shift (median
+(+5.5%; committed artifact: 140.4 s / +13.4% — see correction above);
+the per-query ratio distribution is a uniform shift (median
 1.084, quartiles 0.85 / 0.99 / 1.08 / 1.18 / 1.30) across
 code-untouched queries — environmental, not plan changes. Confirmed by
 spot re-benching the worst apparent "regressions" in isolation

@@ -55,7 +55,12 @@ TABLES = (
 #: the A6/A7 merge path (the reference's riskiest scale surface per
 #: SURVEY §7: outer-join MERGE apply + delete-window interplay)
 QUERIES = [
+    # round 9: the default sessionizer path is now the JVM
+    # session_window dispatch; the Python stateful compat mode
+    # (cohort-scoped) rides along so the crossover stays MEASURED at
+    # 10x, not asserted
     "streaming_sessionize_events",
+    "streaming_sessionize_stateful_events",
     "curate_documents",
     "near_dup_clusters_docs",
     "raw_csv_roundtrip_stage",
@@ -95,7 +100,7 @@ QUERIES = [
     # multi-probe LSH ANN (corpus side = embeddings scales 10x, query
     # side stays a broadcast-sized sample)
     "table_change_feed_events",
-    "ann_lsh_multiprobe_topk",
+    "ann_lsh_suite_topk",
     # round-8 addition: versioned-table restore roundtrip — the v1
     # build scales with events; the restore itself is O(#files)
     # hard-link metadata, so the ratio should track the dedup window,
@@ -107,7 +112,11 @@ QUERIES = [
     "ann_pq_adc_topk",
     "ann_ivfadc_topk",
 ]
-STREAMING = {"streaming_sessionize_events", "streaming_windowed_counts"}
+STREAMING = {
+    "streaming_sessionize_events",
+    "streaming_sessionize_stateful_events",
+    "streaming_windowed_counts",
+}
 #: merge queries end in a ManagedTable snapshot read-back; the final
 #: read's plan is a parquet scan, so shape-compare the MERGE apply
 #: itself is covered by tests/test_plans.py — here we still compare
