@@ -6,11 +6,13 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop write (full computation,
 no driver-side result materialization cost).
 
-Each query runs REPEATS times and reports the minimum (steady-state):
-the first run of a fresh plan pays JIT/codegen/footer costs worth
-~1.5-2x, which otherwise masquerades as regression noise in
-round-over-round comparison. Set SPARK_GRAFT_BENCH_REPEATS=1 for the
-old single-shot behavior.
+Each query runs REPEATS times (default 3) and reports the MEDIAN of
+the post-warmup runs (run 0 pays JIT/codegen/footer costs worth
+~1.5-2x and is recorded separately in the detail file's first_run
+map): round 8 measured a per-query noise floor of 1.4-1.7x between
+same-code runs, against which min-of-2 is under-powered — the median
+of 2 warm repeats is the round-9 evidence-pipeline fix (r8 verdict
+task #1). Set SPARK_GRAFT_BENCH_REPEATS=1 for single-shot.
 """
 
 from __future__ import annotations
@@ -59,20 +61,30 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     first_run: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in bench_queries():
         fn = QUERIES[name]
-        best = float("inf")
+        runs: list[float] = []
         for i in range(repeats):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             elapsed = time.perf_counter() - t0
             if i == 0:
                 first_run[name] = round(elapsed, 3)
-            best = min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(elapsed)
+        all_runs[name] = [round(r, 3) for r in runs]
+        # median of all repeats (odd default 3: the middle value) —
+        # robust to one outlier in EITHER direction, unlike min (which
+        # under-reports genuine cost) or mean (which a single 1.7x
+        # noise spike drags); the cold run is usually the max, so the
+        # median lands on a warm run. first_run keeps the cold value.
+        srt = sorted(runs)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        timings[name] = round(med, 3)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -83,10 +95,12 @@ def main() -> None:
         "sf": sf,
         # Methodology fields so cross-round comparisons are
         # interpretable: rounds 1-2 were single-shot cold runs
-        # (repeats=1); rounds >=3 report the warm min-of-N.
-        # Compare totals only under the same repeats policy.
+        # (repeats=1); rounds 3-8 reported the warm min-of-2; round 9+
+        # reports the median-of-3 (r8 verdict task #1 — min-of-2 is
+        # under-powered against the measured 1.4-1.7x same-code noise
+        # floor).  Compare totals only under the same repeats policy.
         "repeats": repeats,
-        "timing": "min_of_repeats" if repeats > 1 else "single_shot",
+        "timing": "median_of_repeats" if repeats > 1 else "single_shot",
     }
 
     # Full per-query detail always lands in a file the judge can read.
@@ -94,9 +108,17 @@ def main() -> None:
     # min-of-repeats deliberately reports steady state, and for queries
     # that memoize driver-side state (the k-means quantizer caches) the
     # cold column is where any one-time training cost remains visible.
+    # `runs` carries every raw repeat in execution order, so ANY
+    # statistic (median, min, min-of-first-2 for same-methodology
+    # comparison with rounds <=8) is recomputable from the committed
+    # artifact — the evidence-pipeline fix of the r8 verdict: analysis
+    # can never again depend on an uncommitted sibling run.
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
-        json.dumps({**payload, "first_run": first_run}, indent=2) + "\n"
+        json.dumps(
+            {**payload, "first_run": first_run, "runs": all_runs}, indent=2
+        )
+        + "\n"
     )
 
     line = fit_summary_line(payload)
