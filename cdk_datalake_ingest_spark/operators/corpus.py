@@ -503,3 +503,109 @@ def dedup_substrings(
         .agg(F.collect_set("cpos").alias("__covered"))
     )
     return _reassemble_without(docs, covered, text_col, id_col)
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge training (Sennrich, Haddow, Birch
+    2016 — the tokenizer-induction step every LLM training pipeline
+    runs between raw text and token ids): start from characters,
+    repeatedly merge the most frequent adjacent symbol pair, and
+    return the learned merge table — (step, lhs, rhs, merged,
+    n_pairs), one row per merge in training order.  The merge table
+    IS the tokenizer model; applying it to text is a replay of the
+    same greedy replaces.
+
+    Exactly the production-trainer dataflow: the corpus is touched
+    ONCE to build the (word, freq) vocabulary (lowercase letters-only
+    words — punctuation/digit handling belongs to pre-tokenization),
+    and every merge iteration runs over that Zipf-shaped vocabulary
+    relation, never the corpus.  At 100 TB the corpus pass is one
+    exploded-token shuffle; each of the k iterations is one small
+    groupBy over the vocabulary's adjacent pairs plus a ONE-ROW
+    collect of the argmax (the lloyd_kmeans model-sized-collect
+    convention).  No Python UDFs anywhere.
+
+    Determinism contract (DuckDB-oracle reproducible): pair counts
+    are exact integers weighted by word frequency (overlapping
+    adjacent positions count, as in the reference implementation);
+    the winning pair breaks ties by (count DESC, lhs ASC, rhs ASC)
+    over ASCII-lowercase strings (identical collation both engines);
+    merges apply greedily left-to-right via plain non-overlapping
+    string replace on a DOUBLE-SPACED symbol string (' l  r ' can
+    never match a token suffix, and consecutive occurrences do not
+    share a delimiter, so 'a a a' merges to 'aa a' exactly like the
+    reference greedy pass — verified identical in Spark and DuckDB).
+
+    Raises when the vocabulary runs out of adjacent pairs before
+    ``n_merges`` (a fixture-sized corpus problem; real corpora
+    exhaust thousands of merges) so the caller never gets a silently
+    short model."""
+    if n_merges < 1:
+        raise ValueError(f"bpe_train_merges: n_merges must be >= 1, got {n_merges}")
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .select(F.lower("w").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # symbolize: 'hello' -> 'h e l l o' (single-space separated)
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("w")),
+        lambda i: F.substring(F.col("w"), i, F.lit(1)),
+    )
+    vocab = words.select(
+        F.array_join(chars, " ").alias("sym"), "freq"
+    ).localCheckpoint(eager=False)
+    merges = []
+    for step in range(1, n_merges + 1):
+        toks = F.split("sym", " ")
+        n = F.size(toks)
+        pairs = vocab.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(toks, 1, n - 1).alias("l"),
+                    F.slice(toks, 2, n - 1).alias("r"),
+                )
+            ).alias("p"),
+            "freq",
+        ).filter(F.col("p.l").isNotNull() & F.col("p.r").isNotNull())
+        best = (
+            pairs.groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("freq").alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            raise ValueError(
+                f"bpe_train_merges: vocabulary exhausted after "
+                f"{step - 1} merges (requested {n_merges}) — corpus too "
+                "small for the requested model size"
+            )
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["n_pairs"])
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        # greedy left-to-right apply via the double-space invariant
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        applied = F.expr(
+            "trim(replace(replace("
+            f"' ' || replace(sym, ' ', '  ') || ' ', {_sql_str(pat)}, "
+            f"{_sql_str(rep)}), '  ', ' '))"
+        )
+        vocab = vocab.select(applied.alias("sym"), "freq").localCheckpoint(
+            eager=False
+        )
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, n_pairs bigint"
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal (merge symbols are [a-z]+, but quote anyway)."""
+    return "'" + s.replace("'", "''") + "'"

@@ -5243,6 +5243,73 @@ FROM documents GROUP BY lang, source
 """
 
 
+def bpe_train_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction (operators/corpus.py:bpe_train_merges —
+    Sennrich et al. 2016 BPE) through the oracle gate: learn 6 merges
+    over the documents corpus and return the merge table in training
+    order.  The oracle re-runs the ENTIRE training relationally — the
+    word-frequency vocabulary, then 6 unrolled merge stages, each an
+    adjacent-pair count + (count DESC, lhs, rhs) argmax + the same
+    double-spaced greedy replace — so every learned merge, its rank
+    AND its exact weighted pair count are cross-engine verified.
+
+    Scale shape: one exploded-token shuffle builds the Zipf-sized
+    (word, freq) vocabulary; every iteration after that touches only
+    the vocabulary relation with a one-row argmax collect — the
+    production-trainer dataflow (corpus once, model iterations on the
+    frequency table)."""
+    from cdk_datalake_ingest_spark.operators.corpus import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=6)
+
+
+def _bpe_step_ctes(k: int) -> str:
+    parts = []
+    for i in range(1, k + 1):
+        parts.append(f"""
+p{i} AS (
+  SELECT u.p.l AS lhs, u.p.r AS rhs, CAST(SUM(freq) AS BIGINT) AS n_pairs
+  FROM (SELECT string_split(sym, ' ') AS t, freq FROM v{i - 1}) s,
+       UNNEST(list_transform(range(1, len(s.t)),
+                             j -> struct_pack(l := s.t[j], r := s.t[j+1]))) AS u(p)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT lhs, rhs, n_pairs FROM p{i} ORDER BY n_pairs DESC, lhs, rhs LIMIT 1),
+v{i} AS (
+  SELECT trim(replace(replace(' ' || replace(sym, ' ', '  ') || ' ',
+      (SELECT ' '||lhs||'  '||rhs||' ' FROM b{i}),
+      (SELECT ' '||lhs||rhs||' ' FROM b{i})), '  ', ' ')) AS sym, freq
+  FROM v{i - 1}
+)""")
+    return ",".join(parts)
+
+
+# The full BPE training replayed in SQL: vocabulary, then 6 unrolled
+# (pair-count -> argmax -> greedy double-spaced replace) stages.  The
+# double-space trick makes plain non-overlapping replace() apply the
+# merge greedily left-to-right without sharing delimiters ('a a a' ->
+# 'aa a'), identically in both engines (verified; see
+# operators/corpus.py:bpe_train_merges).  CAST(SUM(..) AS BIGINT)
+# dodges the DuckDB HUGEINT->float64 hashing trap.
+BPE_MERGES_SQL = f"""
+WITH toks AS (
+  SELECT lower(unnest({_SQL_TOKENS})) AS w FROM documents
+), words AS (
+  SELECT w, COUNT(*) AS freq FROM toks
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w
+), v0 AS (
+  SELECT array_to_string(list_transform(range(1, length(w)+1), i -> w[i]), ' ') AS sym,
+         freq
+  FROM words
+),{_bpe_step_ctes(6)}
+SELECT * FROM ({" UNION ALL ".join(
+    f"SELECT {i} AS step, lhs, rhs, lhs||rhs AS merged, n_pairs FROM b{i}"
+    for i in range(1, 7)
+)})
+"""
+
+
 def sql_interface_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The raw-SQL surface (sql.py:run_sql — the Athena-over-Glue
     equivalent the reference's consumers query through): the SAME
@@ -6418,9 +6485,9 @@ WHERE r_name = 'AMERICA'
 # entries led; the 15 r6-aged leftovers sat at tail positions 50-64.
 #
 # STALENESS POLICY (written down in round 9; also in COVERAGE.md):
-# at 112 registry entries with a 50-row driver window, a strict
+# at 113 registry entries with a 50-row driver window, a strict
 # "<=2 rounds without a driver row" bound is arithmetically impossible
-# (112/50 = 2.24).  The policy the arithmetic supports, and that this
+# (113/50 = 2.26).  The policy the arithmetic supports, and that this
 # registry follows:
 #   1. every entry gets a driver oracle row at least once every
 #      THREE rounds (strict FIFO rotation: the stalest entries lead
@@ -6431,8 +6498,10 @@ WHERE r_name = 'AMERICA'
 #      means "unchecked", it means "externally re-attested within 3
 #      rounds, locally re-attested this round";
 #   3. the registry must not grow faster than the window rotates:
-#      new gates displace foldable entries (see ann_lsh_suite_topk -
-#      the round-9 fold of ann_lsh_topk + ann_lsh_multiprobe_topk).
+#      new gates displace foldable entries (round 9: the
+#      ann_lsh_topk + ann_lsh_multiprobe_topk fold into
+#      ann_lsh_suite_topk paid for the new bpe_train_merges_docs gate
+#      - net zero vs round 8's 113).
 #
 # ROUND-9 ROTATION: (a) the 15 r6-aged entries (2 driver-rounds
 # stale) lead, per the r8 verdict; (b) the 7 entries whose code or
@@ -6443,11 +6512,13 @@ WHERE r_name = 'AMERICA'
 # the zorder gate (tightened half-pruning assertion + DESCRIBE
 # DETAIL assertions riding the same commit), the CDF gate (null-safe
 # erasure predicate both engines), the PQ/IVFADC pair (encode
-# projection restructured), and the new folded LSH suite; (c) 28 of
-# the 47 r7-fresh entries, heaviest/most-custom first.  The 19
-# r7-fresh leftovers (pure-relational TPC-H shapes and thin
-# suites whose machinery is window-covered) sit at tail positions
-# 51-69 and MUST lead the r10 window; the 43 r8-fresh entries follow.
+# projection restructured), the new folded LSH suite, and the new
+# BPE tokenizer-training gate; (c) 27 of the 47 r7-fresh entries,
+# heaviest/most-custom first.  The 20 r7-fresh leftovers
+# (gap_fill_user_hours displaced by the BPE gate, plus the
+# pure-relational TPC-H shapes and thin suites whose machinery is
+# window-covered) sit at tail positions 51-70 and MUST lead the r10
+# window; the 43 r8-fresh entries follow.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (a) the 15 two-round-stale r6 entries lead
     "text_metrics_docs": text_metrics_docs,
@@ -6473,6 +6544,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
     "ann_lsh_suite_topk": ann_lsh_suite_topk,
+    "bpe_train_merges_docs": bpe_train_merges_docs,
     # (c) r7-fresh backfill, heaviest/most-custom operators first
     "substring_dedup_docs": substring_dedup_docs,
     "nb_quality_filter_docs": nb_quality_filter_docs,
@@ -6501,11 +6573,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_ingest": streaming_dedup_ingest,
     "user_engagement_approx": user_engagement_approx,
     "events_daily_rollup_sets": events_daily_rollup_sets,
-    "gap_fill_user_hours": gap_fill_user_hours,
     # ---- tail: beyond the driver's 50-entry window ----
-    # 19 r7-fresh leftovers (pure-relational TPC-H shapes + thin
-    # suites; machinery window-covered by in-window twins; they lead
-    # the r10 window)
+    # 20 r7-fresh leftovers (gap_fill displaced from the window by the
+    # new BPE gate, + pure-relational TPC-H shapes and thin suites
+    # whose machinery is window-covered; they lead the r10 window)
+    "gap_fill_user_hours": gap_fill_user_hours,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
@@ -6659,6 +6731,7 @@ ORACLES: dict[str, str] = {
     "minhash_near_dup_docs": NGRAM_JACCARD_SQL,
     "simhash_near_dup_docs": SIMHASH_SQL,
     "ann_lsh_suite_topk": ANN_LSH_SUITE_SQL,
+    "bpe_train_merges_docs": BPE_MERGES_SQL,
     "ann_ivf_topk": ANN_IVF_SQL,
     "embedding_near_dup_lsh": EMB_NEAR_DUP_LSH_SQL,
     "user_engagement_approx": USER_ENGAGEMENT_SQL,

@@ -39,10 +39,13 @@ SUBSET = [
     "incremental_minhash_ingest_docs",
     # round-7 gates, new this round
     "table_change_feed_events",
-    # round-9: the default sessionizer path (auto → JVM session_window)
-    # and the cohort-scoped stateful compat mode
+    # round-9: the default sessionizer path (auto → JVM session_window),
+    # the cohort-scoped stateful compat mode, the folded LSH suite, and
+    # the new BPE tokenizer-training gate
     "streaming_sessionize_events",
     "streaming_sessionize_stateful_events",
+    "ann_lsh_suite_topk",
+    "bpe_train_merges_docs",
     # round-8 gates: versioned-table RESTORE end to end; Z-order
     # layout rewrite (content-preserving, file-skipping invariant
     # raised in-line)

@@ -192,6 +192,21 @@ NOTES = {
         "is O(batch + index scan), not O(corpus shuffle) — re-keying "
         "the corpus on every snapshot is exactly what this avoids."
     ),
+    "bpe_train_merges_docs": (
+        "BPE tokenizer-merge training: the corpus is scanned ONCE into "
+        "the Zipf-sized (word, freq) vocabulary (one exploded-token "
+        "exchange with map-side partial aggregation); each of the 6 "
+        "merge iterations then runs entirely over the vocabulary "
+        "relation — adjacent-pair explode, one small keyed exchange, a "
+        "1-row argmax collect (model-sized, the lloyd_kmeans "
+        "convention), and a narrow whole-stage-codegen'd replace "
+        "projection. At 100 TB the corpus pass is the only big job; "
+        "vocabulary is millions of rows, not billions, which is why "
+        "production BPE trainers (and this plan) never iterate over "
+        "the corpus. The dumped plan is the merge-table RESULT "
+        "relation (a k-row local table — it IS the model); the "
+        "per-iteration vocabulary plans are the ones described above."
+    ),
     "kmeans_train_hash_docs": (
         "The split-out quantizer training gate (the cost round 5's "
         "memoization hid): per Lloyd iteration one corpus scan, a "

@@ -111,6 +111,12 @@ QUERIES = [
     # the query side stays broadcast
     "ann_pq_adc_topk",
     "ann_ivfadc_topk",
+    # round-9 addition: BPE merge training — the corpus pass scales
+    # with documents; the per-merge iterations ride the vocabulary
+    # relation, which the token-bijected copies multiply ~10x (every
+    # non-stopword token gains a per-copy suffix), so this stresses
+    # the vocabulary-sized-not-corpus-sized design claim directly
+    "bpe_train_merges_docs",
 ]
 STREAMING = {
     "streaming_sessionize_events",
@@ -386,7 +392,7 @@ def main() -> None:
                           "shape": shape_note}))
 
     md = [
-        "# SCALE — 10x rehearsal (round 8)",
+        "# SCALE — 10x rehearsal (round 9)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",

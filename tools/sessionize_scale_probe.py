@@ -6,11 +6,14 @@ JVM-native count-only twin (`F.session_window` aggregate) at 1x
 For each (scale, variant) it reports wall seconds, input rows,
 rows/sec, and the state-store metrics from the final streaming
 progress (state rows + bytes) — the evidence behind SCALE.md's
-sessionizer row and the crossover recommendation: use the JVM
-`session_window` aggregate when only per-session counts/min/max are
-needed; the Python stateful operator earns its per-group Arrow
-overhead only when the session payload needs custom semantics
-(exact DECIMAL micro-unit accumulation, custom tie-breaks).
+sessionizer row and the crossover rule, which as of round 9 is CODE,
+not a recommendation: `streaming/sessionize.py:sessionize(mode=
+"auto")` dispatches aggregate-shaped payloads to the JVM
+`session_window` aggregate and routes to the Python stateful
+operator only for `emit_on_gap` / explicit `mode="stateful"` —
+the Python topology earns its per-group Arrow overhead only when
+the session semantics need it (emit-on-gap, per-element state,
+in-batch event-order payloads).
 
 Usage: python tools/sessionize_scale_probe.py  (prints one JSON line
 per run; ~2 min).
