@@ -898,6 +898,54 @@ class ManagedTable:
             op="delete",
         )
 
+    def apply_changes(self, changes: DataFrame, key_cols: list[str]) -> None:
+        """Consume a change feed into this table — the APPLY-CHANGES-INTO
+        role (Delta Live Tables' consumer of exactly the row shape
+        :meth:`changes_between` produces): ``delete`` rows anti-join the
+        keyed target out, ``insert`` + ``update_postimage`` rows
+        replace-by-key, ``update_preimage`` rows are informational and
+        ignored.  ``apply_changes(replica_at_v_from, changes_between(
+        v_from, v_to))`` reproduces the v_to snapshot exactly — the
+        round-trip is raised in-line by the driver gate
+        (queries.py:table_change_feed_events) and pinned in
+        tests/test_table_changes.py, including under schema evolution
+        (columns new in v_to ride the feed; pre-existing rows take the
+        same NULLs the snapshot diff compared against).
+
+        Scale shape: ONE keyed shuffle (the anti-join of the target
+        against the feed's touched keys) plus the feed scan — linear in
+        |target| + |changes|, never a driver-side key list, so a 100 TB
+        replica consumes a CDC stream at the cost class of the merge
+        that produced it.  The feed must classify each key at most once
+        per class (changes_between guarantees this; a hand-built feed
+        with duplicate upsert keys would fan out)."""
+        ct = F.col("_change_type")
+        meta = [c for c in ("_change_type", "_commit_version")
+                if c in changes.columns]
+        if not meta:
+            raise ValueError(
+                "apply_changes: feed has no _change_type column — expected "
+                "the changes_between output shape"
+            )
+        ups = changes.filter(
+            ct.isin("insert", "update_postimage")
+        ).drop(*meta)
+        touched = changes.filter(
+            ct.isin("insert", "update_postimage", "delete")
+        ).select(*key_cols).distinct()
+        m, target = self._pinned_snapshot()
+        kept = target.join(touched, key_cols, "left_anti")
+        # allowMissingColumns: a feed from a schema-evolved diff carries
+        # v_to's new columns; pre-existing kept rows take NULLs — the
+        # same null-compare semantics changes_between classified with
+        out = kept.unionByName(ups, allowMissingColumns=True)
+        self.write(
+            out,
+            partition_by=m.get("partition_by") or None,
+            expected_base_version=int(m["version"]),
+            op="apply_changes",
+        )
+
     @staticmethod
     def _link_tree(src: Path, dst: Path) -> None:
         """Hard-link every file under ``src`` into the same relative

@@ -791,7 +791,22 @@ def table_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _EVENT_KEYS,
         delete_predicate=erased,
     )  # v2
-    return t.changes_between(1, 2, key_cols=_EVENT_KEYS)
+    ch = t.changes_between(1, 2, key_cols=_EVENT_KEYS)
+    # Close the produce->consume loop IN the gate (raising breaks the
+    # driver row): applying the feed to a replica of v1 must reproduce
+    # v2 exactly — apply_changes (the APPLY CHANGES INTO role) is the
+    # consumer of precisely this row shape.
+    replica = ManagedTable(
+        spark, tempfile.mkdtemp(prefix="cdk_cdf_replica_") + "/events_r"
+    )
+    replica.write(t.read(version=1))
+    replica.apply_changes(ch, _EVENT_KEYS)
+    v2, got = t.read(version=2), replica.read()
+    if got.exceptAll(v2).count() or v2.exceptAll(got).count():
+        raise AssertionError(
+            "apply_changes(replica@v1, changes_between(1,2)) != v2 read"
+        )
+    return ch
 
 
 _CDF_V2 = "CAST(2 AS INTEGER) AS _commit_version"

@@ -106,3 +106,68 @@ def test_bpe_segment_merge_bound(spark):
 
     with pytest.raises(ValueError, match="single-expression bound"):
         bpe_segment(F.lit("abc"), [("a", "b")] * 65)
+
+
+def _ref_bpe(word_freq: dict, k: int):
+    """Pure-Python reference BPE (Sennrich et al. alg. 1): overlapping
+    adjacent pair counts weighted by word freq, (count DESC, lhs, rhs)
+    tie-break, greedy left-to-right non-overlapping apply."""
+    from collections import Counter
+
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for step in range(1, k + 1):
+        counts = Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            return merges, True  # exhausted
+        (lhs, rhs), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, lhs, rhs, lhs + rhs, n))
+        new_vocab = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges, False
+
+
+def test_bpe_hypothesis_matches_python_reference(spark):
+    """Property: over random tiny corpora the Spark trainer emits the
+    exact merge table of the pure-Python reference — including under
+    heavy tie-breaking (2-letter alphabet maximizes ties) and greedy
+    overlap handling (runs like 'aaaa')."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=10)
+
+    @settings(max_examples=25, deadline=None)
+    @given(corpus)
+    def check(words):
+        from collections import Counter
+
+        freq = Counter(words)
+        ref, exhausted = _ref_bpe(dict(freq), 3)
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+        )
+        if exhausted:
+            with pytest.raises(ValueError, match="exhausted"):
+                bpe_train_merges(df, n_merges=3)
+            return
+        got = [tuple(r) for r in bpe_train_merges(df, n_merges=3).collect()]
+        assert got == ref
+
+    check()

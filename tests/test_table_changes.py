@@ -271,3 +271,61 @@ def test_gate_emits_all_four_change_types(spark):
     df = table_change_feed_events(spark, "/root/testdata/sf0.001")
     kinds = {r._change_type for r in df.select("_change_type").distinct().collect()}
     assert kinds == {"insert", "delete", "update_preimage", "update_postimage"}
+
+
+def test_apply_changes_roundtrips_to_v2(spark, tmp_path):
+    """apply_changes (the APPLY CHANGES INTO consumer) replays a
+    changes_between feed onto a v1 replica and reproduces v2 exactly —
+    inserts, updates, deletes, and the history op label."""
+    t = ManagedTable(spark, tmp_path / "src")
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, val double",
+        )
+    )
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(2, "B", 21.0), (4, "d", 40.0)],
+            "id long, name string, val double",
+        ),
+        ["id"],
+        delete_predicate=F.col("id") == 3,
+    )
+    feed = t.changes_between(1, 2, key_cols=["id"])
+    replica = ManagedTable(spark, tmp_path / "replica")
+    replica.write(t.read(version=1))
+    replica.apply_changes(feed, ["id"])
+    assert _rows(replica.read()) == _rows(t.read(version=2))
+    assert replica.history(limit=1)[0]["op"] == "apply_changes"
+
+
+def test_apply_changes_under_schema_evolution(spark, tmp_path):
+    """A feed from a schema-evolved diff carries v2's new column; the
+    replica evolves on apply, with pre-existing rows taking the same
+    NULLs the snapshot diff compared against."""
+    t = ManagedTable(spark, tmp_path / "src")
+    t.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    )
+    t.merge_upsert(
+        spark.createDataFrame(
+            [(2, "B", 2.5), (3, "c", 3.5)], "id long, name string, score double"
+        ),
+        ["id"],
+    )
+    feed = t.changes_between(1, 2, key_cols=["id"])
+    replica = ManagedTable(spark, tmp_path / "replica")
+    replica.write(t.read(version=1))
+    replica.apply_changes(feed, ["id"])
+    assert sorted(replica.read().columns) == sorted(t.read(version=2).columns)
+    assert _rows(replica.read().select("id", "name", "score")) == _rows(
+        t.read(version=2).select("id", "name", "score")
+    )
+
+
+def test_apply_changes_requires_feed_shape(spark, tmp_path):
+    t = ManagedTable(spark, tmp_path / "src")
+    t.write(spark.createDataFrame([(1, "a")], "id long, name string"))
+    with pytest.raises(ValueError, match="_change_type"):
+        t.apply_changes(t.read(), ["id"])
