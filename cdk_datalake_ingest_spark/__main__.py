@@ -13,7 +13,8 @@ Subcommands:
   validate [--sf-dir DIR]
       Run the data-quality expectation report for orders.
   table <path> {versions|history|restore V|clone TARGET|vacuum|
-                compact [N]|changes FROM [TO] [--keys k1,k2]}
+                compact [N]|changes FROM [TO] [--keys k1,k2]|
+                apply-changes SOURCE FROM [TO] --keys k1,k2}
       Versioned-table maintenance over a ManagedTable path: list
       snapshot versions, RESTORE to an earlier version, shallow-CLONE,
       vacuum superseded snapshots, bin-pack compact, or print the
@@ -69,13 +70,13 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "versions", "detail", "history", "restore", "clone", "vacuum",
-            "compact", "changes",
+            "compact", "changes", "apply-changes",
         ],
     )
     t.add_argument("args", nargs="*")
     t.add_argument(
         "--keys", default=None,
-        help="comma-separated key columns for `changes` (keyed CDF)",
+        help="comma-separated key columns for `changes` / `apply-changes`",
     )
     t.add_argument("--keep", type=int, default=1, help="vacuum keep count")
     t.add_argument("--limit", type=int, default=None)
@@ -119,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
                 "restore": (1, "table <path> restore <version>"),
                 "clone": (1, "table <path> clone <dest>"),
                 "changes": (1, "table <path> changes <from> [to]"),
+                "apply-changes": (
+                    2,
+                    "table <path> apply-changes <source_path> <from> [to] "
+                    "--keys k1,k2",
+                ),
             }
             need = _USAGE.get(a.action)
             if need is not None and len(a.args) < need[0]:
@@ -148,6 +154,21 @@ def main(argv: list[str] | None = None) -> int:
                 to = int(a.args[1]) if len(a.args) > 1 else None
                 keys = a.keys.split(",") if a.keys else None
                 _emit(tbl.changes_between(frm, to, key_cols=keys), a.limit)
+            elif a.action == "apply-changes":
+                # consume another table's keyed change feed into <path>
+                if not a.keys:
+                    print(
+                        "apply-changes needs --keys (the merge keys the "
+                        "feed was classified by)", file=sys.stderr,
+                    )
+                    return 1
+                src_tbl = ManagedTable(spark, a.args[0])
+                frm = int(a.args[1])
+                to = int(a.args[2]) if len(a.args) > 2 else None
+                keys = a.keys.split(",")
+                feed = src_tbl.changes_between(frm, to, key_cols=keys)
+                tbl.apply_changes(feed, keys)
+                print(json.dumps({"version": tbl.versions()[-1]}))
         elif a.cmd == "validate":
             from cdk_datalake_ingest_spark.queries import dq_validate_orders
 

@@ -922,7 +922,7 @@ class ManagedTable:
         ct = F.col("_change_type")
         meta = [c for c in ("_change_type", "_commit_version")
                 if c in changes.columns]
-        if not meta:
+        if "_change_type" not in changes.columns:
             raise ValueError(
                 "apply_changes: feed has no _change_type column — expected "
                 "the changes_between output shape"
@@ -930,6 +930,24 @@ class ManagedTable:
         ups = changes.filter(
             ct.isin("insert", "update_postimage")
         ).drop(*meta)
+        if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            dt = DeltaTable.forPath(self.spark, str(self.path))
+            cond = " AND ".join(f"old.{k}=new.{k}" for k in key_cols)
+            dels = changes.filter(ct == "delete").select(*key_cols)
+            (
+                dt.alias("old")
+                .merge(dels.alias("new"), cond)
+                .whenMatchedDelete()
+                .execute()
+            )
+            (
+                dt.alias("old")
+                .merge(ups.alias("new"), cond)
+                .whenMatchedUpdateAll()
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+            return
         touched = changes.filter(
             ct.isin("insert", "update_postimage", "delete")
         ).select(*key_cols).distinct()

@@ -361,3 +361,51 @@ def test_clone_sees_consistent_snapshot_under_concurrent_merge(spark, tmp_path):
     assert ids == set(range(10)), "clone must be exactly the pinned v1"
     src_ids = {r["id"] for r in ManagedTable(spark, path).read().collect()}
     assert src_ids == set(range(10)) | set(range(100, 105))
+
+
+def test_apply_changes_detects_interleaved_commit(spark, tmp_path):
+    """apply_changes is a read->transform->write cycle like merge: a
+    commit landing between its snapshot pin and its write must lose the
+    CAS (ConcurrentWriteError), never silently erase the interleaved
+    writer's rows."""
+    src = ManagedTable(spark, tmp_path / "ac_src")
+    src.write(
+        spark.range(10).withColumn("val", F.lit(0).cast("long"))
+    )
+    src.merge_upsert(
+        spark.range(5, 12).withColumn("val", F.lit(1).cast("long")),
+        keys=["id"],
+    )
+    feed = src.changes_between(1, 2, key_cols=["id"])
+
+    rep = ManagedTable(spark, tmp_path / "ac_rep")
+    rep.write(src.read(version=1))
+
+    # monkeypatch the pin to land a concurrent commit between the
+    # replica's snapshot read and its CAS write
+    orig_pin = ManagedTable._pinned_snapshot
+
+    def racing_pin(self):
+        m, df = orig_pin(self)
+        if self.path == rep.path and not getattr(racing_pin, "fired", False):
+            racing_pin.fired = True
+            interloper = ManagedTable(spark, rep.path)
+            interloper.merge_upsert(
+                spark.createDataFrame(
+                    [(99, 9)], "id long, val long"
+                ),
+                keys=["id"],
+            )
+        return m, df
+
+    ManagedTable._pinned_snapshot = racing_pin
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            rep.apply_changes(feed, ["id"])
+    finally:
+        ManagedTable._pinned_snapshot = orig_pin
+    # the interleaved writer's row survived; retry from a fresh read wins
+    assert {r["id"] for r in rep.read().collect()} >= {99}
+    rep.apply_changes(feed, ["id"])
+    got = {(r["id"], r["val"]) for r in rep.read().collect()}
+    assert (99, 9) in got and (5, 1) in got and (11, 1) in got

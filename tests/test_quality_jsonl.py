@@ -265,3 +265,50 @@ def test_cli_table_missing_args_clean_usage(spark, tmp_path):
             rc = main(["table", p, action])
         assert rc == 1, action
         assert err.getvalue().startswith("usage: table <path> "), action
+
+
+def test_cli_apply_changes_replicates(spark, tmp_path):
+    """`table <replica> apply-changes <source> FROM [TO] --keys ...`
+    consumes the source's keyed change feed into the replica — the CDC
+    fan-out workflow, scriptable end to end."""
+    import contextlib
+    import io
+    import json as _json
+
+    from cdk_datalake_ingest_spark.__main__ import main
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    src_p = str(tmp_path / "cli_src")
+    rep_p = str(tmp_path / "cli_rep")
+    src = ManagedTable(spark, src_p)
+    src.write(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    )
+    rep = ManagedTable(spark, rep_p)
+    rep.write(src.read(version=1))
+    src.merge_upsert(
+        spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string"),
+        ["id"],
+    )
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            ["table", rep_p, "apply-changes", src_p, "1", "2", "--keys", "id"]
+        )
+    assert rc == 0 and _json.loads(buf.getvalue())["version"] == 2
+    got = sorted(tuple(r) for r in ManagedTable(spark, rep_p).read().collect())
+    want = sorted(tuple(r) for r in src.read(version=2).collect())
+    assert got == want
+
+    # missing --keys -> clean message, exit 1
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = main(["table", rep_p, "apply-changes", src_p, "1", "2"])
+    assert rc == 1 and "--keys" in err.getvalue()
+
+    # missing positionals -> usage line, exit 1
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        rc = main(["table", rep_p, "apply-changes", src_p])
+    assert rc == 1 and err.getvalue().startswith("usage: table <path> ")
