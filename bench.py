@@ -7,12 +7,16 @@ Each query is forced end-to-end with a noop write (full computation,
 no driver-side result materialization cost).
 
 Each query runs REPEATS times (default 3) and reports the MEDIAN of
-the post-warmup runs (run 0 pays JIT/codegen/footer costs worth
-~1.5-2x and is recorded separately in the detail file's first_run
-map): round 8 measured a per-query noise floor of 1.4-1.7x between
-same-code runs, against which min-of-2 is under-powered — the median
-of 2 warm repeats is the round-9 evidence-pipeline fix (r8 verdict
-task #1). Set SPARK_GRAFT_BENCH_REPEATS=1 for single-shot.
+ALL repeats — with 3 repeats that is the middle value, which in the
+normal case (run 0 slowest, paying JIT/codegen/footer costs worth
+~1.5-2x) lands on the slower of the two warm runs. Round 8 measured a
+per-query noise floor of 1.4-1.7x between same-code runs, against
+which min-of-2 was under-powered; the median is robust to one outlier
+in EITHER direction (the round-9 evidence-pipeline fix, r8 verdict
+task #1). Run 0's cold time is recorded separately in the detail
+file's first_run map, and every raw repeat lands in its "runs" map so
+any other statistic is recomputable from the committed artifact. Set
+SPARK_GRAFT_BENCH_REPEATS=1 for single-shot.
 """
 
 from __future__ import annotations

@@ -554,13 +554,8 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # symbolize: 'hello' -> 'h e l l o' (single-space separated)
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length("w")),
-        lambda i: F.substring(F.col("w"), i, F.lit(1)),
-    )
     vocab = words.select(
-        F.array_join(chars, " ").alias("sym"), "freq"
+        _bpe_sym_chars(F.col("w")).alias("sym"), "freq"
     ).localCheckpoint(eager=False)
     merges = []
     for step in range(1, n_merges + 1):
@@ -590,25 +585,47 @@ def bpe_train_merges(
             )
         lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["n_pairs"])
         merges.append((step, lhs, rhs, lhs + rhs, cnt))
-        # greedy left-to-right apply via the double-space invariant
-        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
-        applied = F.expr(
-            "trim(replace(replace("
-            f"' ' || replace(sym, ' ', '  ') || ' ', {_sql_str(pat)}, "
-            f"{_sql_str(rep)}), '  ', ' '))"
-        )
-        vocab = vocab.select(applied.alias("sym"), "freq").localCheckpoint(
-            eager=False
-        )
+        vocab = vocab.select(
+            _bpe_apply_merge(F.col("sym"), lhs, rhs).alias("sym"), "freq"
+        ).localCheckpoint(eager=False)
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, n_pairs bigint"
     )
 
 
-def _sql_str(s: str) -> str:
-    """SQL string literal (merge symbols are [a-z]+, but quote anyway)."""
-    return "'" + s.replace("'", "''") + "'"
+def _bpe_sym_chars(col) -> "F.Column":
+    """Space-joined character symbolization ('hello' -> 'h e l l o') —
+    the ONE symbolize used by both trainer and applier: train/apply
+    agreement is byte-level, so the construction must never fork."""
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.substring(col, i, F.lit(1)),
+        ),
+        " ",
+    )
+
+
+def _bpe_apply_merge(sym, lhs: str, rhs: str) -> "F.Column":
+    """ONE greedy left-to-right application of merge (lhs, rhs) to a
+    single-space symbol string, via the double-space invariant: in
+    ' l  r ' form every token is independently space-delimited, so a
+    plain non-overlapping replace can neither match a token suffix nor
+    share a delimiter between consecutive occurrences ('a a a' ->
+    'aa a', exactly the reference greedy pass). Shared by trainer and
+    applier — the replay contract lives in one place."""
+    pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
+    doubled = F.concat(
+        F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" ")
+    )
+    return F.trim(
+        F.replace(
+            F.replace(doubled, F.lit(pat), F.lit(rep)),
+            F.lit("  "),
+            F.lit(" "),
+        )
+    )
 
 
 #: expression-depth bound for bpe_segment: each merge adds 3 nested
@@ -638,21 +655,7 @@ def bpe_segment(col, merges) -> "F.Column":
             "in stages (materialize between chunks of merges) to keep "
             "the Catalyst expression tree shallow"
         )
-    chars = F.transform(
-        F.sequence(F.lit(1), F.length(col)),
-        lambda i: F.substring(col, i, F.lit(1)),
-    )
-    sym = F.array_join(chars, " ")
+    sym = _bpe_sym_chars(col)
     for lhs, rhs in merges:
-        pat, rep = f" {lhs}  {rhs} ", f" {lhs}{rhs} "
-        doubled = F.concat(
-            F.lit(" "), F.replace(sym, F.lit(" "), F.lit("  ")), F.lit(" ")
-        )
-        sym = F.trim(
-            F.replace(
-                F.replace(doubled, F.lit(pat), F.lit(rep)),
-                F.lit("  "),
-                F.lit(" "),
-            )
-        )
+        sym = _bpe_apply_merge(sym, lhs, rhs)
     return F.split(sym, " ")

@@ -312,20 +312,23 @@ class ManagedTable:
                 .collect()[0]
                 .asDict()
             )
-            n_commits = (
-                self.spark.sql(f"DESCRIBE HISTORY delta.`{self.path}`").count()
-            )
+            hist = self.spark.sql(
+                f"DESCRIBE HISTORY delta.`{self.path}`"
+            ).agg(F.max("version"), F.count(F.lit(1))).collect()[0]
             return {
                 "format": row.get("format", "delta"),
                 "location": row.get("location", str(self.path)),
-                # DESCRIBE DETAIL has no version column; latest commit
-                # version == history length - 1 (versions start at 0).
-                "version": n_commits - 1,
+                # DESCRIBE DETAIL has no version column; take the MAX
+                # history version, NOT count-1 — log retention cleans
+                # old entries, so the count undercounts on aged tables.
+                "version": int(hist[0]),
                 "data_dir": ".",
                 "partition_by": list(row.get("partitionColumns") or []),
                 "num_files": int(row.get("numFiles") or 0),
                 "size_bytes": int(row.get("sizeInBytes") or 0),
-                "num_snapshots": n_commits,
+                # commit entries still in the (retention-pruned) log —
+                # the closest Delta analogue of on-disk snapshot count
+                "num_snapshots": int(hist[1]),
                 "delta_detail": row,
             }
         m = self._read_manifest()
@@ -931,6 +934,14 @@ class ManagedTable:
             ct.isin("insert", "update_postimage")
         ).drop(*meta)
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
+            # Delta-branch caveats (env-gated, untestable offline):
+            # (1) the feed applies as TWO commits (delete-merge, then
+            # upsert-merge) — a failure between them leaves a
+            # half-applied feed and readers can observe the
+            # intermediate version, unlike the single CAS write of the
+            # parquet path; (2) schema-evolved feeds need merge schema
+            # evolution — withSchemaEvolution() where the Delta
+            # version has it, else the session autoMerge conf.
             dt = DeltaTable.forPath(self.spark, str(self.path))
             cond = " AND ".join(f"old.{k}=new.{k}" for k in key_cols)
             dels = changes.filter(ct == "delete").select(*key_cols)
@@ -940,10 +951,11 @@ class ManagedTable:
                 .whenMatchedDelete()
                 .execute()
             )
+            mb = dt.alias("old").merge(ups.alias("new"), cond)
+            if hasattr(mb, "withSchemaEvolution"):  # Delta >= 3.2
+                mb = mb.withSchemaEvolution()
             (
-                dt.alias("old")
-                .merge(ups.alias("new"), cond)
-                .whenMatchedUpdateAll()
+                mb.whenMatchedUpdateAll()
                 .whenNotMatchedInsertAll()
                 .execute()
             )

@@ -1298,6 +1298,35 @@ def _memo_staging(key: tuple, build) -> str:
     return _STAGING_MEMO[key]
 
 
+def _stage_time_ordered_drop(slices, tmp_prefix: str, files_per_drop: int) -> str:
+    """Stage ``slices`` (a list of DataFrames, one per intended
+    micro-batch) as a time-ordered multi-file drop directory: slice i
+    lands as ``files_per_drop`` parquet files named ``{i:03d}_{j}`` with
+    one pinned mtime per slice — the file source takes files in
+    modification-time order, so with ``maxFilesPerTrigger ==
+    files_per_drop`` each micro-batch consumes exactly one slice
+    regardless of filesystem timestamp granularity.  Shared by every
+    file-drop streaming gate (one copy of the landing-order invariant,
+    not three)."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tempfile
+
+    stage_tmp = _tempfile.mkdtemp(prefix=tmp_prefix)
+    drop_dir = f"{stage_tmp}/drop"
+    _os.makedirs(drop_dir)
+    for i, part in enumerate(slices):
+        stage_dir = f"{stage_tmp}/slice{i}"
+        part.repartition(files_per_drop).write.parquet(stage_dir)
+        for j, src_file in enumerate(
+            sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
+        ):
+            dst = f"{drop_dir}/{i:03d}_{j}.parquet"
+            _os.rename(src_file, dst)
+            _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    return drop_dir
+
+
 def _sessionize_gate(
     spark: SparkSession,
     sf_dir: str,
@@ -1315,8 +1344,6 @@ def _sessionize_gate(
     sweep closes them all; the sentinel's own session never closes and
     stays withheld, so it cannot appear in the output."""
     import datetime as _dt
-    import glob as _glob
-    import os as _os
     import tempfile
 
     from cdk_datalake_ingest_spark.streaming.events import run_available_now
@@ -1336,9 +1363,6 @@ def _sessionize_gate(
     _FILES_PER_DROP = 4
 
     def _build_drop() -> str:
-        stage_tmp = tempfile.mkdtemp(prefix=tmp_prefix)
-        drop_dir = f"{stage_tmp}/drop"
-        _os.makedirs(drop_dir)
         max_ts = ev.agg(F.max("ts")).first()[0]
         sentinel = spark.createDataFrame(
             [(-1, -1, max_ts + _dt.timedelta(days=2), 0.0)], schema=ev.schema
@@ -1350,20 +1374,15 @@ def _sessionize_gate(
             ),
             ev.filter(F.dayofmonth("ts") > 20).unionByName(sentinel),
         ]
-        for i, part in enumerate(slices):
-            stage_dir = f"{stage_tmp}/slice{i}"
-            part.repartition(_FILES_PER_DROP).write.parquet(stage_dir)
-            for j, src_file in enumerate(
-                sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
-            ):
-                dst = f"{drop_dir}/{i:03d}_{j}.parquet"
-                _os.rename(src_file, dst)
-                _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        return drop_dir
+        return _stage_time_ordered_drop(slices, tmp_prefix, _FILES_PER_DROP)
 
-    # the staged drop is a pure function of (fixture, cohort) — memoize
-    # it across repeats; out/cp below stay fresh per call
-    drop = _memo_staging(("sessionize", sf_dir, tmp_prefix), _build_drop)
+    # the staged drop is a pure function of (fixture, cohort) — the
+    # memo key carries the cohort filter's rendering, so a future
+    # caller reusing a prefix with a different filter can never be
+    # served the wrong cohort; out/cp below stay fresh per call
+    drop = _memo_staging(
+        ("sessionize", sf_dir, tmp_prefix, str(filter_expr)), _build_drop
+    )
     tmp = tempfile.mkdtemp(prefix=tmp_prefix + "run_")
 
     src = (
@@ -1493,8 +1512,6 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dedup pass (the documented two-tier contract in
     streaming/events.py:stream_dedup).
     """
-    import glob as _glob
-    import os as _os
     import tempfile
 
     from cdk_datalake_ingest_spark.streaming.events import (
@@ -1514,9 +1531,6 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     _FILES_PER_DROP = 4
 
     def _build_drop() -> str:
-        stage_tmp = tempfile.mkdtemp(prefix="cdk_stream_dedup_")
-        drop_dir = f"{stage_tmp}/drop"
-        _os.makedirs(drop_dir)
         slices = [
             ev.filter(F.dayofmonth("et") <= 10),
             ev.filter(
@@ -1524,16 +1538,9 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ev.filter(F.dayofmonth("et") > 20),
         ]
-        for i, part in enumerate(slices):
-            stage_dir = f"{stage_tmp}/slice{i}"
-            part.repartition(_FILES_PER_DROP).write.parquet(stage_dir)
-            for j, src_file in enumerate(
-                sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
-            ):
-                dst = f"{drop_dir}/{i:03d}_{j}.parquet"
-                _os.rename(src_file, dst)
-                _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        return drop_dir
+        return _stage_time_ordered_drop(
+            slices, "cdk_stream_dedup_", _FILES_PER_DROP
+        )
 
     # staged drop memoized across repeats (setup, not the stream);
     # out/cp stay fresh per call
@@ -2729,21 +2736,14 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").cast("decimal(18,6)").alias("value"),
     )
     import datetime as _dt
-    import glob as _glob
-    import os as _os
 
     _FILES_PER_DROP = 4  # parallel staging write; one drop = one batch
 
     def _build_drop() -> str:
-        stage_tmp = tempfile.mkdtemp(prefix="cdk_stream_gate_")
-        drop_dir = f"{stage_tmp}/drop"
-        _os.makedirs(drop_dir)
-        # Three time-ordered drop files (the scheduled-landing
+        # Three time-ordered drop slices (the scheduled-landing
         # cadence), the last carrying the sentinel (bounded 1-row max
         # probe): once it is processed the watermark passes every real
-        # window's end. The file source takes files in
-        # modification-time order, so the writes below replay in
-        # landing order.
+        # window's end.
         max_et = ev.agg(F.max("et")).first()[0]
         sentinel = spark.createDataFrame(
             [(max_et + _dt.timedelta(days=1), "__sentinel__", None)],
@@ -2756,20 +2756,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ev.filter(F.dayofmonth("et") > 20).unionByName(sentinel),
         ]
-        for i, part in enumerate(slices):
-            stage_dir = f"{stage_tmp}/slice{i}"
-            part.repartition(_FILES_PER_DROP).write.parquet(stage_dir)
-            for j, src_file in enumerate(
-                sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
-            ):
-                dst = f"{drop_dir}/{i:03d}_{j}.parquet"
-                _os.rename(src_file, dst)
-                # pin strictly increasing mtimes per slice — landing
-                # order must not depend on filesystem timestamp
-                # granularity (all of a slice's files share one mtime,
-                # so each micro-batch takes exactly one slice)
-                _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-        return drop_dir
+        return _stage_time_ordered_drop(
+            slices, "cdk_stream_gate_", _FILES_PER_DROP
+        )
 
     # staged drop memoized across repeats (setup, not the stream);
     # out/cp stay fresh per call
