@@ -628,11 +628,14 @@ def _bpe_apply_merge(sym, lhs: str, rhs: str) -> "F.Column":
     )
 
 
-#: expression-depth bound for bpe_segment: each merge adds 3 nested
-#: replace() calls to the Column tree, and very deep unrolled
-#: expressions degrade Catalyst analysis superlinearly — beyond this,
-#: tokenize in stages (apply 64 merges, materialize, apply the next 64)
-BPE_SEGMENT_MAX_MERGES = 64
+#: expression-depth bound for a single unrolled merge chain: each merge
+#: adds ~6 nested Column nodes (3 replaces + concat/trim), and the JVM
+#: Column->expression conversion STACK-OVERFLOWS past ~60 merges when
+#: the chain sits inside a `transform` lambda (measured on Spark 4.1:
+#: 60 ok, 64 StackOverflowError).  32 leaves headroom for surrounding
+#: expression context; longer models go through the staged
+#: :func:`bpe_tokenize`, which checkpoints between chunks.
+BPE_SEGMENT_MAX_MERGES = 32
 
 
 def bpe_segment(col, merges) -> "F.Column":
@@ -659,3 +662,69 @@ def bpe_segment(col, merges) -> "F.Column":
     for lhs, rhs in merges:
         sym = _bpe_apply_merge(sym, lhs, rhs)
     return F.split(sym, " ")
+
+
+def bpe_tokenize(
+    docs: DataFrame,
+    merges,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Corpus-scale BPE tokenization: apply a learned merge list (any
+    length) to every word of the normalized text, appending ``out_col``
+    as ``array<string>`` of BPE symbols in document order.
+
+    Applies merges in :data:`BPE_SEGMENT_MAX_MERGES`-sized stages with
+    a lazy ``localCheckpoint`` between stages, so arbitrarily long
+    merge lists never build an unboundedly deep Catalyst expression
+    tree (the failure mode the :func:`bpe_segment` bound raises on).
+    Within a stage everything is a whole-stage-codegen'd Column
+    program over a ``transform`` of the word array — tokenization
+    stays a pure per-row map: no UDF, no shuffle, no join, which at
+    100 TB means it pipelines with the scan and the downstream write.
+
+    Words are the same lowercase letters-only vocabulary the trainer
+    counts; tokens outside it (digits, punctuation-bearing) pass
+    through as single unsegmented symbols, so the output always
+    concatenates back to the normalized text's tokens."""
+    merges = list(merges)
+    out = docs.withColumn("__toks", tokens(F.lower(F.col(text_col))))
+    first = True
+    while merges or first:
+        chunk, merges = (
+            merges[:BPE_SEGMENT_MAX_MERGES],
+            merges[BPE_SEGMENT_MAX_MERGES:],
+        )
+
+        def stage(word_sym, pairs=chunk):
+            for lhs, rhs in pairs:
+                word_sym = _bpe_apply_merge(word_sym, lhs, rhs)
+            return word_sym
+
+        if first:
+            # symbolize trainable words once; non-vocabulary tokens
+            # (digits, punctuation-bearing) pass through verbatim as
+            # one unsegmented symbol
+            out = out.withColumn(
+                "__syms",
+                F.transform(
+                    F.col("__toks"),
+                    lambda w: stage(
+                        F.when(
+                            w.rlike("^[a-z]+$"), _bpe_sym_chars(w)
+                        ).otherwise(w)
+                    ),
+                ),
+            )
+            first = False
+        else:
+            out = out.withColumn(
+                "__syms",
+                F.transform(F.col("__syms"), lambda s: stage(s)),
+            )
+        if merges:
+            out = out.localCheckpoint(eager=False)
+    return out.withColumn(
+        out_col,
+        F.flatten(F.transform(F.col("__syms"), lambda s: F.split(s, " "))),
+    ).drop("__toks", "__syms")

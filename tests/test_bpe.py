@@ -102,10 +102,23 @@ def test_bpe_segment_replays_training(spark):
 def test_bpe_segment_merge_bound(spark):
     from pyspark.sql import functions as F
 
-    from cdk_datalake_ingest_spark.operators.corpus import bpe_segment
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        BPE_SEGMENT_MAX_MERGES,
+        bpe_segment,
+    )
 
     with pytest.raises(ValueError, match="single-expression bound"):
-        bpe_segment(F.lit("abc"), [("a", "b")] * 65)
+        bpe_segment(F.lit("abc"), [("a", "b")] * (BPE_SEGMENT_MAX_MERGES + 1))
+    # the bound itself must be BUILDABLE and runnable inside a
+    # transform-like context — a bound above the JVM conversion
+    # stack ceiling would raise nothing here and StackOverflow in
+    # bpe_tokenize instead (measured ceiling ~60-64 on Spark 4.1)
+    df = spark.createDataFrame([("abc",)], "w string")
+    seg = bpe_segment(
+        F.col("w"),
+        [(f"q{i}", f"z{i}") for i in range(BPE_SEGMENT_MAX_MERGES)],
+    )
+    assert df.select(seg.alias("s")).collect()[0]["s"] == ["a", "b", "c"]
 
 
 def _ref_bpe(word_freq: dict, k: int):
@@ -171,3 +184,44 @@ def test_bpe_hypothesis_matches_python_reference(spark):
         assert got == ref
 
     check()
+
+
+def test_bpe_tokenize_corpus_and_staging(spark):
+    """bpe_tokenize applies the learned model over whole documents —
+    per-word segmentation matches bpe_segment, non-vocabulary tokens
+    pass through unsegmented, and a merge list LONGER than the
+    single-expression bound works via staged application with
+    identical results."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        BPE_SEGMENT_MAX_MERGES,
+        bpe_tokenize,
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest 42 x-y")],
+        "doc_id long, text string",
+    )
+    table = bpe_train_merges(df, n_merges=4).collect()
+    merges = [(r["lhs"], r["rhs"]) for r in table]
+    got = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_tokenize(df, merges).collect()
+    }
+    assert got[1] == ["low", "low", "low", "low", "e", "r"]
+    # '42' and 'x-y' are outside the letters-only vocabulary: verbatim
+    assert got[2] == ["n", "ew", "es", "t", "n", "ew", "es", "t", "42", "x-y"]
+
+    # staged application: pad the model past the bound with no-op
+    # merges (symbols that never occur); results must be identical
+    padded = merges + [
+        (f"q{i}", f"z{i}") for i in range(BPE_SEGMENT_MAX_MERGES)
+    ]
+    assert len(padded) > BPE_SEGMENT_MAX_MERGES
+    got2 = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_tokenize(df, padded).collect()
+    }
+    assert got2 == got
