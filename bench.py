@@ -109,9 +109,10 @@ def main() -> None:
 
     # Full per-query detail always lands in a file the judge can read.
     # first_run records the COLD time of each query (detail file only):
-    # min-of-repeats deliberately reports steady state, and for queries
-    # that memoize driver-side state (the k-means quantizer caches) the
-    # cold column is where any one-time training cost remains visible.
+    # the reported median damps run 0's JIT/footer warmup, and for
+    # queries that memoize driver-side state (the k-means quantizer
+    # caches, the staged streaming drops) the cold column is where the
+    # one-time setup cost remains visible.
     # `runs` carries every raw repeat in execution order, so ANY
     # statistic (median, min, min-of-first-2 for same-methodology
     # comparison with rounds <=8) is recomputable from the committed

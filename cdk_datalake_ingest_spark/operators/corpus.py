@@ -642,9 +642,10 @@ def bpe_segment(col, merges) -> "F.Column":
     """``array<string>`` BPE segmentation of a single lowercase word
     column under a learned merge list — the APPLY side of
     :func:`bpe_train_merges`, replaying the same greedy double-spaced
-    replaces in training order as one whole-stage-codegen'd Column
-    expression (no UDF, no shuffle: tokenizing a 100 TB corpus is a
-    pure map).
+    replaces in training order as one Column expression (no UDF, no
+    shuffle: tokenizing a 100 TB corpus is a pure map; when embedded
+    in a ``transform`` lambda the chain is interpreted per element —
+    see :func:`bpe_tokenize` for the cost note).
 
     ``merges`` is ``[(lhs, rhs), ...]`` in training order (e.g.
     ``[(r["lhs"], r["rhs"]) for r in merge_table.collect()]`` — the
@@ -678,10 +679,15 @@ def bpe_tokenize(
     a lazy ``localCheckpoint`` between stages, so arbitrarily long
     merge lists never build an unboundedly deep Catalyst expression
     tree (the failure mode the :func:`bpe_segment` bound raises on).
-    Within a stage everything is a whole-stage-codegen'd Column
-    program over a ``transform`` of the word array — tokenization
-    stays a pure per-row map: no UDF, no shuffle, no join, which at
-    100 TB means it pipelines with the scan and the downstream write.
+    Tokenization stays a pure per-row map — no UDF, no shuffle, no
+    join — so it pipelines with the scan and the downstream write.
+    Cost honesty: the per-word merge chain runs inside a ``transform``
+    lambda, which Spark INTERPRETS per element (HOF lambdas are never
+    whole-stage-codegen'd) — ~6 expression nodes per merge per word.
+    That is fine for tokenization (each word pays the chain once per
+    stage); if a profile ever shows this pass dominating, the Arrow-
+    kernel escape hatch used by the k-means assignment is the
+    template.
 
     Words are the same lowercase letters-only vocabulary the trainer
     counts; tokens outside it (digits, punctuation-bearing) pass
@@ -715,7 +721,8 @@ def bpe_tokenize(
                         ).otherwise(w)
                     ),
                 ),
-            )
+            ).drop("__toks")  # dead after this stage: do not carry the
+            # word array through every inter-stage checkpoint
             first = False
         else:
             out = out.withColumn(
@@ -727,4 +734,4 @@ def bpe_tokenize(
     return out.withColumn(
         out_col,
         F.flatten(F.transform(F.col("__syms"), lambda s: F.split(s, " "))),
-    ).drop("__toks", "__syms")
+    ).drop("__syms")

@@ -939,9 +939,9 @@ class ManagedTable:
             # upsert-merge) — a failure between them leaves a
             # half-applied feed and readers can observe the
             # intermediate version, unlike the single CAS write of the
-            # parquet path; (2) schema-evolved feeds need merge schema
-            # evolution — withSchemaEvolution() where the Delta
-            # version has it, else the session autoMerge conf.
+            # parquet path; (2) schema-evolved feeds get merge schema
+            # evolution via withSchemaEvolution() (Delta >= 3.2) or the
+            # session autoMerge conf set/restored around the merge.
             dt = DeltaTable.forPath(self.spark, str(self.path))
             cond = " AND ".join(f"old.{k}=new.{k}" for k in key_cols)
             dels = changes.filter(ct == "delete").select(*key_cols)
@@ -953,12 +953,20 @@ class ManagedTable:
             )
             mb = dt.alias("old").merge(ups.alias("new"), cond)
             if hasattr(mb, "withSchemaEvolution"):  # Delta >= 3.2
-                mb = mb.withSchemaEvolution()
-            (
-                mb.whenMatchedUpdateAll()
-                .whenNotMatchedInsertAll()
-                .execute()
-            )
+                mb.withSchemaEvolution().whenMatchedUpdateAll(
+                ).whenNotMatchedInsertAll().execute()
+            else:  # older Delta: session autoMerge conf around the merge
+                conf_key = "spark.databricks.delta.schema.autoMerge.enabled"
+                prev = self.spark.conf.get(conf_key, None)
+                self.spark.conf.set(conf_key, "true")
+                try:
+                    mb.whenMatchedUpdateAll(
+                    ).whenNotMatchedInsertAll().execute()
+                finally:
+                    if prev is None:
+                        self.spark.conf.unset(conf_key)
+                    else:
+                        self.spark.conf.set(conf_key, prev)
             return
         touched = changes.filter(
             ct.isin("insert", "update_postimage", "delete")

@@ -2703,8 +2703,9 @@ GROUP BY o_orderstatus
 
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver gate: events staged as a
-    time-ordered multi-file drop → file-source stream (one file per
-    micro-batch) → watermarked hourly windowed counts
+    time-ordered multi-file drop → file-source stream (one SLICE of
+    _FILES_PER_DROP files per micro-batch — see
+    _stage_time_ordered_drop) → watermarked hourly windowed counts
     (streaming/events.py:windowed_event_counts) → availableNow drain
     into parquet → read the sink back.
 

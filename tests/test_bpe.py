@@ -109,16 +109,27 @@ def test_bpe_segment_merge_bound(spark):
 
     with pytest.raises(ValueError, match="single-expression bound"):
         bpe_segment(F.lit("abc"), [("a", "b")] * (BPE_SEGMENT_MAX_MERGES + 1))
-    # the bound itself must be BUILDABLE and runnable inside a
-    # transform-like context — a bound above the JVM conversion
-    # stack ceiling would raise nothing here and StackOverflow in
-    # bpe_tokenize instead (measured ceiling ~60-64 on Spark 4.1)
-    df = spark.createDataFrame([("abc",)], "w string")
-    seg = bpe_segment(
-        F.col("w"),
-        [(f"q{i}", f"z{i}") for i in range(BPE_SEGMENT_MAX_MERGES)],
+    # the bound itself must be BUILDABLE and runnable INSIDE a
+    # transform lambda — the measured JVM Column-conversion
+    # StackOverflow (60 ok / 64 overflow on Spark 4.1) only triggers
+    # there, so a bound above the ceiling would pass a flat-column
+    # check and then blow up in bpe_tokenize's staged transform
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        _bpe_apply_merge,
+        _bpe_sym_chars,
     )
-    assert df.select(seg.alias("s")).collect()[0]["s"] == ["a", "b", "c"]
+
+    def chain(w):
+        s = _bpe_sym_chars(w)
+        for i in range(BPE_SEGMENT_MAX_MERGES):
+            s = _bpe_apply_merge(s, f"q{i}", f"z{i}")
+        return F.split(s, " ")
+
+    df = spark.createDataFrame([(["abc"],)], "ws array<string>")
+    got = df.select(
+        F.transform(F.col("ws"), chain).alias("s")
+    ).collect()[0]["s"]
+    assert list(got[0]) == ["a", "b", "c"]
 
 
 def _ref_bpe(word_freq: dict, k: int):
