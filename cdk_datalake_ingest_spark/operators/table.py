@@ -36,6 +36,7 @@ implementations corrupt data).
 from __future__ import annotations
 
 import datetime as _dt
+import functools
 import json
 import os
 import shutil
@@ -943,7 +944,10 @@ class ManagedTable:
             # evolution via withSchemaEvolution() (Delta >= 3.2) or the
             # session autoMerge conf set/restored around the merge.
             dt = DeltaTable.forPath(self.spark, str(self.path))
-            cond = " AND ".join(f"old.{k}=new.{k}" for k in key_cols)
+            # <=> (null-safe equality), matching changes_between's
+            # eqNullSafe classification: NULL is a legitimate key value
+            # and a delete/update for a NULL-keyed row must match it.
+            cond = " AND ".join(f"old.{k}<=>new.{k}" for k in key_cols)
             dels = changes.filter(ct == "delete").select(*key_cols)
             (
                 dt.alias("old")
@@ -972,7 +976,21 @@ class ManagedTable:
             ct.isin("insert", "update_postimage", "delete")
         ).select(*key_cols).distinct()
         m, target = self._pinned_snapshot()
-        kept = target.join(touched, key_cols, "left_anti")
+        # null-safe anti-join conditions, mirroring changes_between's
+        # eqNullSafe classification: a name-list anti-join would never
+        # match a NULL key, leaving the stale preimage row in the
+        # replica next to the applied postimage.
+        anti = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__t.{k}").eqNullSafe(F.col(f"__c.{k}"))
+                for k in key_cols
+            ],
+        )
+        kept = (
+            target.alias("__t")
+            .join(touched.alias("__c"), anti, "left_anti")
+        )
         # allowMissingColumns: a feed from a schema-evolved diff carries
         # v_to's new columns; pre-existing kept rows take NULLs — the
         # same null-compare semantics changes_between classified with

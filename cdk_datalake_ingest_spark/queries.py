@@ -6555,7 +6555,7 @@ WHERE r_name = 'AMERICA'
 #      THREE rounds (strict FIFO rotation: the stalest entries lead
 #      each round's window, after the entries whose code changed);
 #   2. the FULL registry runs against the DuckDB oracle at sf0.01
-#      locally EVERY round (tools/local_parity.py ->
+#      locally EVERY round (tools/check_parity.py ->
 #      PARITY_LOCAL_r{N}.json, committed) - so "driver-stale" never
 #      means "unchecked", it means "externally re-attested within 3
 #      rounds, locally re-attested this round";

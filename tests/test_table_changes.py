@@ -324,6 +324,43 @@ def test_apply_changes_under_schema_evolution(spark, tmp_path):
     )
 
 
+def test_apply_changes_null_keyed_rows(spark, tmp_path):
+    """NULL is a legitimate key value: an update/delete for a
+    NULL-keyed row must evict the stale preimage (eqNullSafe
+    anti-join, matching changes_between's classification).  A
+    name-list anti-join never matches NULL keys and leaves both
+    (None, 'a') and (None, 'A') in the replica — the ADVICE r9
+    repro."""
+    t2 = ManagedTable(spark, tmp_path / "src2")
+    t2.write(
+        spark.createDataFrame(
+            [(None, "a"), (1, "x")], "id long, name string"
+        )
+    )
+    t2.write(
+        spark.createDataFrame(
+            [(None, "A"), (1, "x")], "id long, name string"
+        )
+    )
+    feed = t2.changes_between(1, 2, key_cols=["id"])
+    replica = ManagedTable(spark, tmp_path / "replica")
+    replica.write(t2.read(version=1))
+    replica.apply_changes(feed, ["id"])
+    got = {(r["id"], r["name"]) for r in replica.read().collect()}
+    assert got == {(1, "x"), (None, "A")}
+    assert replica.read().count() == 2  # stale (None,'a') evicted
+    # exact v2 equality both directions
+    assert replica.read().exceptAll(t2.read(version=2)).count() == 0
+    assert t2.read(version=2).exceptAll(replica.read()).count() == 0
+    # and a NULL-keyed delete
+    t2.write(
+        spark.createDataFrame([(1, "x")], "id long, name string")
+    )
+    feed2 = t2.changes_between(2, 3, key_cols=["id"])
+    replica.apply_changes(feed2, ["id"])
+    assert [tuple(r) for r in replica.read().collect()] == [(1, "x")]
+
+
 def test_apply_changes_requires_feed_shape(spark, tmp_path):
     t = ManagedTable(spark, tmp_path / "src")
     t.write(spark.createDataFrame([(1, "a")], "id long, name string"))
