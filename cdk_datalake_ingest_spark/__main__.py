@@ -123,7 +123,11 @@ def main(argv: list[str] | None = None) -> int:
                 "apply-changes": (
                     2,
                     "table <path> apply-changes <source_path> <from> [to] "
-                    "--keys k1,k2",
+                    "--keys k1,k2  (note: on a real Delta target the "
+                    "feed applies as TWO commits — delete-merge, then "
+                    "upsert-merge — so readers can observe the "
+                    "intermediate version; the versioned-parquet "
+                    "target applies it as one CAS snapshot write)",
                 ),
             }
             need = _USAGE.get(a.action)

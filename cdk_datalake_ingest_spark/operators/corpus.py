@@ -670,68 +670,149 @@ def bpe_tokenize(
     merges,
     text_col: str = "text",
     out_col: str = "bpe_tokens",
+    id_col: str = "doc_id",
+    mode: str = "auto",
 ) -> DataFrame:
     """Corpus-scale BPE tokenization: apply a learned merge list (any
     length) to every word of the normalized text, appending ``out_col``
     as ``array<string>`` of BPE symbols in document order.
 
-    Applies merges in :data:`BPE_SEGMENT_MAX_MERGES`-sized stages with
-    a lazy ``localCheckpoint`` between stages, so arbitrarily long
-    merge lists never build an unboundedly deep Catalyst expression
-    tree (the failure mode the :func:`bpe_segment` bound raises on).
-    Tokenization stays a pure per-row map — no UDF, no shuffle, no
-    join — so it pipelines with the scan and the downstream write.
-    Cost honesty: the per-word merge chain runs inside a ``transform``
-    lambda, which Spark INTERPRETS per element (HOF lambdas are never
-    whole-stage-codegen'd) — ~6 expression nodes per merge per word.
-    That is fine for tokenization (each word pays the chain once per
-    stage); if a profile ever shows this pass dominating, the Arrow-
-    kernel escape hatch used by the k-means assignment is the
-    template.
+    Two execution paths, dispatched on model size (``mode="auto"``, the
+    ``streaming/sessionize.py`` dispatch convention):
+
+    ``inline`` (``len(merges) <= BPE_SEGMENT_MAX_MERGES``) — one pure
+    per-row map: the :func:`bpe_segment` chain runs inside a
+    ``transform`` lambda.  No shuffle, no join; fine for short models,
+    but HOF lambdas are interpreted per element (~6 expression nodes
+    per merge per word occurrence), so the cost is
+    O(n_merges × occurrences) interpreted nodes — at a production
+    model size (32k merges) this shape is the dominant cost of the
+    pipeline and is therefore refused (raise) rather than silently
+    staged.
+
+    ``vocab`` (any model length) — vocabulary-memoized segmentation:
+    the corpus's DISTINCT lowercase letters-only words (Zipf-sized —
+    exactly the relation :func:`bpe_train_merges` trains on) are
+    segmented ONCE through the merge chain in
+    :data:`BPE_SEGMENT_MAX_MERGES`-sized stages with a lazy
+    ``localCheckpoint`` between stages (vocabulary-sized
+    materializations, never the corpus), and the resulting
+    word→segmentation map is hash-joined back onto the exploded token
+    stream — per occurrence the merge chain is replaced by ONE join
+    lookup.  Plan shape: one word-keyed equi-join (broadcast when the
+    vocabulary fits — AQE decides from the real size) + one
+    ``id_col``-keyed groupBy to reassemble document order + one
+    ``id_col``-keyed rejoin to re-attach the document payload.  At
+    100 TB that is two corpus-sized keyed shuffles, replacing the
+    inline shape's n_merges/32 full-corpus checkpoint cascade and
+    per-occurrence interpreted chains.  ``id_col`` must be unique
+    per row (it keys the reassembly).
 
     Words are the same lowercase letters-only vocabulary the trainer
     counts; tokens outside it (digits, punctuation-bearing) pass
     through as single unsegmented symbols, so the output always
-    concatenates back to the normalized text's tokens."""
+    concatenates back to the normalized text's tokens.  Both paths
+    share :func:`_bpe_sym_chars` / :func:`_bpe_apply_merge` with the
+    trainer, so train/apply agreement holds by construction."""
     merges = list(merges)
-    out = docs.withColumn("__toks", tokens(F.lower(F.col(text_col))))
-    first = True
-    while merges or first:
-        chunk, merges = (
-            merges[:BPE_SEGMENT_MAX_MERGES],
-            merges[BPE_SEGMENT_MAX_MERGES:],
-        )
-
-        def stage(word_sym, pairs=chunk):
-            for lhs, rhs in pairs:
-                word_sym = _bpe_apply_merge(word_sym, lhs, rhs)
-            return word_sym
-
-        if first:
-            # symbolize trainable words once; non-vocabulary tokens
-            # (digits, punctuation-bearing) pass through verbatim as
-            # one unsegmented symbol
-            out = out.withColumn(
-                "__syms",
+    if mode == "auto":
+        mode = "inline" if len(merges) <= BPE_SEGMENT_MAX_MERGES else "vocab"
+    if mode == "inline":
+        # bpe_segment raises past the expression-depth bound; at that
+        # size the right shape is vocab memoization, not staging
+        return docs.withColumn(
+            out_col,
+            F.flatten(
                 F.transform(
-                    F.col("__toks"),
-                    lambda w: stage(
-                        F.when(
-                            w.rlike("^[a-z]+$"), _bpe_sym_chars(w)
-                        ).otherwise(w)
+                    tokens(F.lower(F.col(text_col))),
+                    lambda w: F.split(
+                        _bpe_chain(
+                            F.when(
+                                w.rlike("^[a-z]+$"), _bpe_sym_chars(w)
+                            ).otherwise(w),
+                            _bounded(merges),
+                        ),
+                        " ",
                     ),
-                ),
-            ).drop("__toks")  # dead after this stage: do not carry the
-            # word array through every inter-stage checkpoint
-            first = False
-        else:
-            out = out.withColumn(
-                "__syms",
-                F.transform(F.col("__syms"), lambda s: stage(s)),
-            )
-        if merges:
-            out = out.localCheckpoint(eager=False)
-    return out.withColumn(
+                )
+            ),
+        )
+    if mode != "vocab":
+        raise ValueError(
+            f"bpe_tokenize: unknown mode {mode!r} (inline|vocab|auto)"
+        )
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),
+    )
+    # Zipf-sized distinct-word relation; the merge replay runs over
+    # THIS, never the corpus — checkpoints between 32-merge stages are
+    # vocabulary-sized materializations
+    seg = (
+        toks.select("__w")
+        .filter(F.col("__w").rlike("^[a-z]+$"))
+        .distinct()
+        .select("__w", _bpe_sym_chars(F.col("__w")).alias("__sym"))
+    )
+    rest = merges
+    while rest:
+        chunk, rest = (
+            rest[:BPE_SEGMENT_MAX_MERGES],
+            rest[BPE_SEGMENT_MAX_MERGES:],
+        )
+        seg = seg.select(
+            "__w", _bpe_chain(F.col("__sym"), chunk).alias("__sym")
+        )
+        if rest:
+            seg = seg.localCheckpoint(eager=False)
+    segmap = seg.select("__w", F.split("__sym", " ").alias("__segs"))
+    # one join lookup per occurrence (OOV tokens — digits/punctuation,
+    # never in the letters-only vocabulary — pass through verbatim),
+    # then one keyed shuffle to reassemble document order
+    reassembled = (
+        toks.join(segmap, "__w", "left")
+        .select(
+            id_col,
+            "__pos",
+            F.coalesce("__segs", F.array(F.col("__w"))).alias("__segs"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__segs"))
+                    ),
+                    lambda x: x["__segs"],
+                )
+            ).alias(out_col)
+        )
+    )
+    # re-attach the document payload; token-less docs (blank text) get
+    # an empty token array, matching the inline path
+    return docs.join(reassembled, id_col, "left").withColumn(
         out_col,
-        F.flatten(F.transform(F.col("__syms"), lambda s: F.split(s, " "))),
-    ).drop("__syms")
+        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    )
+
+
+def _bounded(merges):
+    """Raise past the single-expression depth bound — the inline path
+    must never silently build a Catalyst tree the JVM Column
+    conversion stack-overflows on (measured: 60 ok / 64 overflow
+    inside a transform lambda, Spark 4.1)."""
+    if len(merges) > BPE_SEGMENT_MAX_MERGES:
+        raise ValueError(
+            f"bpe_tokenize: {len(merges)} merges exceeds the inline "
+            f"single-expression bound {BPE_SEGMENT_MAX_MERGES} — use "
+            "mode='vocab' (auto does) for long models"
+        )
+    return merges
+
+
+def _bpe_chain(sym, pairs):
+    """Apply a bounded chunk of merges to a symbol column in training
+    order — the one place the chain is unrolled."""
+    for lhs, rhs in pairs:
+        sym = _bpe_apply_merge(sym, lhs, rhs)
+    return sym

@@ -197,12 +197,14 @@ def test_bpe_hypothesis_matches_python_reference(spark):
     check()
 
 
-def test_bpe_tokenize_corpus_and_staging(spark):
+def test_bpe_tokenize_corpus_and_modes(spark):
     """bpe_tokenize applies the learned model over whole documents —
     per-word segmentation matches bpe_segment, non-vocabulary tokens
-    pass through unsegmented, and a merge list LONGER than the
-    single-expression bound works via staged application with
-    identical results."""
+    pass through unsegmented, the vocabulary-memoized join path agrees
+    with the inline expression path exactly, and a merge list LONGER
+    than the single-expression bound auto-routes to the vocab path
+    (inline refuses it) with identical results."""
+    import pytest
     from pyspark.sql import functions as F
 
     from cdk_datalake_ingest_spark.operators.corpus import (
@@ -212,27 +214,70 @@ def test_bpe_tokenize_corpus_and_staging(spark):
     )
 
     df = spark.createDataFrame(
-        [(1, "low low low lower"), (2, "newest newest 42 x-y")],
+        [(1, "low low low lower"), (2, "newest newest 42 x-y"), (3, "")],
         "doc_id long, text string",
     )
     table = bpe_train_merges(df, n_merges=4).collect()
     merges = [(r["lhs"], r["rhs"]) for r in table]
     got = {
         r["doc_id"]: list(r["bpe_tokens"])
-        for r in bpe_tokenize(df, merges).collect()
+        for r in bpe_tokenize(df, merges).collect()  # auto -> inline
     }
     assert got[1] == ["low", "low", "low", "low", "e", "r"]
     # '42' and 'x-y' are outside the letters-only vocabulary: verbatim
     assert got[2] == ["n", "ew", "es", "t", "n", "ew", "es", "t", "42", "x-y"]
+    assert got[3] == []  # blank doc: empty array on both paths
 
-    # staged application: pad the model past the bound with no-op
-    # merges (symbols that never occur); results must be identical
+    # the vocab-memoized join path must agree token-for-token
+    got_v = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_tokenize(df, merges, mode="vocab").collect()
+    }
+    assert got_v == got
+
+    # past the expression-depth bound: inline refuses, auto routes to
+    # vocab; no-op padding merges (symbols that never occur) must not
+    # change the output
     padded = merges + [
         (f"q{i}", f"z{i}") for i in range(BPE_SEGMENT_MAX_MERGES)
     ]
     assert len(padded) > BPE_SEGMENT_MAX_MERGES
+    with pytest.raises(ValueError, match="inline"):
+        bpe_tokenize(df, padded, mode="inline")
     got2 = {
         r["doc_id"]: list(r["bpe_tokens"])
         for r in bpe_tokenize(df, padded).collect()
     }
     assert got2 == got
+
+
+def test_bpe_model_persists_through_managed_table(spark, tmp_path):
+    """Real pipelines train once and tokenize many times: the merge
+    table IS the model, so it must round-trip through ManagedTable
+    (the minhash-signature-index convention, operators/dedup.py) and
+    tokenize identically after reload — ordering restored from the
+    persisted step column, never from file order."""
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        bpe_tokenize,
+        bpe_train_merges,
+    )
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower"), (2, "newest newest 42")],
+        "doc_id long, text string",
+    )
+    model = ManagedTable(spark, tmp_path / "bpe_model")
+    model.write(bpe_train_merges(df, n_merges=4))
+    reloaded = model.read().orderBy("step").collect()
+    merges = [(r["lhs"], r["rhs"]) for r in reloaded]
+    direct = {
+        r["doc_id"]: list(r["bpe_tokens"])
+        for r in bpe_tokenize(df, merges, mode="vocab").collect()
+    }
+    assert direct[1] == ["low", "low", "low", "low", "e", "r"]
+    in_mem = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(df, n_merges=4).collect()
+    ]
+    assert merges == in_mem

@@ -117,11 +117,21 @@ QUERIES = [
     # non-stopword token gains a per-copy suffix), so this stresses
     # the vocabulary-sized-not-corpus-sized design claim directly
     "bpe_train_merges_docs",
+    # round-10 additions: the BPE APPLY side (vocabulary-memoized
+    # segmentation + join-back; the token stream AND the distinct-word
+    # vocabulary both grow ~10x under the bijected copies, so this
+    # measures the two corpus-keyed shuffles the design claims are the
+    # whole cost), and the streaming corpus-composition monitor
+    # (three rounds as the most expensive bench entry with no 10x row
+    # — r9 verdict task #3)
+    "bpe_tokenize_docs",
+    "streaming_corpus_stats",
 ]
 STREAMING = {
     "streaming_sessionize_events",
     "streaming_sessionize_stateful_events",
     "streaming_windowed_counts",
+    "streaming_corpus_stats",
 }
 #: merge queries end in a ManagedTable snapshot read-back; the final
 #: read's plan is a parquet scan, so shape-compare the MERGE apply
@@ -352,6 +362,48 @@ def _profile_section() -> list[str]:
     return md
 
 
+def apply_changes_probe(spark, sf_dir: str) -> float:
+    """Consume-only apply_changes cost (r9 verdict task #5): the
+    table_change_feed_events 10x row times produce AND consume
+    together; this isolates the consumer so the ONE-keyed-shuffle
+    claim has its own number.  The feed is materialized (eager
+    localCheckpoint) before the clock starts, so the measured window
+    is exactly: feed scan + eqNullSafe anti-join of the keyed target
+    + upsert union + snapshot write."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v1 = ev.filter(F.col("event_id") % 10 != 0)
+    v2 = (
+        ev.filter(F.col("event_id") % 10 != 1)  # 10% deleted
+        .withColumn(
+            "value",
+            F.when(
+                F.col("event_id") % 10 == 2, F.col("value") * 2
+            ).otherwise(F.col("value")),  # 10% updated
+        )
+    )  # plus the v1-absent %10==0 slice arriving as inserts
+    tmp = tempfile.mkdtemp(prefix="cdk_apply_probe_")
+    src = ManagedTable(spark, f"{tmp}/src")
+    src.write(v1)
+    src.write(v2)
+    feed = src.changes_between(
+        1, 2, key_cols=["event_id"]
+    ).localCheckpoint()
+    replica = ManagedTable(spark, f"{tmp}/replica")
+    replica.write(v1)
+    t0 = time.perf_counter()
+    replica.apply_changes(feed, key_cols=["event_id"])
+    dt = time.perf_counter() - t0
+    n = replica.read().count()
+    assert n == v2.count(), (n, "apply_changes probe row drift")
+    return dt
+
+
 def main() -> None:
     from cdk_datalake_ingest_spark.queries import QUERIES as REGISTRY
     from cdk_datalake_ingest_spark.session import get_spark
@@ -391,8 +443,18 @@ def main() -> None:
                           "ratio": round(t10 / t1, 2),
                           "shape": shape_note}))
 
+    ac1 = min(apply_changes_probe(spark, BASE) for _ in range(2))
+    ac10 = min(apply_changes_probe(spark, SCALE_DIR) for _ in range(2))
+    rows.append((
+        "apply_changes (consume-only probe)", ac1, ac10, ac10 / ac1,
+        "probe: feed pre-materialized; see apply_changes_probe",
+    ))
+    print(json.dumps({"q": "apply_changes_probe", "t1x": round(ac1, 2),
+                      "t10x": round(ac10, 2),
+                      "ratio": round(ac10 / ac1, 2)}))
+
     md = [
-        "# SCALE — 10x rehearsal (round 9)",
+        "# SCALE — 10x rehearsal (round 10)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",
