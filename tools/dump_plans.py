@@ -207,6 +207,24 @@ NOTES = {
         "relation (a k-row local table — it IS the model); the "
         "per-iteration vocabulary plans are the ones described above."
     ),
+    "bpe_tokenize_docs": (
+        "BPE apply at corpus scale (round 10 — the trainer's other "
+        "half): the DISTINCT-word vocabulary is segmented once through "
+        "the merge chain (vocabulary-sized Projects, checkpointed "
+        "every 32 merges), then the word→segmentation map joins back "
+        "onto the posexploded token stream — BroadcastHashJoin here "
+        "(AQE flips it to shuffle-hash only if the vocabulary outgrows "
+        "the threshold), so per word occurrence the cost is ONE probe, "
+        "never an interpreted per-occurrence merge chain. One keyed "
+        "Exchange on doc_id reassembles document order (array_sort on "
+        "(pos, segs) structs — partial ObjectHashAggregate before the "
+        "shuffle), one keyed rejoin re-attaches the payload. At 100 TB "
+        "with a 32k-merge model: ~1000 vocabulary-sized stages + two "
+        "corpus-keyed shuffles, vs the rejected inline shape's ~1000 "
+        "full-corpus checkpoint cascades. The per-occurrence guard "
+        "(RLIKE over a lambda variable) is pinned ABSENT in "
+        "tests/test_plans.py."
+    ),
     "kmeans_train_hash_docs": (
         "The split-out quantizer training gate (the cost round 5's "
         "memoization hid): per Lloyd iteration one corpus scan, a "
@@ -390,6 +408,40 @@ totals are comparable only to ~±6%.
 """
 
 
+#: appended verbatim — round-10 measurement notes.
+ROUND10_NOTES = """
+## streaming_corpus_stats — stage cost attribution (round 10, VERDICT #3)
+
+Three rounds as the most expensive bench entry (7.0-7.3 s) with no
+breakdown. `tools/corpus_stats_profile.py` (sf0.1, local[32], quiet
+machine, median of 3) decomposes the gate:
+
+| stage | median | what it is |
+|---|---|---|
+| A. staging (write_jsonl, 6 gzip shards) | 0.47 warm / 2.9 cold | memoized across bench repeats; first_run only |
+| B. availableNow drain, maxFilesPerTrigger=2 (3 micro-batches) | 5.10 s | the gated topology |
+| C. same drain, no trigger cap (1 micro-batch) | 3.08 s | isolates per-batch machinery |
+| D. batch-mode equivalent (read.json + agg + parquet write) | 0.36 s | the pure data cost |
+| E. final sink read-back | 0.31 s | driver hash input |
+
+Derived: fixed micro-batch machinery ≈ 2.7 s for the first batch
+(stream query start/stop, per-batch planning, HDFS-backed state-store
+round-trip, commit/offset log) + ~1.0 s per additional micro-batch;
+the gzip-JSONL scan + |lang|x|source|-sized aggregate is 0.36 s —
+**~93% of the drain is fixed streaming machinery, ~7% is data**. That
+is the expected profile for a complete-mode monitor whose state is
+the report itself: at 100 TB the per-batch data term grows with shard
+size while the machinery term stays constant per batch, so the
+wall-clock ratio INVERTS at scale (see the streaming_corpus_stats 10x
+rehearsal row in SCALE.md, added this round — a ratio well under 10x
+is machinery-bound, exactly this attribution). The 3-batch topology
+is deliberate (multi-batch
+complete-mode re-emission is the contract under test); closing the
+watch item — the cost is machinery, priced, and bounded per batch,
+not a data-path defect.
+"""
+
+
 #: appended verbatim — round-9 measurement notes. Every number in the
 #: round-over-round section is the output of
 #: `python tools/bench_compare.py <(git show <r8-commit>:BENCH_DETAIL.json) BENCH_DETAIL.json`
@@ -499,6 +551,7 @@ def main() -> int:
             out.append("\n" + b.strip() + "\n")
         out.append("```\n")
     out.append(DMS_NOTE)
+    out.append(ROUND10_NOTES)
     out.append(ROUND9_NOTES)
     out.append(ROUND8_NOTES)
     Path(__file__).resolve().parents[1].joinpath("PLANS.md").write_text(

@@ -514,6 +514,21 @@ def main() -> None:
         "is healthy; any other operator flip still warrants a",
         "follow-up.",
         "",
+        "Round-10 rows: `bpe_tokenize_docs` (the vocabulary-memoized",
+        "BPE apply — the token stream AND the bijected distinct-word",
+        "vocabulary both grow ~10x, so the row stresses the two",
+        "corpus-keyed shuffles the design claims are the whole cost;",
+        "identical plan, sub-linear wall because the visible 6-merge",
+        "training's fixed collects dominate at sf0.1);",
+        "`streaming_corpus_stats` (machinery-bound as attributed in",
+        "PLANS.md — ~93% of the drain is fixed per-micro-batch cost,",
+        "so 10x data moves the wall barely above 1x);",
+        "`apply_changes` consume-only probe (the produce+consume gate",
+        "row cannot attribute cost; the probe pre-materializes the",
+        "feed and times ONLY the eqNullSafe anti-join + upsert union +",
+        "snapshot write — its ~3x at 10x is the keyed shuffle emerging",
+        "from under fixed job overhead, linear-consistent).",
+        "",
     ]
     md += _sessionizer_section()
     md += _profile_section()
