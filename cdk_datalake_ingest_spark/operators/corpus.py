@@ -633,9 +633,17 @@ def _bpe_apply_merge(sym, lhs: str, rhs: str) -> "F.Column":
 #: Column->expression conversion STACK-OVERFLOWS past ~60 merges when
 #: the chain sits inside a `transform` lambda (measured on Spark 4.1:
 #: 60 ok, 64 StackOverflowError).  32 leaves headroom for surrounding
-#: expression context; longer models go through the staged
-#: :func:`bpe_tokenize`, which checkpoints between chunks.
+#: expression context; longer models go through :func:`bpe_tokenize`'s
+#: vocab mode, which stages the chain over the distinct-word relation.
 BPE_SEGMENT_MAX_MERGES = 32
+
+#: auto-dispatch crossover for :func:`bpe_tokenize` — MEASURED at sf0.1
+#: (tools/bpe_scale_probe.py): the vocab path already matches inline at
+#: 6 merges and is 4.4x faster at 32, because the inline HOF chain is
+#: interpreted per word occurrence.  8 keeps inline only where its
+#: pure-map shape (no shuffle, no id_col requirement) outweighs the
+#: chain cost: toy models on small frames.
+BPE_AUTO_INLINE_MAX = 8
 
 
 def bpe_segment(col, merges) -> "F.Column":
@@ -713,10 +721,20 @@ def bpe_tokenize(
     through as single unsegmented symbols, so the output always
     concatenates back to the normalized text's tokens.  Both paths
     share :func:`_bpe_sym_chars` / :func:`_bpe_apply_merge` with the
-    trainer, so train/apply agreement holds by construction."""
+    trainer, so train/apply agreement holds by construction.
+
+    Auto threshold is MEASURED, not guessed
+    (tools/bpe_scale_probe.py, sf0.1, min-of-2 warm): vocab already
+    edges out inline at 6 merges (1.60 vs 1.79 s) and is 4.4x faster
+    at 32 (1.44 vs 6.38 s — the interpreted per-occurrence chain's
+    linear-in-merges cost); vocab grows ~0.35 s per 32-merge stage
+    (128 merges 2.33 s, 512 merges 7.17 s) because added stages are
+    vocabulary-sized.  Inline remains the auto choice only for toy
+    models (<= :data:`BPE_AUTO_INLINE_MAX`) where its no-shuffle,
+    no-``id_col`` pure-map shape matters more than the chain cost."""
     merges = list(merges)
     if mode == "auto":
-        mode = "inline" if len(merges) <= BPE_SEGMENT_MAX_MERGES else "vocab"
+        mode = "inline" if len(merges) <= BPE_AUTO_INLINE_MAX else "vocab"
     if mode == "inline":
         # bpe_segment raises past the expression-depth bound; at that
         # size the right shape is vocab memoization, not staging
@@ -740,6 +758,12 @@ def bpe_tokenize(
     if mode != "vocab":
         raise ValueError(
             f"bpe_tokenize: unknown mode {mode!r} (inline|vocab|auto)"
+        )
+    if id_col not in docs.columns:
+        raise ValueError(
+            f"bpe_tokenize: vocab mode needs a unique row key column "
+            f"{id_col!r} (it keys the reassembly) — pass id_col=, or "
+            "mode='inline' for short models on keyless frames"
         )
     toks = docs.select(
         F.col(id_col),

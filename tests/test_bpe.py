@@ -250,6 +250,23 @@ def test_bpe_tokenize_corpus_and_modes(spark):
     }
     assert got2 == got
 
+    # auto routes mid-size models (> BPE_AUTO_INLINE_MAX) to vocab —
+    # the measured 4.4x-at-32-merges crossover (tools/bpe_scale_probe)
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        BPE_AUTO_INLINE_MAX,
+    )
+
+    mid = merges + [
+        (f"q{i}", f"z{i}") for i in range(BPE_AUTO_INLINE_MAX)
+    ]  # > threshold, <= expression bound
+    plan = bpe_tokenize(df, mid)._jdf.queryExecution().executedPlan().toString()
+    assert "RLIKE(lambda" not in plan  # per-occurrence guard absent
+
+    # vocab mode on a keyless frame fails with guidance, not a
+    # mid-plan unresolved-column error
+    with pytest.raises(ValueError, match="id_col"):
+        bpe_tokenize(df.drop("doc_id"), mid)
+
 
 def test_bpe_model_persists_through_managed_table(spark, tmp_path):
     """Real pipelines train once and tokenize many times: the merge
@@ -281,3 +298,77 @@ def test_bpe_model_persists_through_managed_table(spark, tmp_path):
         for r in bpe_train_merges(df, n_merges=4).collect()
     ]
     assert merges == in_mem
+
+
+def _ref_segment(word: str, merges) -> list[str]:
+    """Pure-Python greedy BPE segmentation: apply each merge in
+    training order, left-to-right non-overlapping — the same replay
+    contract _bpe_apply_merge implements with double-spaced string
+    replaces."""
+    sym = list(word)
+    for lhs, rhs in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == lhs and sym[i + 1] == rhs:
+                out.append(lhs + rhs)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_tokenize_hypothesis_matches_python_reference(spark):
+    """Property: over random corpora (2-letter alphabet for maximal
+    merge ambiguity, plus digit/punctuation tokens for the OOV
+    passthrough) BOTH bpe_tokenize modes emit exactly the pure-Python
+    greedy segmentation of every token, in document order — the
+    inline expression chain and the vocabulary-memoized join path are
+    each independently checked against the reference, not just
+    against each other."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdk_datalake_ingest_spark.operators.corpus import bpe_tokenize
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    oov = st.sampled_from(["42", "x-y", "a1", "!!"])
+    doc = st.lists(st.one_of(word, oov), min_size=0, max_size=8)
+    corpus = st.lists(doc, min_size=1, max_size=4)
+    merges_s = st.lists(
+        st.tuples(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            st.text(alphabet="ab", min_size=1, max_size=2),
+        ),
+        min_size=0,
+        max_size=4,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(corpus, merges_s)
+    def check(docs_words, merges):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        expect = {
+            i: [
+                s
+                for w in ws
+                for s in (
+                    _ref_segment(w, merges)
+                    if re.fullmatch("[a-z]+", w)
+                    else [w]
+                )
+            ]
+            for i, ws in enumerate(docs_words)
+        }
+        for mode in ("inline", "vocab"):
+            got = {
+                r["doc_id"]: list(r["bpe_tokens"])
+                for r in bpe_tokenize(df, merges, mode=mode).collect()
+            }
+            assert got == expect, (mode, merges, docs_words)
+
+    check()
