@@ -680,6 +680,7 @@ def bpe_tokenize(
     out_col: str = "bpe_tokens",
     id_col: str = "doc_id",
     mode: str = "auto",
+    check_ids: bool = True,
 ) -> DataFrame:
     """Corpus-scale BPE tokenization: apply a learned merge list (any
     length) to every word of the normalized text, appending ``out_col``
@@ -713,8 +714,14 @@ def bpe_tokenize(
     ``id_col``-keyed rejoin to re-attach the document payload.  At
     100 TB that is two corpus-sized keyed shuffles, replacing the
     inline shape's n_merges/32 full-corpus checkpoint cascade and
-    per-occurrence interpreted chains.  ``id_col`` must be unique
-    per row (it keys the reassembly).
+    per-occurrence interpreted chains.  ``id_col`` must be unique and
+    non-NULL per row (it keys the reassembly: a NULL id would lump
+    every NULL-keyed row into one group and then drop their tokens in
+    the name-based rejoin — silent data loss, so vocab mode PROBES for
+    NULL ids and raises; ``check_ids=False`` skips the probe, one
+    column-pruned scan, when the caller already guarantees it).
+    Pre-existing ``out_col`` columns are replaced, NULL ``text_col``
+    rows yield NULL tokens — both exactly as in inline mode.
 
     Words are the same lowercase letters-only vocabulary the trainer
     counts; tokens outside it (digits, punctuation-bearing) pass
@@ -765,6 +772,14 @@ def bpe_tokenize(
             f"{id_col!r} (it keys the reassembly) — pass id_col=, or "
             "mode='inline' for short models on keyless frames"
         )
+    if check_ids and docs.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"bpe_tokenize: vocab mode found NULL values in id column "
+            f"{id_col!r} — the reassembly groupBy would lump them into "
+            "one group and the rejoin would drop their tokens. Provide "
+            "a non-NULL unique key (or check_ids=False to skip this "
+            "probe when the key is already guaranteed)"
+        )
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),
@@ -812,11 +827,22 @@ def bpe_tokenize(
             ).alias(out_col)
         )
     )
-    # re-attach the document payload; token-less docs (blank text) get
-    # an empty token array, matching the inline path
-    return docs.join(reassembled, id_col, "left").withColumn(
-        out_col,
-        F.coalesce(F.col(out_col), F.array().cast("array<string>")),
+    # re-attach the document payload (replacing any pre-existing
+    # out_col, the withColumn semantics the inline path has); blank
+    # text gets an empty token array, NULL text stays NULL — both
+    # matching the inline path's tokens() semantics
+    return (
+        docs.drop(out_col)
+        .join(reassembled, id_col, "left")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNull(),
+                F.lit(None).cast("array<string>"),
+            ).otherwise(
+                F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+            ),
+        )
     )
 
 

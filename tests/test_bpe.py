@@ -372,3 +372,51 @@ def test_bpe_tokenize_hypothesis_matches_python_reference(spark):
             assert got == expect, (mode, merges, docs_words)
 
     check()
+
+
+def test_bpe_tokenize_mode_parity_on_edge_rows(spark):
+    """The r10 review's mode-divergence repros, pinned: NULL text
+    yields NULL tokens on BOTH paths (not [] on one), a pre-existing
+    out_col is REPLACED on both paths (no ambiguous-reference crash),
+    and a NULL id under vocab mode raises instead of silently
+    dropping the row's tokens."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.corpus import bpe_tokenize
+
+    merges = [("t", "h"), ("th", "e")]
+    df = spark.createDataFrame(
+        [(1, "the them"), (2, None), (3, "")],
+        "doc_id long, text string",
+    )
+    for mode in ("inline", "vocab"):
+        got = {
+            r["doc_id"]: r["bpe_tokens"]
+            for r in bpe_tokenize(df, merges, mode=mode).collect()
+        }
+        assert list(got[1]) == ["the", "the", "m"], mode
+        assert got[2] is None, mode  # NULL text -> NULL tokens
+        assert list(got[3]) == [], mode  # blank text -> empty array
+
+    # re-tokenization: out_col already present is replaced, not joined
+    # into an ambiguous duplicate
+    pre = bpe_tokenize(df, [], mode="vocab")  # char-level first pass
+    for mode in ("inline", "vocab"):
+        out = bpe_tokenize(pre, merges, mode=mode)
+        assert out.columns.count("bpe_tokens") == 1, mode
+        row = {r["doc_id"]: r["bpe_tokens"] for r in out.collect()}
+        assert list(row[1]) == ["the", "the", "m"], mode
+
+    # NULL id: vocab raises with guidance (name-keyed reassembly would
+    # silently drop the tokens); check_ids=False skips the probe
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(None, "the them")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        bpe_tokenize(bad, merges, mode="vocab")
+    assert (
+        bpe_tokenize(bad, merges, mode="vocab", check_ids=False).count()
+        == 1
+    )
