@@ -357,6 +357,7 @@ def scrub_boilerplate(
     min_doc_freq: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    check_ids: bool = True,
 ) -> DataFrame:
     """Boilerplate REMOVAL (the scrub half of C4's repeated-span
     dedup, Raffel et al. 2020 §2.2 — there spans are three-sentence
@@ -370,9 +371,17 @@ def scrub_boilerplate(
     and the rewrite is a native filter-by-position + array_join — no
     UDFs. Documents with no flagged spans pass through unchanged
     (left join). Output: ``(id_col, clean_text, n_removed_tokens)``.
-    """
-    from cdk_datalake_ingest_spark.session import ensure_parallelism
 
+    ``id_col`` must be non-NULL (the covered-position rejoin is
+    name-keyed; a NULL id would come back UNSCRUBBED) — probed by
+    default, see session.require_non_null_ids."""
+    from cdk_datalake_ingest_spark.session import (
+        ensure_parallelism,
+        require_non_null_ids,
+    )
+
+    if check_ids:
+        require_non_null_ids(docs, id_col, "scrub_boilerplate")
     docs = ensure_parallelism(docs)
     frequent = F.broadcast(
         boilerplate_ngrams(
@@ -435,6 +444,7 @@ def dedup_substrings(
     length: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    check_ids: bool = True,
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every length-L token
@@ -459,13 +469,22 @@ def dedup_substrings(
     native scrub tail.  A 128-bit collision merging two distinct
     windows is ~2^-64 at corpus scale; the DuckDB oracle groups by the
     raw window text, so the gate cross-checks the hashed path against
-    the exact one."""
-    from cdk_datalake_ingest_spark.session import ensure_parallelism
+    the exact one.
+
+    ``id_col`` must be non-NULL (it keys both the MIN-survivor struct
+    and the covered-position rejoin; a NULL id would come back with
+    its duplicated spans INTACT) — probed by default."""
+    from cdk_datalake_ingest_spark.session import (
+        ensure_parallelism,
+        require_non_null_ids,
+    )
 
     if length < 1:
         raise ValueError(
             f"dedup_substrings: window length must be >= 1, got {length}"
         )
+    if check_ids:
+        require_non_null_ids(docs, id_col, "dedup_substrings")
     docs = ensure_parallelism(docs)
     wins = (
         docs.select(
@@ -772,14 +791,10 @@ def bpe_tokenize(
             f"{id_col!r} (it keys the reassembly) — pass id_col=, or "
             "mode='inline' for short models on keyless frames"
         )
-    if check_ids and docs.where(F.col(id_col).isNull()).take(1):
-        raise ValueError(
-            f"bpe_tokenize: vocab mode found NULL values in id column "
-            f"{id_col!r} — the reassembly groupBy would lump them into "
-            "one group and the rejoin would drop their tokens. Provide "
-            "a non-NULL unique key (or check_ids=False to skip this "
-            "probe when the key is already guaranteed)"
-        )
+    if check_ids:
+        from cdk_datalake_ingest_spark.session import require_non_null_ids
+
+        require_non_null_ids(docs, id_col, "bpe_tokenize (vocab mode)")
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),

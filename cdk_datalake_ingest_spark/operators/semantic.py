@@ -270,10 +270,16 @@ def semantic_dedup(
     dim: int = 64,
     centroids: list[list[float]] | None = None,
     max_cluster_rows: int | None = 100_000,
+    check_ids: bool = True,
 ) -> DataFrame:
     """SemDeDup: drop every vector with a smaller-id same-cluster
     neighbor whose cosine (rounded to 6) is >= threshold; survivors
     come back as ``(id_col, cluster_id)``.
+
+    ``id_col`` must be non-NULL: the smaller-id duplicate test and the
+    survivor anti-join are both id-keyed, so a NULL-id near-duplicate
+    would never be evicted (probed by default —
+    session.require_non_null_ids; ``check_ids=False`` opts out).
 
     The duplicate test is cluster-local (equi-join on cluster_id with
     an id inequality), so the quadratic term is bounded by the largest
@@ -309,6 +315,10 @@ def semantic_dedup(
     many actions over the result should ``.persist()`` the returned
     DataFrame themselves.
     """
+    if check_ids:
+        from cdk_datalake_ingest_spark.session import require_non_null_ids
+
+        require_non_null_ids(corpus, id_col, "semantic_dedup")
     if centroids is not None:
         cents = [list(c) for c in centroids]
         dim = _centroid_dim(cents, "semantic_dedup")

@@ -5761,6 +5761,10 @@ def semantic_dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.9,
         dim=_KM_DIM,
         centroids=_KM_CACHE[key],
+        # corpus is a COMPUTED relation (featurized docs) whose id is
+        # the fixture's non-null doc_id — the NULL-id probe would
+        # re-run the hash-embed kernel for nothing
+        check_ids=False,
     )
     return out.select(
         F.col("vec_id").alias("doc_id"), "cluster_id"
@@ -6662,14 +6666,17 @@ WHERE r_name = 'AMERICA'
 # entries whose code or gate changed this round — the NEW
 # bpe_tokenize_docs gate (vocabulary-memoized apply path, the r9
 # verdict's top task), bpe_train_merges_docs (the BPE family's
-# shared helpers were restructured in the same commit), and
+# shared helpers were restructured in the same commit),
 # table_change_feed_events (apply_changes key matching went
 # null-safe: eqNullSafe anti-join / <=> Delta merge condition, the
-# r9 ADVICE fix); (c) 27 of the 43 r8-fresh entries, in their
-# standing heaviest-first order.  The 16 r8-fresh leftovers
-# (incremental_between_events .. hash_embed_docs) sit at tail
-# positions 51-66 at their 3-round bound and MUST lead the r11
-# window; the r9-fresh entries follow.
+# r9 ADVICE fix), and the scrub pair substring_dedup_docs +
+# scrub_boilerplate_docs (NULL-id guard added to their operators;
+# the also-guard-touched semantic pair already sits in (c)); (c) 25
+# of the 43 r8-fresh entries, in their standing heaviest-first
+# order.  The 18 r8-fresh leftovers (jdbc_roundtrip_orders ..
+# hash_embed_docs — jdbc/watermark displaced by the scrub pair) sit
+# at tail positions 51-68 at their 3-round bound and MUST lead the
+# r11 window; the r9-fresh entries follow.
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
@@ -6699,10 +6706,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_suite_events": window_rank_suite_events,
     "user_value_analytics": user_value_analytics,
     "events_pivot_by_type": events_pivot_by_type,
-    # (b) entries whose code or gate changed this round
+    # (b) entries whose code or gate changed this round (the scrub
+    # pair rides the NULL-id guard added to their operators; the
+    # semantic pair — also guard-touched — already sits in (c))
     "bpe_tokenize_docs": bpe_tokenize_docs,
     "bpe_train_merges_docs": bpe_train_merges_docs,
     "table_change_feed_events": table_change_feed_events,
+    "substring_dedup_docs": substring_dedup_docs,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
     # (c) r8-fresh backfill, standing heaviest-first order
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -6729,10 +6740,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_multi_docs": decontaminate_multi_docs,
     "multimodal_media_pipeline": multimodal_media_pipeline,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # 18 r8-fresh leftovers at their 3-round bound: MUST lead r11
+    # (jdbc/watermark displaced from the window by the two
+    # guard-touched scrub gates)
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "watermark_events": watermark_events,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # 16 r8-fresh leftovers at their 3-round bound: MUST lead r11
     "incremental_between_events": incremental_between_events,
     "continuous_rollup_events": continuous_rollup_events,
     "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
@@ -6771,7 +6784,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
     "ann_lsh_suite_topk": ann_lsh_suite_topk,
-    "substring_dedup_docs": substring_dedup_docs,
     "nb_quality_filter_docs": nb_quality_filter_docs,
     "gopher_rules_docs": gopher_rules_docs,
     "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
@@ -6783,7 +6795,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets_docs": perplexity_buckets_docs,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "streaming_corpus_stats": streaming_corpus_stats,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
     "sessionize_events": sessionize_events,
     "asof_purchase_click": asof_purchase_click,
     "range_join_purchase_clicks": range_join_purchase_clicks,

@@ -21,6 +21,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 try:  # delta-spark is optional; the engine falls back to ManagedTable.
     from delta import configure_spark_with_delta_pip  # type: ignore
@@ -74,6 +75,32 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def require_non_null_ids(df, id_col: str, caller: str) -> None:
+    """Probe for NULL values in a row-identity column and raise — the
+    shared guard for operators that reassemble or anti-join results by
+    ``id_col`` (name-keyed joins never match NULL, so a NULL id means
+    SILENTLY wrong output: tokens dropped, text left unscrubbed, a
+    near-duplicate never evicted — the same failure class as the r9
+    apply_changes NULL-key bug, caught once more in r10 review and
+    closed centrally here).
+
+    Cost: one column-pruned filter + take(1).  On parquet-backed
+    input the IsNull predicate pushes down and row groups with
+    null_count=0 are skipped from statistics, so a clean column costs
+    ~footer reads.  On a COMPUTED relation the probe materializes the
+    upstream plan once — callers composing mid-pipeline should pass
+    their operator's ``check_ids=False`` when the key is already
+    guaranteed."""
+    if df.where(F.col(id_col).isNull()).take(1):
+        raise ValueError(
+            f"{caller}: found NULL values in id column {id_col!r} — "
+            "name-keyed reassembly/anti-joins never match NULL, so the "
+            "result would be silently wrong for those rows. Provide a "
+            "non-NULL unique key (or pass check_ids=False to skip this "
+            "probe when the key is already guaranteed)"
+        )
 
 
 def default_parallelism() -> int:

@@ -537,3 +537,37 @@ def test_referenced_tables_word_boundary():
     assert referenced_tables("SELECT * FROM reorders") == []
     # case-insensitive
     assert referenced_tables("select count(*) from EVENTS") == ["events"]
+
+
+def test_id_keyed_reassembly_refuses_null_ids(spark):
+    """The shared NULL-id guard (session.require_non_null_ids): a
+    NULL id would come back UNSCRUBBED from the scrub tail (name-keyed
+    covered-position rejoin never matches NULL) and would never be
+    evicted by SemDeDup's id-keyed anti-join — both silent. The
+    operators probe and raise by default; check_ids=False opts out
+    for callers that guarantee the key."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        dedup_substrings,
+        scrub_boilerplate,
+    )
+    from cdk_datalake_ingest_spark.operators.semantic import semantic_dedup
+
+    docs = spark.createDataFrame(
+        [(None, "spam spam spam spam"), (2, "spam spam spam spam")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        scrub_boilerplate(docs, n=2, min_doc_freq=2)
+    with pytest.raises(ValueError, match="NULL"):
+        dedup_substrings(docs, length=2)
+    # opt-out path still runs (documented: caller owns the guarantee)
+    assert dedup_substrings(docs, length=2, check_ids=False).count() == 2
+
+    emb = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        semantic_dedup(emb, k=1, iters=0, dim=2)
