@@ -419,32 +419,38 @@ Same methodology both sides (median-of-3, alphabetical order, sf0.1).
 Baseline: the BENCH_DETAIL.json committed in the r9 tree (the driver's
 own r9 run, total 146.8 s — the r9 verdict corroborated it at +4.5%
 over the earlier-committed 140.4 s, inside the noise band; using the
-tree's artifact keeps the comparison single-source).
+tree's artifact keeps the comparison single-source). Three full runs
+this round totaled 135.4 / 145.4 / 134.3 s (the first predates the
+NULL-id guards — probe-level code delta only; the spread is the same
+box-state noise r9 calibrated at four runs 175.0/147.9/152.0/140.4);
+the LAST is committed and every number below is bench_compare output
+against it.
 
-- common 111 entries: 146.8 -> 132.1 s (**-10.0%**); per-query ratio
-  distribution min 0.52 / q1 0.77 / median 0.88 / q3 0.97 / max 1.21 —
+- common 111 entries: 146.8 -> 130.6 s (**-11.0%**); per-query ratio
+  distribution min 0.52 / q1 0.79 / median 0.88 / q3 0.96 / max 1.21 —
   a uniform downward shift across code-untouched queries
   (environmental: quieter box than the driver's r9 run), with no
   mover outside the calibrated 1.4-1.7x single-query noise floor in
-  EITHER direction attributable to code.
-- entry added: `bpe_tokenize_docs` median 3.28 s (runs
-  [5.55, 3.28, 3.11] — the cold run carries JIT + the first 6-merge
+  EITHER direction attributable to code. Worst movers are sub-second
+  entries (chunk_docs_sliding 0.47 -> 0.58, token_stats 0.40 -> 0.47)
+  with no r10 code change in their paths.
+- entry added: `bpe_tokenize_docs` median 3.66 s (runs
+  [5.82, 3.66, 3.31] — the cold run carries JIT + the first 6-merge
   training; every repeat retrains visibly, the ann_pq_adc_topk
-  convention). Registry 113 -> 114; headline total 135.4 s over 112
+  convention). Registry 113 -> 114; headline total 134.3 s over 112
   benched entries.
-- the r9-flagged watch item `streaming_corpus_stats` re-read 7.15 s
+- the r9-flagged watch item `streaming_corpus_stats` re-read 7.10 s
   in-suite (vs 7.25 driver r9) — unchanged, now ATTRIBUTED (see the
   stage table below) and closed: ~93% fixed micro-batch machinery,
   bounded per batch, 1.2x at 10x data.
-- `table_change_feed_events` 3.06 (driver r9) -> 3.17 s: flat; the r9
+- `table_change_feed_events` 3.06 (driver r9) -> 2.90 s: flat; the r9
   null-safe key matching fix (eqNullSafe anti-join) did not move the
   gate — the anti-join was already keyed, only the condition changed.
-- worst apparent regression stage_pipeline_lineitem 3.35 -> 4.07 s
-  (1.21x): no r10 code change in its path (the DSL/pipeline files are
-  untouched this round); its committed runs [5.15, 4.07, 3.15] vs
-  r9's [3.82, 3.35, 3.00] — overlapping spreads whose min delta
-  (3.15 vs 3.00) is 5%, a noise-floor read auditable from the two
-  artifacts.
+- the round's NULL-id guards cost what the pushdown argument
+  predicted — nothing visible: the three guard-touched benched gates
+  read scrub_boilerplate 2.30 (r9) -> 1.71, substring_dedup
+  1.58 -> 1.64, semantic_dedup_embeddings 2.20 -> 2.08; each probe is
+  an IsNull take(1) that parquet statistics answer from footers.
 
 ## streaming_corpus_stats — stage cost attribution (round 10, VERDICT #3)
 
