@@ -44,6 +44,8 @@ def merge_dataframes(
     - Schema evolution: union is by name with missing columns allowed,
       mirroring delta.schema.autoMerge (aje-stage-dms-load.py:44).
     """
+    import functools
+
     if order_by:
         source = latest_record_dedup(source, keys, order_by)
     else:
@@ -53,5 +55,25 @@ def merge_dataframes(
             ~F.coalesce(delete_predicate, F.lit(False))
         )
     src_for_join = F.broadcast(source) if broadcast_source else source
-    survivors = target.join(src_for_join.select(*keys).distinct(), keys, "left_anti")
+    # null-safe anti-join conditions: NULL is a legitimate key value
+    # (dropDuplicates/latest_record_dedup already group NULL keys
+    # together, and changes_between classifies them with eqNullSafe) —
+    # a name-list anti-join would never match a NULL key, so the stale
+    # target row would survive NEXT TO the upserted source row,
+    # duplicating the key on every merge.
+    anti = functools.reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+            for k in keys
+        ],
+    )
+    survivors = (
+        target.alias("__t")
+        .join(
+            src_for_join.select(*keys).distinct().alias("__s"),
+            anti,
+            "left_anti",
+        )
+    )
     return source.unionByName(survivors, allowMissingColumns=True)

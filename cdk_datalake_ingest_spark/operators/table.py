@@ -203,6 +203,7 @@ class ManagedTable:
                         "writer; retry from a fresh read"
                     )
                 _time.sleep(0.05)
+        my_ino = os.fstat(fd).st_ino
         try:
             cur = self._read_manifest() or {"version": 0}
             if int(cur["version"]) != expected_version:
@@ -232,7 +233,17 @@ class ManagedTable:
                 )
         finally:
             os.close(fd)
-            lock.unlink(missing_ok=True)
+            # Unlink only OUR lock incarnation: if this writer stalled
+            # past stale_after, a breaker may have replaced the path
+            # with a FRESH lock another writer now holds — blindly
+            # unlinking would evict that live holder and admit a third
+            # writer into the critical section. (Residual stat→unlink
+            # window requires a >30s stall inside these two syscalls.)
+            try:
+                if lock.stat().st_ino == my_ino:
+                    lock.unlink(missing_ok=True)
+            except OSError:
+                pass  # lock already broken/removed — nothing ours
 
     # -- public API --------------------------------------------------------
     @property
@@ -255,6 +266,15 @@ class ManagedTable:
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
         if version is None:
             return self._read_snapshot(self.path / m["data_dir"])
+        if version > int(m["version"]):
+            # a dir may exist beyond current: an in-flight writer's
+            # claim or a CAS-losing writer's orphan — NOT committed
+            # data; serving it would expose an aborted write
+            raise FileNotFoundError(
+                f"version {version} of {self.path} is not committed "
+                f"(current is {int(m['version'])}; a v{version:05d} dir "
+                "on disk is an uncommitted claim)"
+            )
         snap = self.path / f"v{version:05d}"
         if not snap.is_dir():
             raise FileNotFoundError(
@@ -285,13 +305,24 @@ class ManagedTable:
         return reader.parquet(str(snap))
 
     def versions(self) -> list[int]:
-        """Snapshot versions still on disk (newest last)."""
+        """COMMITTED snapshot versions still on disk (newest last).
+
+        Snapshot dirs NEWER than the manifest's current version are
+        uncommitted claims — either an in-flight writer's target or the
+        orphan of a writer that lost the CAS and died.  They must not
+        surface as readable versions (an aborted write's data would be
+        served as real) and must never sort into history as the newest
+        entry; :meth:`vacuum` can reclaim them explicitly."""
         if not self.path.is_dir():
             return []
+        m = self._read_manifest()
+        current = int(m["version"]) if m else 0
         return sorted(
-            int(c.name[1:])
+            v
             for c in self.path.iterdir()
             if c.is_dir() and c.name.startswith("v") and c.name[1:].isdigit()
+            for v in [int(c.name[1:])]
+            if v <= current
         )
 
     def detail(self) -> dict:
@@ -388,6 +419,16 @@ class ManagedTable:
         NULL.  Output: the union of both versions' columns (new
         version's order first) plus ``_change_type`` and
         ``_commit_version`` (the ``to`` version)."""
+        if (
+            self._read_manifest() is None
+            and HAS_DELTA
+            and DeltaTable.isDeltaTable(self.spark, str(self.path))
+        ):
+            raise NotImplementedError(
+                f"{self.path} is a Delta table: snapshot-diff CDF runs "
+                "on the versioned-parquet manifest backend only — use "
+                "Delta's native table_changes there"
+            )
         versions = self.versions()
         if to_version is None:
             m = self._read_manifest()
@@ -411,6 +452,22 @@ class ManagedTable:
             )
         old = self.read(version=from_version)
         new = self.read(version=to_version)
+        if key_cols:
+            # keys must exist in BOTH snapshots' OWN schemas: a key
+            # present on one side only would be NULL-padded for every
+            # row of the other, so the unique-key guard would fire
+            # spuriously (or, unchecked, all rows would collapse into
+            # one NULL key group). Schema evolution is for DATA
+            # columns; the identity columns must span the range.
+            for side, df_, v in (("v_from", old, from_version),
+                                 ("v_to", new, to_version)):
+                absent = [c for c in key_cols if c not in df_.columns]
+                if absent:
+                    raise ValueError(
+                        f"changes_between: key columns {absent} not in "
+                        f"{side} (version {v}) schema — keys must exist "
+                        "in both snapshots"
+                    )
         all_cols = list(new.columns) + [
             c for c in old.columns if c not in new.columns
         ]
@@ -434,12 +491,6 @@ class ManagedTable:
                 "_commit_version", ver
             )
 
-        missing = [c for c in key_cols if c not in all_cols]
-        if missing:
-            raise ValueError(
-                f"changes_between: key columns {missing} not in either "
-                f"snapshot's schema"
-            )
         if check_unique_keys:
             old = self._assert_unique_keys(old, key_cols, from_version)
             new = self._assert_unique_keys(new, key_cols, to_version)
@@ -524,6 +575,20 @@ class ManagedTable:
         overwritten (lost update)."""
         m = self._read_manifest()
         if m is None:
+            if HAS_DELTA and DeltaTable.isDeltaTable(
+                self.spark, str(self.path)
+            ):
+                # manifest-pinned maintenance (compact / optimize /
+                # changes_between's snapshot diff) has no Delta branch
+                # — delta-spark is env-gated and offline-untestable
+                # here (README), so fail with the real reason instead
+                # of a misleading 'no ManagedTable'
+                raise NotImplementedError(
+                    f"{self.path} is a Delta table: this operation "
+                    "runs on the versioned-parquet manifest backend "
+                    "only — use Delta's native OPTIMIZE / CDF "
+                    "equivalents there"
+                )
             raise FileNotFoundError(f"no ManagedTable at {self.path}")
         return m, self._read_snapshot(self.path / m["data_dir"])
 
@@ -542,7 +607,17 @@ class ManagedTable:
         then rejects the write if any other commit landed after that
         read (without it, only commits racing *this* write's own
         manifest read are detected)."""
-        if HAS_DELTA:
+        # Route by what the TABLE is, not by what is importable: a
+        # legacy parquet-manifest table in a delta-enabled env must
+        # keep its CAS path — a bare HAS_DELTA branch would silently
+        # drop expected_base_version (the lost-update protection) and
+        # do an unconditional Delta overwrite next to the stale
+        # manifest. New (no-manifest) tables go Delta when available,
+        # matching every other method's isDeltaTable gate.
+        if HAS_DELTA and (
+            DeltaTable.isDeltaTable(self.spark, str(self.path))
+            or self._read_manifest() is None
+        ):
             w = df.write.format("delta").mode("overwrite").option(
                 "overwriteSchema", "true"
             )
@@ -605,7 +680,11 @@ class ManagedTable:
                 if order_by
                 else source.dropDuplicates(keys)
             )
-            cond = " AND ".join(f"old.{k}=new.{k}" for k in keys)
+            # <=> (null-safe): NULL is a legitimate key value — '='
+            # would never match it and whenNotMatchedInsertAll would
+            # duplicate the NULL-keyed row on every merge (the same
+            # fix as apply_changes / changes_between)
+            cond = " AND ".join(f"old.{k}<=>new.{k}" for k in keys)
             (
                 dt.alias("old")
                 .merge(src.alias("new"), cond)
@@ -685,16 +764,30 @@ class ManagedTable:
         if set(source.columns) != set(target.columns):
             return False
         by_name = {f.name: f.dataType.simpleString() for f in target.schema}
-        ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
-        if any(by_name.get(c) not in ok_types for c in pby):
+        if any(
+            by_name.get(c) not in self._SCOPED_PARTITION_TYPES
+            for c in pby
+        ):
             return False
 
         touched_df = source.select(*pby)
         # partitions holding a matched key: an update may move a row's
-        # partition value, so the OLD copy's partition must be rewritten
+        # partition value, so the OLD copy's partition must be
+        # rewritten. Null-safe conditions: a NULL-keyed row whose
+        # update moves partitions would otherwise leave its old copy in
+        # a linked-forward (unrewritten) partition — a duplicate.
         src_keys = source.select(*keys).dropDuplicates(keys)
+        semi = functools.reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+                for k in keys
+            ],
+        )
         touched_df = touched_df.unionByName(
-            target.join(src_keys, on=keys, how="left_semi").select(*pby)
+            target.alias("__t")
+            .join(src_keys.alias("__s"), semi, "left_semi")
+            .select(*pby)
         )
         if delete_predicate is not None:
             touched_df = touched_df.unionByName(
@@ -739,8 +832,10 @@ class ManagedTable:
         fallback conditions as the scoped merge."""
         pby: list[str] = list(m["partition_by"])
         by_name = {f.name: f.dataType.simpleString() for f in target.schema}
-        ok_types = {"tinyint", "smallint", "int", "bigint", "string"}
-        if any(by_name.get(c) not in ok_types for c in pby):
+        if any(
+            by_name.get(c) not in self._SCOPED_PARTITION_TYPES
+            for c in pby
+        ):
             return False
         hit = F.coalesce(predicate, F.lit(False))
         cap = self.MAX_SCOPED_PARTITIONS
@@ -769,6 +864,12 @@ class ManagedTable:
     HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 
     _INT_TYPES = frozenset({"tinyint", "smallint", "int", "bigint"})
+
+    #: partition-column types whose hive dir-name round-trip is exact —
+    #: the eligibility rule for every scoped (partition-pruned) rewrite
+    #: path; ONE definition so scoped-merge, scoped-delete and
+    #: hot-compaction can never silently diverge
+    _SCOPED_PARTITION_TYPES = _INT_TYPES | frozenset({"string"})
 
     @classmethod
     def _canon_vals(
@@ -846,15 +947,7 @@ class ManagedTable:
             canon = self._canon_vals(pby, by_name, vals)
             if canon is not None and canon in touched_set:
                 continue
-            dst = new_dir / leaf.relative_to(old_dir)
-            for root, _dirs, files in os.walk(leaf):
-                rel = Path(root).relative_to(leaf)
-                (dst / rel).mkdir(parents=True, exist_ok=True)
-                for f in files:
-                    try:
-                        os.link(Path(root, f), dst / rel / f)
-                    except OSError:  # filesystem without hard links
-                        shutil.copy2(Path(root, f), dst / rel / f)
+            self._link_tree(leaf, new_dir / leaf.relative_to(old_dir))
         self._commit(
             {"version": version, "data_dir": data_dir, "partition_by": pby},
             expected_version=base_version,
@@ -1176,8 +1269,30 @@ class ManagedTable:
         entries.reverse()
         return entries[:limit] if limit is not None else entries
 
-    def vacuum(self, keep_snapshots: int = 1) -> list[str]:
-        """Drop superseded snapshot directories (S11)."""
+    def vacuum(
+        self,
+        keep_snapshots: int = 1,
+        drop_aborted_after_s: float | None = None,
+    ) -> list[str]:
+        """Drop superseded snapshot directories (S11).
+
+        ``keep_snapshots`` must be >= 1: keeping zero would delete the
+        CURRENT snapshot out from under the manifest and brick the
+        table.
+
+        ``drop_aborted_after_s``: also reclaim uncommitted claim dirs
+        (version > current — CAS-losing writers' orphans) whose mtime
+        is at least this old.  Deliberately opt-in and age-gated: a
+        claim newer than the threshold may belong to a LIVE in-flight
+        writer mid-snapshot-write, and at 100 TB a legitimate write
+        can hold its claim for a long time — size the threshold above
+        the slowest expected write."""
+        if keep_snapshots < 1:
+            raise ValueError(
+                f"vacuum: keep_snapshots must be >= 1 (got "
+                f"{keep_snapshots}) — 0 would delete the current "
+                "snapshot the manifest points at"
+            )
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
             DeltaTable.forPath(self.spark, str(self.path)).vacuum(100)
             return []
@@ -1185,14 +1300,25 @@ class ManagedTable:
         if m is None:
             return []
         current = int(m["version"])
+        import time as _time
+
         removed = []
         for child in sorted(self.path.iterdir()):
-            if (
+            if not (
                 child.is_dir()
                 and child.name.startswith("v")
                 and child.name[1:].isdigit()
-                and int(child.name[1:]) <= current - keep_snapshots
             ):
+                continue
+            v = int(child.name[1:])
+            superseded = v <= current - keep_snapshots
+            aborted = (
+                drop_aborted_after_s is not None
+                and v > current
+                and _time.time() - child.stat().st_mtime
+                >= drop_aborted_after_s
+            )
+            if superseded or aborted:
                 shutil.rmtree(child)
                 removed.append(child.name)
         return removed
@@ -1255,9 +1381,9 @@ class ManagedTable:
                 "use compact() for unpartitioned layouts"
             )
         by_name = {f.name: f.dataType.simpleString() for f in snap.schema}
-        int_types = {"tinyint", "smallint", "int", "bigint"}
         if any(
-            by_name.get(c) not in int_types | {"string"} for c in pby
+            by_name.get(c) not in self._SCOPED_PARTITION_TYPES
+            for c in pby
         ):
             raise ValueError(
                 "compact_hot_partitions requires integral/string "
@@ -1279,7 +1405,7 @@ class ManagedTable:
                 hot.append(canon)
                 typed.append(
                     tuple(
-                        int(v) if by_name[c] in int_types else v
+                        int(v) if by_name[c] in self._INT_TYPES else v
                         for c, v in zip(pby, canon)
                     )
                 )

@@ -6669,14 +6669,17 @@ WHERE r_name = 'AMERICA'
 # shared helpers were restructured in the same commit),
 # table_change_feed_events (apply_changes key matching went
 # null-safe: eqNullSafe anti-join / <=> Delta merge condition, the
-# r9 ADVICE fix), and the scrub pair substring_dedup_docs +
+# r9 ADVICE fix), the scrub pair substring_dedup_docs +
 # scrub_boilerplate_docs (NULL-id guard added to their operators;
-# the also-guard-touched semantic pair already sits in (c)); (c) 25
-# of the 43 r8-fresh entries, in their standing heaviest-first
-# order.  The 18 r8-fresh leftovers (jdbc_roundtrip_orders ..
-# hash_embed_docs — jdbc/watermark displaced by the scrub pair) sit
-# at tail positions 51-68 at their 3-round bound and MUST lead the
-# r11 window; the r9-fresh entries follow.
+# the also-guard-touched semantic pair already sits in (c)), and
+# the merge/restore/zorder gates over the review-hardened table
+# machinery (null-safe merge keys everywhere, orphan-claim fencing
+# in versions/read/history/vacuum, changes_between key-span check,
+# lock-incarnation-checked unlink); (c) 20 of the 43 r8-fresh
+# entries, in their standing heaviest-first order.  The 23 r8-fresh
+# leftovers (ann_ivf_topk .. hash_embed_docs — displaced by the
+# code-changed gates) sit at tail positions 51-73 at their 3-round
+# bound and MUST lead the r11 window; the r9-fresh entries follow.
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
@@ -6714,6 +6717,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_change_feed_events": table_change_feed_events,
     "substring_dedup_docs": substring_dedup_docs,
     "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    # ... and the gates over the merge/table machinery hardened in the
+    # r10 review sweep (null-safe merge keys, orphan-claim fencing,
+    # changes_between key-span check): the merge family + restore +
+    # zorder re-attest the changed paths
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "schema_evolution_merge": schema_evolution_merge,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "zorder_layout_events": zorder_layout_events,
     # (c) r8-fresh backfill, standing heaviest-first order
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -6735,15 +6747,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": embedding_near_dup,
     "embedding_near_dup_lsh": embedding_near_dup_lsh,
     "ann_cosine_topk": ann_cosine_topk,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # 23 r8-fresh leftovers at their 3-round bound: MUST lead r11
+    # (jdbc/watermark displaced by the guard-touched scrub gates;
+    # ann_ivf/kmeans_train/decontaminate pair/multimodal displaced by
+    # the review-hardened merge/zorder gates)
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_train_hash_docs": kmeans_train_hash_docs,
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_multi_docs": decontaminate_multi_docs,
     "multimodal_media_pipeline": multimodal_media_pipeline,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # 18 r8-fresh leftovers at their 3-round bound: MUST lead r11
-    # (jdbc/watermark displaced from the window by the two
-    # guard-touched scrub gates)
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "watermark_events": watermark_events,
     "incremental_between_events": incremental_between_events,
@@ -6780,7 +6793,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample_docs": stratified_sample_docs,
     "streaming_sessionize_events": streaming_sessionize_events,
     "streaming_sessionize_stateful_events": streaming_sessionize_stateful_events,
-    "zorder_layout_events": zorder_layout_events,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
     "ann_lsh_suite_topk": ann_lsh_suite_topk,
@@ -6799,11 +6811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_purchase_click": asof_purchase_click,
     "range_join_purchase_clicks": range_join_purchase_clicks,
     "skew_salted_join_events": skew_salted_join_events,
-    "merge_upsert_events": merge_upsert_events,
-    "merge_delete_window_events": merge_delete_window_events,
-    "schema_evolution_merge": schema_evolution_merge,
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
     "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
     "planner_multi_table_run": planner_multi_table_run,
     "streaming_dedup_ingest": streaming_dedup_ingest,

@@ -617,3 +617,51 @@ def test_scoped_merge_equivalence_with_stringy_partition_values(
         for r in merge_dataframes(target, source, ["k"]).collect()
     }
     assert got == want
+
+
+def test_merge_upsert_null_keyed_rows(spark, tmp_path):
+    """NULL is a legitimate key value (the changes_between/apply_changes
+    contract): merge_upsert must REPLACE a NULL-keyed target row, not
+    duplicate it — the name-list anti-join / 'old.k=new.k' Delta
+    condition never matched NULL, so every merge added another copy
+    (r10 review finding, same class as the r9 apply_changes ADVICE)."""
+    t = ManagedTable(spark, tmp_path / "nullkey")
+    t.write(
+        spark.createDataFrame(
+            [(None, "a"), (1, "x")], "id long, name string"
+        )
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(None, "A")], "id long, name string"),
+        keys=["id"],
+    )
+    got = {(r.id, r.name) for r in t.read().collect()}
+    assert got == {(None, "A"), (1, "x")}
+    # merge_dataframes agrees standalone
+    out = merge_dataframes(
+        spark.createDataFrame([(None, "a"), (1, "x")], "id long, name string"),
+        spark.createDataFrame([(None, "A")], "id long, name string"),
+        ["id"],
+    )
+    assert {(r.id, r.name) for r in out.collect()} == {(None, "A"), (1, "x")}
+
+
+def test_scoped_merge_null_key_moves_partition(spark, tmp_path):
+    """Partition-scoped merge with a NULL-KEYED row whose update moves
+    it to another partition: the old copy's partition must be counted
+    as touched (null-safe semi-join) so the stale copy is rewritten
+    away, not hard-linked forward next to the new one."""
+    t = ManagedTable(spark, tmp_path / "nullmove")
+    t.write(
+        spark.createDataFrame(
+            [(None, 1, "old"), (7, 1, "keep"), (8, 2, "keep2")],
+            "id long, p int, v string",
+        ),
+        partition_by=["p"],
+    )
+    t.merge_upsert(
+        spark.createDataFrame([(None, 2, "new")], "id long, p int, v string"),
+        keys=["id"],
+    )
+    got = {(r.id, int(r.p), r.v) for r in t.read().collect()}
+    assert got == {(None, 2, "new"), (7, 1, "keep"), (8, 2, "keep2")}

@@ -366,3 +366,24 @@ def test_apply_changes_requires_feed_shape(spark, tmp_path):
     t.write(spark.createDataFrame([(1, "a")], "id long, name string"))
     with pytest.raises(ValueError, match="_change_type"):
         t.apply_changes(t.read(), ["id"])
+
+
+def test_changes_between_requires_keys_in_both_snapshots(spark, tmp_path):
+    """A key column present in only one snapshot would be NULL-padded
+    for every row of the other side, firing the unique-key guard
+    spuriously (or collapsing all rows into one NULL key group with
+    the guard off) — rejected up front with the side named. Schema
+    evolution stays supported for DATA columns."""
+    t = ManagedTable(spark, tmp_path / "keysboth")
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 20)], "id long, v string, b long"
+        )
+    )
+    with pytest.raises(ValueError, match="v_from.*version 1"):
+        t.changes_between(1, 2, key_cols=["b"])
+    # data-column evolution still diffs fine on a spanning key
+    out = t.changes_between(1, 2, key_cols=["id"])
+    types = {r["_change_type"] for r in out.collect()}
+    assert types == {"update_preimage", "update_postimage"}

@@ -539,3 +539,46 @@ def test_compact_hot_partitions_with_zorder_clusters_in_file(spark, tmp_path):
         for p in (t.path / "v00002" / "period=20240102").rglob("*.parquet")
     }
     assert after_inodes == cold_inodes
+
+
+def test_orphan_claims_are_not_versions(spark, tmp_path):
+    """A snapshot dir NEWER than the manifest (a CAS-losing writer's
+    orphan, or an in-flight claim) is uncommitted: it must not appear
+    in versions(), must not be readable as time travel, must not
+    synthesize into history as the newest entry — and vacuum reclaims
+    it only via the explicit age-gated opt-in."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "orphan")
+    t.write(spark.createDataFrame([(1, "a")], "id long, v string"))
+    # simulate a writer that claimed v00002, wrote data, lost the CAS
+    orphan = t.path / "v00002"
+    orphan.mkdir()
+    (orphan / "part-orphan.parquet").write_bytes(b"not committed")
+    assert t.versions() == [1]
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        t.read(version=2)
+    assert t.history()[0]["version"] == 1
+    # default vacuum never touches claims (may be a live writer's)
+    assert t.vacuum() == []
+    assert orphan.is_dir()
+    # explicit opt-in with age threshold 0 reclaims it
+    assert t.vacuum(drop_aborted_after_s=0.0) == ["v00002"]
+    assert not orphan.exists()
+    assert t.read().count() == 1
+
+
+def test_vacuum_rejects_keep_zero(spark, tmp_path):
+    """keep_snapshots=0 would rmtree the CURRENT snapshot out from
+    under the manifest — rejected."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    t = ManagedTable(spark, tmp_path / "keepzero")
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    with pytest.raises(ValueError, match="keep_snapshots"):
+        t.vacuum(keep_snapshots=0)
+    assert t.read().count() == 1
