@@ -419,38 +419,43 @@ Same methodology both sides (median-of-3, alphabetical order, sf0.1).
 Baseline: the BENCH_DETAIL.json committed in the r9 tree (the driver's
 own r9 run, total 146.8 s — the r9 verdict corroborated it at +4.5%
 over the earlier-committed 140.4 s, inside the noise band; using the
-tree's artifact keeps the comparison single-source). Three full runs
-this round totaled 135.4 / 145.4 / 134.3 s (the first predates the
-NULL-id guards — probe-level code delta only; the spread is the same
-box-state noise r9 calibrated at four runs 175.0/147.9/152.0/140.4);
-the LAST is committed and every number below is bench_compare output
-against it.
+tree's artifact keeps the comparison single-source). FIVE full runs
+this round as the code accumulated (BPE gate -> NULL-id guards ->
+merge/table hardening), totals 135.4 / 145.4 / 134.3 / 192.4 / 146.5 s
+— the fourth ran on a visibly loaded box (15-min load avg 7.4; its
+worst "movers" were 2.4-3.6x on entries with zero code change, so it
+is disclosed and discarded as contaminated, the same box-state noise
+r9 calibrated at 175.0/147.9/152.0/140.4. The LAST run (quiet box,
+final code) is committed and every number below is bench_compare
+output against it.
 
-- common 111 entries: 146.8 -> 130.6 s (**-11.0%**); per-query ratio
-  distribution min 0.52 / q1 0.79 / median 0.88 / q3 0.96 / max 1.21 —
-  a uniform downward shift across code-untouched queries
-  (environmental: quieter box than the driver's r9 run), with no
-  mover outside the calibrated 1.4-1.7x single-query noise floor in
-  EITHER direction attributable to code. Worst movers are sub-second
-  entries (chunk_docs_sliding 0.47 -> 0.58, token_stats 0.40 -> 0.47)
-  with no r10 code change in their paths.
-- entry added: `bpe_tokenize_docs` median 3.66 s (runs
-  [5.82, 3.66, 3.31] — the cold run carries JIT + the first 6-merge
-  training; every repeat retrains visibly, the ann_pq_adc_topk
-  convention). Registry 113 -> 114; headline total 134.3 s over 112
-  benched entries.
-- the r9-flagged watch item `streaming_corpus_stats` re-read 7.10 s
+- common 111 entries: 146.8 -> 142.1 s (**-3.2%**); per-query ratio
+  distribution min 0.64 / q1 0.85 / median 0.95 / q3 1.05 / max 1.38 —
+  no mover outside the calibrated 1.4-1.7x single-query noise floor in
+  either direction attributable to code (worst: q17 0.43 -> 0.59,
+  ann_pq_adc 5.67 -> 7.63 — both code-untouched this round; the
+  third run, same-family code on a quieter box, read the common-111
+  at 130.6 s / -11.0%, bracketing the same conclusion).
+- entry added: `bpe_tokenize_docs` median 4.43 s (the cold run
+  carries JIT + the first 6-merge training; every repeat retrains
+  visibly, the ann_pq_adc_topk convention). Registry 113 -> 114;
+  headline total 146.5 s over 112 benched entries.
+- the r9-flagged watch item `streaming_corpus_stats` re-read 6.75 s
   in-suite (vs 7.25 driver r9) — unchanged, now ATTRIBUTED (see the
   stage table below) and closed: ~93% fixed micro-batch machinery,
   bounded per batch, 1.2x at 10x data.
-- `table_change_feed_events` 3.06 (driver r9) -> 2.90 s: flat; the r9
-  null-safe key matching fix (eqNullSafe anti-join) did not move the
-  gate — the anti-join was already keyed, only the condition changed.
-- the round's NULL-id guards cost what the pushdown argument
-  predicted — nothing visible: the three guard-touched benched gates
-  read scrub_boilerplate 2.30 (r9) -> 1.71, substring_dedup
-  1.58 -> 1.64, semantic_dedup_embeddings 2.20 -> 2.08; each probe is
-  an IsNull take(1) that parquet statistics answer from footers.
+- **the merge/table hardening is free**: on the committed run the
+  five re-windowed gates read merge_upsert 0.65 (r9) -> 0.68,
+  merge_delete_window 0.76 -> 0.77, schema_evolution_merge
+  0.94 -> 0.61, salesforce_incremental_upsert 1.29 -> 1.06,
+  zorder_layout 2.50 -> 2.88 — the null-safe anti-join conditions
+  compile to the same keyed hash joins. table_change_feed_events
+  3.06 (driver r9) -> 3.12: flat.
+- the NULL-id guards cost what the pushdown argument predicted —
+  nothing visible: scrub_boilerplate 2.30 (r9) -> 1.99,
+  substring_dedup 1.58 -> 1.57, semantic_dedup_embeddings
+  2.20 -> 2.04; each probe is an IsNull take(1) that parquet
+  statistics answer from footers.
 
 ## streaming_corpus_stats — stage cost attribution (round 10, VERDICT #3)
 
