@@ -28,7 +28,6 @@ def latest_record_dedup(
     df: DataFrame,
     keys: list[str],
     order_by: list[str | Column],
-    keep_order_column: bool = False,
 ) -> DataFrame:
     """Keep the first row per key under ``order_by`` (descending for
     plain column names), via row_number — W1, aje-stage-dms-load.py:444-456.
@@ -37,14 +36,21 @@ def latest_record_dedup(
     Scale note: one shuffle on ``keys``; skewed hot keys are handled by
     AQE. No global sort.
     """
+    if "__rn" in df.columns:
+        # withColumn would silently OVERWRITE (then drop) user data
+        raise ValueError(
+            "latest_record_dedup: input already has a __rn column — "
+            "rename it; the operator uses that name internally"
+        )
     order_cols = [
         F.col(c).desc() if isinstance(c, str) else c for c in order_by
     ]
     w = Window.partitionBy(*keys).orderBy(*order_cols)
-    out = df.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") == 1
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return out if keep_order_column else out.drop("__rn")
 
 
 def normalize_text(col: Column) -> Column:
@@ -64,6 +70,11 @@ def exact_dedup(
     Deterministic survivor: min (or max) id per content hash. Scale:
     single shuffle on the 128-bit content hash (uniform keys — no skew).
     """
+    if keep not in ("min", "max"):
+        raise ValueError(
+            f"exact_dedup: keep must be 'min' or 'max', got {keep!r} — "
+            "a typo here would silently flip which documents survive"
+        )
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     fp = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
     survivors = (
@@ -76,20 +87,38 @@ def exact_dedup(
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (empty array if the
-    document has fewer than n tokens).
+    document has fewer than n tokens — including the n=1 edge on an
+    empty/NULL document, where split('') would otherwise yield ['']
+    and report empty documents as jaccard-1.0 duplicates of each
+    other).
 
     Implementation note: built by zip_with over n shifted slices of the
     token array, NOT by indexing ``tokens`` inside a transform lambda —
     an expression captured in a higher-order-function lambda is
     re-evaluated per element, which turns shingling into
     O(len^2) regex work per document."""
-    tokens = F.split(normalize_text(col), " ")
-    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    norm = normalize_text(col)
+    tokens = F.split(norm, " ")
+    count = F.when(
+        norm.isNull() | (norm == ""), F.lit(0)
+    ).otherwise(F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
     shingle = F.slice(tokens, n, count)
     for k in reversed(range(n - 1)):
         shifted = F.slice(tokens, k + 1, count)
         shingle = F.zip_with(shifted, shingle, lambda x, y: F.concat_ws(" ", x, y))
     return F.when(count > 0, shingle).otherwise(F.array().cast("array<string>"))
+
+
+def exact_jaccard(set_a: Column, set_b: Column) -> Column:
+    """Exact (unrounded) Jaccard over two distinct-shingle arrays —
+    the ONE verify definition shared by the batch self-dedup and the
+    incremental probe, so the documented property that probe results
+    equal the batch operator over the union can never drift.  The
+    threshold filter uses this raw value; output rounding to 6 (the
+    oracle convention) happens at the select."""
+    return F.size(F.array_intersect(set_a, set_b)).cast(
+        "double"
+    ) / F.size(F.array_union(set_a, set_b))
 
 
 def shingle_hashes(shingles: Column, seed: int) -> Column:
@@ -99,6 +128,20 @@ def shingle_hashes(shingles: Column, seed: int) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
 
 
+#: Largest modulus whose affine step stays inside int64:
+#: (prime-1)*(prime-1) + (prime-1) must be < 2^63, i.e.
+#: prime <= floor(sqrt(2^63)) = 3037000499.  The historical default
+#: (2^61-1) VIOLATED this — the a*x product reached ~2^122, silently
+#: wrapping mod 2^64 with ANSI off (so the documented affine
+#: permutation was never computed) and throwing ArithmeticException
+#: on any ANSI-enabled cluster (the Spark 4 default outside this
+#: repo's session config).  2^31-1 is the new default: products top
+#: out near 2^62, the permutation is exact, and a 31-bit hash space
+#: is ample for min-wise signatures.
+MINHASH_MAX_PRIME = 3_037_000_499
+MINHASH_PRIME = (1 << 31) - 1
+
+
 def _minhash_signature(hashes: Column, num_hashes: int, prime: int, seed: int) -> Column:
     """MinHash signature as array<bigint>: for each of ``num_hashes``
     affine permutations h_i(x) = (a_i * x + b_i) mod p over the 64-bit
@@ -106,7 +149,19 @@ def _minhash_signature(hashes: Column, num_hashes: int, prime: int, seed: int) -
 
     ``hashes`` is the pre-hashed array from ``shingle_hashes`` — do not
     pass raw shingle strings here, or every permutation re-hashes every
-    string (a 32× regression measured at sf0.1)."""
+    string (a 32× regression measured at sf0.1).
+
+    Signatures are a pure function of (seed, num_hashes, prime): a
+    persisted :func:`minhash_signature_index` must be probed with the
+    SAME parameters, and changing any of them (including this round's
+    prime default fix) requires rebuilding stored indexes."""
+    if not (1 < prime <= MINHASH_MAX_PRIME):
+        raise ValueError(
+            f"minhash prime must be in (1, {MINHASH_MAX_PRIME}] so the "
+            f"a*x+b step fits int64 (got {prime}); larger moduli "
+            "overflow — wrapping silently with ANSI off, raising "
+            "ArithmeticException with ANSI on"
+        )
     sig = []
     # Deterministic (a_i, b_i) derived from a splitmix-style recurrence;
     # no RNG state so the plan is reproducible.
@@ -222,7 +277,7 @@ def minhash_signature_index(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
-    prime: int = (1 << 61) - 1,
+    prime: int = MINHASH_PRIME,
     cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE near-dup index of a corpus: ``(bands_df,
@@ -256,7 +311,7 @@ def incremental_near_dup(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
-    prime: int = (1 << 61) - 1,
+    prime: int = MINHASH_PRIME,
     cache: bool = True,
     max_batch_rows: int | None = 4_000_000,
 ) -> DataFrame:
@@ -287,12 +342,19 @@ def incremental_near_dup(
     operator's job before appending the batch's own signatures to the
     index."""
     if max_batch_rows is not None:
-        if new_docs.limit(max_batch_rows + 1).count() > max_batch_rows:
+        # the broadcast is docs × bands rows, so the document cap is
+        # sized at the DEFAULT 8-band probe and scales inversely with
+        # bands — 4M docs at 64 bands would pin an 8× larger relation
+        # than the cap was sized for and OOM exactly where the guard
+        # exists to protect
+        eff_cap = max(1, (max_batch_rows * 8) // bands)
+        if new_docs.limit(eff_cap + 1).count() > eff_cap:
             raise ValueError(
                 f"incremental_near_dup pins the batch's banded signatures "
-                f"as a broadcast: batch exceeds "
-                f"max_batch_rows={max_batch_rows} and would OOM instead "
-                f"of probing. Use minhash_near_dup_pairs over "
+                f"as a broadcast (docs × bands rows): batch exceeds the "
+                f"effective cap {eff_cap} (= max_batch_rows="
+                f"{max_batch_rows} × 8 / bands={bands}) and would OOM "
+                f"instead of probing. Use minhash_near_dup_pairs over "
                 f"(index ∪ batch), or pass max_batch_rows=None to "
                 f"override."
             )
@@ -327,9 +389,7 @@ def incremental_near_dup(
             "dup_of",
         )
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__set", "__set_i")).cast("double")
-            / F.size(F.array_union("__set", "__set_i")),
+            "jaccard", exact_jaccard(F.col("__set"), F.col("__set_i"))
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("new_id", "dup_of", F.round("jaccard", 6).alias("jaccard"))
@@ -345,7 +405,7 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     jaccard_threshold: float = 0.5,
     seed: int = 42,
-    prime: int = (1 << 61) - 1,
+    prime: int = MINHASH_PRIME,
     cache: bool = True,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate candidate pairs, verified
@@ -388,9 +448,7 @@ def minhash_near_dup_pairs(
             "id_b",
         )
         .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__set", "__set_b")).cast("double")
-            / F.size(F.array_union("__set", "__set_b")),
+            "jaccard", exact_jaccard(F.col("__set"), F.col("__set_b"))
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
@@ -432,12 +490,24 @@ def simhash_signatures(
     bit-vote accumulation; token hashing stays JVM-side, md5-based for
     cross-engine reproducibility — see ``portable_hash60``).
     """
-    tokens = ensure_parallelism(df).select(
-        F.col(id_col),
-        F.transform(
-            F.split(normalize_text(F.col(text_col)), " "),
-            lambda t: portable_hash60(t, seed),
-        ).alias("__th"),
+    norm = normalize_text(F.col(text_col))
+    # Content-less documents (NULL or whitespace-only text) carry no
+    # signal: they are EXCLUDED rather than fingerprinted. Without
+    # this, split('') yields [''] so every empty doc shares the hash
+    # of the empty token (and every NULL doc fingerprints to 0) — at
+    # corpus scale the shared signature puts them all in one LSH
+    # bucket and the self-join goes quadratic over content-free
+    # "duplicates". The SIMHASH_SQL oracle applies the same predicate.
+    tokens = (
+        ensure_parallelism(df)
+        .filter(norm.isNotNull() & (norm != ""))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.split(norm, " "),
+                lambda t: portable_hash60(t, seed),
+            ).alias("__th"),
+        )
     )
 
     @pandas_udf("long")

@@ -3098,7 +3098,11 @@ WHERE {_SQL_DOT.format(a='va', b='vb')} / (na * nb) >= 0.42
 # precision 1 — see operators/dedup.py:simhash_near_dup_pairs.
 SIMHASH_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok FROM documents
+  -- content-less docs excluded, mirroring simhash_signatures:
+  -- string_split('') would otherwise emit [''] and fingerprint every
+  -- empty doc identically
+  SELECT doc_id, unnest(string_split({_SQL_NORM}, ' ')) AS tok
+  FROM documents WHERE {_SQL_NORM} <> ''
 ), th AS (
   SELECT doc_id, ('0x' || substr(md5('42:' || tok), 1, 15))::BIGINT AS h
   FROM toks
@@ -6675,11 +6679,15 @@ WHERE r_name = 'AMERICA'
 # the merge/restore/zorder gates over the review-hardened table
 # machinery (null-safe merge keys everywhere, orphan-claim fencing
 # in versions/read/history/vacuum, changes_between key-span check,
-# lock-incarnation-checked unlink); (c) 20 of the 43 r8-fresh
-# entries, in their standing heaviest-first order.  The 23 r8-fresh
-# leftovers (ann_ivf_topk .. hash_embed_docs — displaced by the
-# code-changed gates) sit at tail positions 51-73 at their 3-round
-# bound and MUST lead the r11 window; the r9-fresh entries follow.
+# lock-incarnation-checked unlink), and the two behaviorally-changed
+# dedup gates from the second sweep (minhash prime fix — the 2^61-1
+# default overflowed the a*x+b permutation; simhash now excludes
+# content-less docs, mirrored in its oracle); (c) 18 of the 43
+# r8-fresh entries, in their standing heaviest-first order.  The 25
+# r8-fresh leftovers (ann_ivf_topk .. hash_embed_docs — displaced by
+# the code-changed gates) sit at tail positions 51-75 at their
+# 3-round bound and MUST lead the r11 window; the r9-fresh entries
+# follow.
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
@@ -6745,10 +6753,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_near_dup_docs": minhash_near_dup_docs,
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "embedding_near_dup": embedding_near_dup,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "ann_cosine_topk": ann_cosine_topk,
+    # the two behaviorally-changed dedup gates from the second review
+    # sweep (minhash prime fix; simhash content-less exclusion)
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "simhash_near_dup_docs": simhash_near_dup_docs,
     # ---- tail: beyond the driver's 50-entry window ----
-    # 23 r8-fresh leftovers at their 3-round bound: MUST lead r11
+    # 25 r8-fresh leftovers at their 3-round bound: MUST lead r11
     # (jdbc/watermark displaced by the guard-touched scrub gates;
     # ann_ivf/kmeans_train/decontaminate pair/multimodal displaced by
     # the review-hardened merge/zorder gates)
@@ -6757,12 +6767,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_multi_docs": decontaminate_multi_docs,
     "multimodal_media_pipeline": multimodal_media_pipeline,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_cosine_topk": ann_cosine_topk,
     "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
     "watermark_events": watermark_events,
     "incremental_between_events": incremental_between_events,
     "continuous_rollup_events": continuous_rollup_events,
     "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "simhash_near_dup_docs": simhash_near_dup_docs,
     "temperature_mixture_docs": temperature_mixture_docs,
     "sql_interface_window": sql_interface_window,
     "sql_interface_setops": sql_interface_setops,
@@ -6798,7 +6809,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_suite_topk": ann_lsh_suite_topk,
     "nb_quality_filter_docs": nb_quality_filter_docs,
     "gopher_rules_docs": gopher_rules_docs,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
     "unigram_lm_docs": unigram_lm_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "chunk_docs_sliding": chunk_docs_sliding,

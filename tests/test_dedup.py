@@ -243,3 +243,110 @@ def test_incremental_near_dup_batch_cap_raises(spark):
         jaccard_threshold=0.3, max_batch_rows=None,
     ).collect()
     assert [r["new_id"] for r in out] == [10]
+
+
+def test_minhash_permutation_stays_in_int64(spark):
+    """r10 review: the historical 2^61-1 prime made a*x overflow int64
+    (silent wrap with ANSI off, ArithmeticException with ANSI on), so
+    the documented affine permutation was never computed. The new
+    default keeps products under 2^63 — pinned by asserting every
+    signature value lies in [0, prime) (a wrapped product went
+    negative through `%`), and by the loud guard on oversized moduli."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _minhash_signature,
+        shingle_hashes,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    sig = df.select(
+        _minhash_signature(
+            shingle_hashes(word_shingles(F.col("text"), 3), 42),
+            num_hashes=32,
+            prime=MINHASH_PRIME,
+            seed=42,
+        ).alias("sig")
+    ).collect()[0]["sig"]
+    assert len(sig) == 32
+    assert all(0 <= v < MINHASH_PRIME for v in sig), sig
+
+    with pytest.raises(ValueError, match="int64"):
+        df.select(
+            _minhash_signature(
+                shingle_hashes(word_shingles(F.col("text"), 3), 42),
+                num_hashes=2,
+                prime=(1 << 61) - 1,
+                seed=42,
+            )
+        )
+
+
+def test_simhash_excludes_contentless_docs(spark):
+    """Empty/NULL-text docs carry no signal: they must not fingerprint
+    (all empties shared one signature -> an all-pairs clique of
+    hamming-0 'duplicates' between documents with no content)."""
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real content here"),
+         (5, "real content here")],
+        "doc_id long, text string",
+    )
+    sigs = simhash_signatures(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in sigs} == {4, 5}
+    pairs = simhash_near_dup_pairs(df, "doc_id", "text").collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+
+
+def test_dedup_parameter_guards(spark):
+    """Raise-on-degenerate coverage for the r10 review findings:
+    exact_dedup keep typos, the __rn name collision, word_shingles
+    n=1 over an empty doc, and the bands-scaled incremental cap."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        exact_dedup,
+        incremental_near_dup,
+        latest_record_dedup,
+        minhash_signature_index,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="keep"):
+        exact_dedup(df, "text", "doc_id", keep="first")
+    with pytest.raises(ValueError, match="__rn"):
+        latest_record_dedup(
+            df.withColumn("__rn", F.lit(9)), ["doc_id"], ["text"]
+        )
+    # n=1 over an empty/NULL doc: [] not ['']
+    got = (
+        spark.createDataFrame([("",), (None,), ("x y",)], "t string")
+        .select(word_shingles(F.col("t"), 1).alias("s"))
+        .collect()
+    )
+    assert [list(r["s"]) for r in got] == [[], [], ["x", "y"]]
+    # the broadcast cap scales inversely with bands: 2 docs exceed the
+    # effective cap 8*8//32 = 2? no: cap = max(1, 8*8//32) = 2 -> need
+    # 3 docs; use max_batch_rows=4 with bands=32 -> cap 1, 2 docs raise
+    idx_b, idx_s = minhash_signature_index(
+        df, "doc_id", "text", num_hashes=32, bands=32
+    )
+    with pytest.raises(ValueError, match="bands=32"):
+        incremental_near_dup(
+            df, idx_b, idx_s, "doc_id", "text",
+            num_hashes=32, bands=32, max_batch_rows=4,
+        )
