@@ -419,43 +419,51 @@ Same methodology both sides (median-of-3, alphabetical order, sf0.1).
 Baseline: the BENCH_DETAIL.json committed in the r9 tree (the driver's
 own r9 run, total 146.8 s — the r9 verdict corroborated it at +4.5%
 over the earlier-committed 140.4 s, inside the noise band; using the
-tree's artifact keeps the comparison single-source). FIVE full runs
+tree's artifact keeps the comparison single-source). SIX full runs
 this round as the code accumulated (BPE gate -> NULL-id guards ->
-merge/table hardening), totals 135.4 / 145.4 / 134.3 / 192.4 / 146.5 s
-— the fourth ran on a visibly loaded box (15-min load avg 7.4; its
-worst "movers" were 2.4-3.6x on entries with zero code change, so it
-is disclosed and discarded as contaminated, the same box-state noise
-r9 calibrated at 175.0/147.9/152.0/140.4. The LAST run (quiet box,
-final code) is committed and every number below is bench_compare
-output against it.
+merge/table hardening -> dedup hardening), totals
+135.4 / 145.4 / 134.3 / 192.4 / 146.5 / 155.5 s — the fourth ran on a
+visibly loaded box (15-min load avg 7.4; its worst "movers" were
+2.4-3.6x on entries with zero code change, so it is disclosed and
+discarded as contaminated), the same box-state noise r9 calibrated at
+175.0/147.9/152.0/140.4. The LAST run (final code) is committed and
+every number below is bench_compare output against it; the quietest
+same-round run (134.3, common-111 -11.0%) brackets the low side.
 
-- common 111 entries: 146.8 -> 142.1 s (**-3.2%**); per-query ratio
-  distribution min 0.64 / q1 0.85 / median 0.95 / q3 1.05 / max 1.38 —
-  no mover outside the calibrated 1.4-1.7x single-query noise floor in
-  either direction attributable to code (worst: q17 0.43 -> 0.59,
-  ann_pq_adc 5.67 -> 7.63 — both code-untouched this round; the
-  third run, same-family code on a quieter box, read the common-111
-  at 130.6 s / -11.0%, bracketing the same conclusion).
-- entry added: `bpe_tokenize_docs` median 4.43 s (the cold run
+- common 111 entries: 146.8 -> 151.7 s (+3.3% on the committed run;
+  -11.0% on the quietest run — the spread IS the box); per-query
+  ratio distribution min 0.65 / q1 0.89 / median 0.98 / q3 1.12 /
+  max 1.49, no mover outside the calibrated 1.4-1.7x single-query
+  noise floor attributable to code (worst: substring_dedup
+  1.58 -> 2.36 — its only r10 change is a footer-cheap IsNull probe,
+  and it read 1.57/1.64 on two earlier same-code runs; token_stats
+  0.40 -> 0.55 and watermark 0.18 -> 0.23 are code-untouched).
+- entry added: `bpe_tokenize_docs` median 3.84 s (the cold run
   carries JIT + the first 6-merge training; every repeat retrains
   visibly, the ann_pq_adc_topk convention). Registry 113 -> 114;
-  headline total 146.5 s over 112 benched entries.
-- the r9-flagged watch item `streaming_corpus_stats` re-read 6.75 s
-  in-suite (vs 7.25 driver r9) — unchanged, now ATTRIBUTED (see the
-  stage table below) and closed: ~93% fixed micro-batch machinery,
-  bounded per batch, 1.2x at 10x data.
-- **the merge/table hardening is free**: on the committed run the
-  five re-windowed gates read merge_upsert 0.65 (r9) -> 0.68,
-  merge_delete_window 0.76 -> 0.77, schema_evolution_merge
-  0.94 -> 0.61, salesforce_incremental_upsert 1.29 -> 1.06,
-  zorder_layout 2.50 -> 2.88 — the null-safe anti-join conditions
-  compile to the same keyed hash joins. table_change_feed_events
-  3.06 (driver r9) -> 3.12: flat.
+  headline total 155.5 s over 112 benched entries.
+- the r9-flagged watch item `streaming_corpus_stats` read 6.7-7.2 s
+  across the five usable runs (9.05 on the committed noisier one; vs
+  7.25 driver r9) — code-unchanged, now ATTRIBUTED (see the stage
+  table below) and closed: ~93% fixed micro-batch machinery, bounded
+  per batch, 1.2x at 10x data.
+- **the merge/table hardening is free**: merge_upsert 0.65 (r9) ->
+  0.61, merge_delete_window 0.76 -> 0.60, schema_evolution_merge
+  0.94 -> 0.62, salesforce_incremental_upsert 1.29 -> 1.10 — the
+  null-safe anti-join conditions compile to the same keyed hash
+  joins.
+- **the dedup hardening is free**: under the fixed MinHash
+  permutation (2^31-1 prime — same arithmetic shape, now actually
+  affine and ANSI-portable) minhash_near_dup 1.28 (r9) -> 1.49,
+  incremental_minhash_ingest 1.99 -> 1.82, curate_documents
+  6.87 -> 6.27, near_dup_clusters 2.76 -> 2.19; simhash with the
+  content-less-doc exclusion 0.63 -> 0.68. All inside the per-query
+  noise floor, several improved.
 - the NULL-id guards cost what the pushdown argument predicted —
-  nothing visible: scrub_boilerplate 2.30 (r9) -> 1.99,
-  substring_dedup 1.58 -> 1.57, semantic_dedup_embeddings
-  2.20 -> 2.04; each probe is an IsNull take(1) that parquet
-  statistics answer from footers.
+  nothing visible beyond noise: each probe is an IsNull take(1) that
+  parquet statistics answer from footers (scrub_boilerplate
+  2.30 (r9) -> 2.47 on this run, 1.71/1.99 on the two earlier
+  post-guard runs).
 
 ## streaming_corpus_stats — stage cost attribution (round 10, VERDICT #3)
 
