@@ -5,6 +5,14 @@ zip_with/aggregate arithmetic — JVM-side, no UDFs); random-hyperplane
 LSH bucketing is the scale path (candidates shrink from |corpus| to a
 bucket, trading recall). Both keep the query side broadcast so the
 corpus never shuffles.
+
+Input contracts (shared by every search path): zero-norm vectors are
+EXCLUDED before any candidate join (no direction; their NaN cosine
+would rank first and pass every threshold under Spark's NaN ordering);
+NULL-id rows in a SEARCH corpus are excluded by the id-comparison
+filters (a self-pair cannot be recognized for them) — the dedup-role
+``embedding_near_dup_pairs`` additionally probes and raises, because
+there a silently exempt row corrupts the result.
 """
 
 from __future__ import annotations
@@ -55,7 +63,14 @@ def dot_arrow(a: Column, b: Column) -> Column:
     Degenerate inputs match the expression it is a drop-in for: NULL
     on either side -> NULL, both empty -> 0.0, mismatched lengths ->
     NULL (zip_with pads the short side with NULL, which the fold
-    propagates). The vectorized stack runs only when the batch is
+    propagates). ONE documented divergence: a NaN ELEMENT in an input
+    vector yields NaN from the expression form but NULL from this
+    kernel — Spark's Arrow serializer masks pandas NaN to SQL NULL on
+    return (verified; nullable Float64 masks identically). Callers
+    must exclude NaN-poisoned vectors before the pair scan; the only
+    kernel consumer (semantic_dedup) already does — its norm guard
+    ``na > 0`` is false for a NaN norm, so such rows never reach the
+    kernel. The vectorized stack runs only when the batch is
     uniform non-null; a batch with any degenerate row falls back to a
     row-at-a-time fold with identical left-to-right IEEE order."""
     if not _DOT_ARROW:
@@ -106,8 +121,47 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """Pair score from PRE-COMPUTED per-row norms — the one scoring
+    definition every candidate path shares (fix semantics HERE, once).
+    Inputs must come from relations that already excluded zero-norm
+    vectors (see ``_nonzero``): 0/0 would be NaN, which Spark's
+    ordering ranks ABOVE every real cosine and its comparisons treat
+    as >= any threshold — a zero vector would top every top-k and
+    near-dup every row it met."""
+    return dot(qv, cv) / (qn * cn)
+
+
+def _nonzero(df: DataFrame, norm_col: str) -> DataFrame:
+    """Drop zero-norm vectors before any candidate join: a zero vector
+    has no direction, and its NaN cosine poisons both the threshold
+    filter (NaN >= t is TRUE) and the rank window (NaN sorts first
+    desc) — the exact failure operators/semantic.py guards with
+    (na > 0) & (nb > 0)."""
+    return df.filter(F.col(norm_col) > 0)
+
+
 def _as_double(col: Column) -> Column:
     return col.cast("array<double>")
+
+
+def _dim_checked(vec: Column, dim: int, fn_name: str) -> Column:
+    """``vec`` with an action-time width guard (the semantic.py
+    _guarded_vec pattern): a vector whose length disagrees with the
+    hyperplane/centroid width would zip_with-pad to NULL, giving every
+    row a NULL bucket/list — an equi-join that matches nothing and a
+    silently EMPTY result instead of an error."""
+    return F.when(F.size(vec) == dim, vec).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{fn_name}: embedding length "
+                ),
+                F.size(vec).cast("string"),
+                F.lit(f" != expected dim {dim}"),
+            )
+        )
+    )
 
 
 def brute_force_topk(
@@ -125,19 +179,27 @@ def brute_force_topk(
     query id for the per-query top-k window. Deterministic tie-break on
     neighbor id.
     """
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
-    ).withColumn("__qn", norm(F.col("__qv")))
-    c = ensure_parallelism(corpus).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    ).withColumn("__cn", norm(F.col("__cv")))
+    q = _nonzero(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("__qv"),
+        ).withColumn("__qn", norm(F.col("__qv"))),
+        "__qn",
+    )
+    c = _nonzero(
+        ensure_parallelism(corpus).select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("__cv"),
+        ).withColumn("__cn", norm(F.col("__cv"))),
+        "__cn",
+    )
     pairs = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     # per-row norms precomputed before the join (see embedding_near_dup_pairs)
     scored = pairs.withColumn(
         "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
     )
     return _topk_over_pairs(scored, k)
 
@@ -161,10 +223,11 @@ def rp_lsh_bucket(
             f"rp_lsh_bucket packs one sign bit per plane into a long: "
             f"max 62 planes, got {len(planes)}"
         )
+    v = _dim_checked(_as_double(vec), len(planes[0]), "rp_lsh_bucket")
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (dot(_as_double(vec), plane) > 0).cast("long")
+        bit = (dot(v, plane) > 0).cast("long")
         bucket = bucket + bit * F.lit(1 << i)
     return bucket
 
@@ -178,9 +241,16 @@ def embedding_near_dup_pairs(
     dim: int = 64,
     seed: int = 42,
     max_rows: int | None = 100_000,
+    check_ids: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
     threshold).
+
+    ``id_col`` must be non-NULL for the DEDUP role (the id inequality
+    silently exempts NULL-id rows from every pair) — probed by default
+    via session.require_non_null_ids, ``check_ids=False`` to opt out.
+    Zero-norm vectors are excluded on both sides (no direction — their
+    NaN cosine would pass any threshold under Spark's NaN ordering).
 
     ``n_planes=0`` is the exact O(n²) baseline (self cross-join with an
     id inequality — only viable on small corpora / within blocks).
@@ -198,6 +268,10 @@ def embedding_near_dup_pairs(
     path and is never capped. Pass ``max_rows=None`` to explicitly opt
     out.
     """
+    if check_ids:
+        from cdk_datalake_ingest_spark.session import require_non_null_ids
+
+        require_non_null_ids(corpus, id_col, "embedding_near_dup_pairs")
     if n_planes <= 0 and max_rows is not None:
         # limit(n+1).count() short-circuits after max_rows+1 rows — the
         # guardrail must not itself pay a full corpus scan.
@@ -212,12 +286,18 @@ def embedding_near_dup_pairs(
     # norms precomputed per ROW, not per pair: inside the join each
     # candidate pair would otherwise re-run two 64-element folds —
     # O(n) fold work instead of O(candidate-pairs).
-    a = corpus.select(
-        F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
-    ).withColumn("__na", norm(F.col("__va")))
-    b = corpus.select(
-        F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
-    ).withColumn("__nb", norm(F.col("__vb")))
+    a = _nonzero(
+        corpus.select(
+            F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("__va")
+        ).withColumn("__na", norm(F.col("__va"))),
+        "__na",
+    )
+    b = _nonzero(
+        corpus.select(
+            F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("__vb")
+        ).withColumn("__nb", norm(F.col("__vb"))),
+        "__nb",
+    )
     if n_planes > 0:
         planes = hyperplanes(dim, n_planes, seed)
         a = a.withColumn("__bucket", rp_lsh_bucket(F.col("__va"), planes))
@@ -225,7 +305,7 @@ def embedding_near_dup_pairs(
         pairs = a.join(b, on="__bucket")
     else:
         pairs = a.join(b, how="cross")
-    score = dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    score = scored_cosine(F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb"))
     return (
         pairs.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", score)
@@ -268,6 +348,7 @@ def _lsh_topk_impl(
         _as_double(F.col(vec_col)).alias("__qv"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     ).withColumn("__qn", norm(F.col("__qv")))
+    q = _nonzero(q, "__qn")
     if probe_hamming >= 1:
         probe_set = F.array(
             F.col("__bucket"),
@@ -286,13 +367,14 @@ def _lsh_topk_impl(
         _as_double(F.col(vec_col)).alias("__cv"),
         rp_lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
     ).withColumn("__cn", norm(F.col("__cv")))
+    c = _nonzero(c, "__cn")
     pairs = c.join(F.broadcast(q), on="__bucket")
     if exclude_self:
         pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     # per-row norms precomputed before the join (same as brute_force_topk)
     scored = pairs.withColumn(
         "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
     )
     return _topk_over_pairs(scored, k)
 
@@ -364,12 +446,22 @@ def ivf_topk(
     # no shuffle (the property that matters at 100 TB).
     cents = F.lit([list(c) for c in centroids])
 
+    dim = len(centroids[0])
+
     def _nearest_lists(vec: Column, n: int) -> Column:
-        """array of the n list ids (1-based) with highest cosine."""
+        """array of the n list ids (1-based) by centroid affinity.
+
+        Ranking score is dot(vec, cv)/norm(cv), NOT full cosine: the
+        1/norm(vec) factor is constant across centroids (ranking-
+        invariant) and, captured inside the transform lambda, would
+        re-run an O(dim) interpreted fold PER CENTROID per row — the
+        repo's documented HOF-capture pitfall. The oracle (_IVF_COS /
+        _IVF_KM_COS) drops the same factor."""
+        v = _dim_checked(vec, dim, "ivf_topk")
         scored = F.transform(
             cents,
             lambda cv, i: F.struct(
-                cosine(vec, cv).alias("cos"),
+                (dot(v, cv) / F.sqrt(dot(cv, cv))).alias("cos"),
                 (i + 1).cast("integer").alias("list_id"),
             ),
         )
@@ -403,7 +495,7 @@ def ivf_topk(
     # pair is one dot product, not three O(dim) folds
     scored = pairs.withColumn(
         "cosine",
-        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        scored_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")),
     )
     return _topk_over_pairs(scored, k)
 

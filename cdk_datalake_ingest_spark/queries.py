@@ -3029,9 +3029,13 @@ UNION ALL
 SELECT *, 'probe1' AS variant FROM ({ANN_LSH_MULTIPROBE_SQL})
 """
 
+# Assignment affinity mirrors similarity.py:_nearest_lists —
+# dot(v,cv)/norm(cv), WITHOUT the 1/norm(v) factor: it is constant
+# across centroids (ranking-invariant) and in Spark it would re-run an
+# O(dim) interpreted fold per centroid inside the transform lambda.
 _IVF_COS = (
     f"({_SQL_DOT.format(a='v', b='cv')} / "
-    f"(sqrt({_SQL_DOT.format(a='v', b='v')}) * sqrt({_SQL_DOT.format(a='cv', b='cv')})))"
+    f"sqrt({_SQL_DOT.format(a='cv', b='cv')}))"
 )
 
 # Mirrors ivf_topk: centroids = 16 smallest vec_ids; ties in centroid
@@ -5879,9 +5883,10 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+# same ranking-invariant drop of the 1/norm(v) factor as _IVF_COS
 _IVF_KM_COS = (
     f"({_km_dot_sql('c.v', 'ct.cv')} / "
-    f"(sqrt({_km_dot_sql('c.v', 'c.v')}) * sqrt({_km_dot_sql('ct.cv', 'ct.cv')})))"
+    f"sqrt({_km_dot_sql('ct.cv', 'ct.cv')}))"
 )
 
 # k-means CTEs (k=16) then the IVF probe logic of ANN_IVF_SQL with
@@ -6679,15 +6684,18 @@ WHERE r_name = 'AMERICA'
 # the merge/restore/zorder gates over the review-hardened table
 # machinery (null-safe merge keys everywhere, orphan-claim fencing
 # in versions/read/history/vacuum, changes_between key-span check,
-# lock-incarnation-checked unlink), and the two behaviorally-changed
+# lock-incarnation-checked unlink), the two behaviorally-changed
 # dedup gates from the second sweep (minhash prime fix — the 2^61-1
 # default overflowed the a*x+b permutation; simhash now excludes
-# content-less docs, mirrored in its oracle); (c) 18 of the 43
-# r8-fresh entries, in their standing heaviest-first order.  The 25
-# r8-fresh leftovers (ann_ivf_topk .. hash_embed_docs — displaced by
-# the code-changed gates) sit at tail positions 51-75 at their
-# 3-round bound and MUST lead the r11 window; the r9-fresh entries
-# follow.
+# content-less docs, mirrored in its oracle), and the two IVF gates
+# whose centroid-affinity expression changed in the third sweep
+# (ranking-invariant 1/norm(v) drop, mirrored in the oracles; the
+# similarity zero-norm/dim guards are latent on the fixtures and
+# locally re-attested); (c) 16 of the 43 r8-fresh entries, in their
+# standing heaviest-first order.  The 27 r8-fresh leftovers
+# (q10/q12/kmeans_train .. hash_embed_docs — displaced by the
+# code-changed gates) sit at tail positions 51-77 at their 3-round
+# bound and MUST lead the r11 window; the r9-fresh entries follow.
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
@@ -6738,8 +6746,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "orders_without_lineitems": orders_without_lineitems,
     "customers_with_open_orders": customers_with_open_orders,
@@ -6757,12 +6763,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # sweep (minhash prime fix; simhash content-less exclusion)
     "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
+    # ... and the two IVF gates whose centroid-affinity expression
+    # changed in the similarity sweep (ranking-invariant 1/norm(v)
+    # drop, mirrored in _IVF_COS/_IVF_KM_COS)
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     # ---- tail: beyond the driver's 50-entry window ----
     # 25 r8-fresh leftovers at their 3-round bound: MUST lead r11
+    # (+ q10/q12, displaced by the IVF pair)
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
     # (jdbc/watermark displaced by the guard-touched scrub gates;
     # ann_ivf/kmeans_train/decontaminate pair/multimodal displaced by
     # the review-hardened merge/zorder gates)
-    "ann_ivf_topk": ann_ivf_topk,
     "kmeans_train_hash_docs": kmeans_train_hash_docs,
     "decontaminate_docs": decontaminate_docs,
     "decontaminate_multi_docs": decontaminate_multi_docs,
@@ -6815,7 +6828,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "perplexity_buckets_docs": perplexity_buckets_docs,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "streaming_corpus_stats": streaming_corpus_stats,
     "sessionize_events": sessionize_events,
     "asof_purchase_click": asof_purchase_click,

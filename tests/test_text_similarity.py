@@ -360,3 +360,47 @@ def test_dot_arrow_matches_expression_on_degenerate_inputs(spark):
         dot(F.col("a"), F.col("b")).alias("e"),
     ).first()
     assert r["k"] == r["e"] == 3.0
+
+
+def test_similarity_guards_zero_norm_and_dim(spark):
+    """r10 review: zero-norm vectors produced NaN cosine, which
+    Spark's ordering ranks ABOVE every real value (tops every top-k)
+    and whose threshold compare passes (near-dups everything in its
+    bucket) — now excluded on both sides. A dim/plane-width mismatch
+    NULL-padded zip_with and returned a silently EMPTY result — now
+    raises at action time."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        lsh_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm: no direction
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    top = brute_force_topk(df, df, k=1).collect()
+    by_q = {r["query_id"]: r["neighbor_id"] for r in top}
+    # the zero vector is neither a query nor anyone's neighbor
+    assert by_q == {1: 2, 2: 1}
+    pairs = embedding_near_dup_pairs(df, threshold=0.9, dim=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
+
+    # width mismatch: loud action-time raise, not an empty result
+    with pytest.raises(SparkRuntimeException, match="expected dim"):
+        lsh_topk(df, df, k=1, n_planes=4, dim=8).collect()
+
+    # NULL id in the dedup role: probed and raised
+    bad = spark.createDataFrame(
+        [(None, [1.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        embedding_near_dup_pairs(bad, threshold=0.5, dim=4)
