@@ -7,12 +7,21 @@ bucket, trading recall). Both keep the query side broadcast so the
 corpus never shuffles.
 
 Input contracts (shared by every search path): zero-norm vectors are
-EXCLUDED before any candidate join (no direction; their NaN cosine
-would rank first and pass every threshold under Spark's NaN ordering);
-NULL-id rows in a SEARCH corpus are excluded by the id-comparison
-filters (a self-pair cannot be recognized for them) — the dedup-role
-``embedding_near_dup_pairs`` additionally probes and raises, because
-there a silently exempt row corrupts the result.
+EXCLUDED before any candidate join — a zero vector has no direction,
+and under this engine's non-ANSI session Spark's double division by a
+zero divisor returns NULL (verified; NOT IEEE NaN), so its cosine
+would be NULL: excluded by every threshold and ranked last, but still
+EMITTED as a candidate row that can fill top-k slots with NULL scores.
+The exclusion exists so every output row carries a well-defined
+cosine, not to fend off NaN poisoning.  (NaN CAN still arise from
+NaN-poisoned input elements — dot propagates them — and Spark ranks
+NaN above every real value; callers must not feed NaN elements.)
+NULL-vector rows are dropped by the same norm filter (norm(NULL) is
+NULL, NULL > 0 is false) in every path.  NULL-id rows in a SEARCH
+corpus are excluded by the id-comparison filters (a self-pair cannot
+be recognized for them) — the dedup-role ``embedding_near_dup_pairs``
+additionally probes and raises, because there a silently exempt row
+corrupts the result.
 """
 
 from __future__ import annotations
@@ -125,19 +134,22 @@ def scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     """Pair score from PRE-COMPUTED per-row norms — the one scoring
     definition every candidate path shares (fix semantics HERE, once).
     Inputs must come from relations that already excluded zero-norm
-    vectors (see ``_nonzero``): 0/0 would be NaN, which Spark's
-    ordering ranks ABOVE every real cosine and its comparisons treat
-    as >= any threshold — a zero vector would top every top-k and
-    near-dup every row it met."""
+    vectors (see ``_nonzero``): under the engine's non-ANSI session
+    0/0 on doubles is NULL (verified, not NaN) — excluded by
+    thresholds and ranked last, but still emitted as a candidate row
+    with a NULL score that can occupy top-k slots. The upstream
+    exclusion keeps every emitted cosine well-defined."""
     return dot(qv, cv) / (qn * cn)
 
 
 def _nonzero(df: DataFrame, norm_col: str) -> DataFrame:
-    """Drop zero-norm vectors before any candidate join: a zero vector
-    has no direction, and its NaN cosine poisons both the threshold
-    filter (NaN >= t is TRUE) and the rank window (NaN sorts first
-    desc) — the exact failure operators/semantic.py guards with
-    (na > 0) & (nb > 0)."""
+    """Drop zero-norm (and NULL-vector: norm(NULL) is NULL, NULL > 0
+    is false) rows before any candidate join: a zero vector has no
+    direction, and under the non-ANSI session its 0/0 cosine is NULL —
+    not matched by thresholds and ranked last, but still a candidate
+    ROW that would fill top-k slots with NULL scores. Excluding it
+    here keeps every emitted cosine well-defined — the same contract
+    operators/semantic.py enforces with (na > 0) & (nb > 0)."""
     return df.filter(F.col(norm_col) > 0)
 
 
@@ -150,8 +162,16 @@ def _dim_checked(vec: Column, dim: int, fn_name: str) -> Column:
     _guarded_vec pattern): a vector whose length disagrees with the
     hyperplane/centroid width would zip_with-pad to NULL, giving every
     row a NULL bucket/list — an equi-join that matches nothing and a
-    silently EMPTY result instead of an error."""
-    return F.when(F.size(vec) == dim, vec).otherwise(
+    silently EMPTY result instead of an error.
+
+    NULL vectors pass THROUGH (first when-branch): every search path
+    silently drops them downstream — the norm filter/_nonzero excludes
+    them, and a NULL bucket/list never equi-joins — and the guard must
+    not turn that shared drop contract into a hard failure (size(NULL)
+    is -1 under the non-ANSI session and would hit raise_error with a
+    misleading 'length -1' message). The raise stays reserved for
+    genuine width mismatches."""
+    return F.when(vec.isNull(), vec).when(F.size(vec) == dim, vec).otherwise(
         F.raise_error(
             F.concat(
                 F.lit(
@@ -468,21 +488,27 @@ def ivf_topk(
         ordered = F.reverse(F.array_sort(scored))
         return F.transform(F.slice(ordered, 1, n), lambda s: s["list_id"])
 
-    c = (
+    # zero-norm/NULL vectors excluded BEFORE list assignment (the
+    # module's shared input contract — brute/lsh do the same): a
+    # surviving zero-norm row would emit NULL-cosine candidate rows
+    # into the top-k window
+    c = _nonzero(
         ensure_parallelism(corpus)
         .select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("__cv"),
         )
-        .withColumn("__cn", norm(F.col("__cv")))
-        .withColumn("__list", _nearest_lists(F.col("__cv"), 1)[0])
-    )
+        .withColumn("__cn", norm(F.col("__cv"))),
+        "__cn",
+    ).withColumn("__list", _nearest_lists(F.col("__cv"), 1)[0])
     q = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            _as_double(F.col(vec_col)).alias("__qv"),
+        _nonzero(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                _as_double(F.col(vec_col)).alias("__qv"),
+            ).withColumn("__qn", norm(F.col("__qv"))),
+            "__qn",
         )
-        .withColumn("__qn", norm(F.col("__qv")))
         .withColumn("__probe", _nearest_lists(F.col("__qv"), n_probe))
         .withColumn("__list", F.explode("__probe"))
     )

@@ -372,16 +372,19 @@ def scrub_boilerplate(
     UDFs. Documents with no flagged spans pass through unchanged
     (left join). Output: ``(id_col, clean_text, n_removed_tokens)``.
 
-    ``id_col`` must be non-NULL (the covered-position rejoin is
-    name-keyed; a NULL id would come back UNSCRUBBED) — probed by
-    default, see session.require_non_null_ids."""
+    ``id_col`` must be UNIQUE and non-NULL (the covered-position
+    rejoin is name-keyed: a NULL id would come back UNSCRUBBED, and a
+    duplicated id would merge two documents' covered positions and
+    cross-scrub both) — probed by default, see
+    session.require_unique_non_null_ids (one key-pruned groupBy job;
+    ``check_ids=False`` skips it when the key is guaranteed)."""
     from cdk_datalake_ingest_spark.session import (
         ensure_parallelism,
-        require_non_null_ids,
+        require_unique_non_null_ids,
     )
 
     if check_ids:
-        require_non_null_ids(docs, id_col, "scrub_boilerplate")
+        require_unique_non_null_ids(docs, id_col, "scrub_boilerplate")
     docs = ensure_parallelism(docs)
     frequent = F.broadcast(
         boilerplate_ngrams(
@@ -471,12 +474,15 @@ def dedup_substrings(
     raw window text, so the gate cross-checks the hashed path against
     the exact one.
 
-    ``id_col`` must be non-NULL (it keys both the MIN-survivor struct
-    and the covered-position rejoin; a NULL id would come back with
-    its duplicated spans INTACT) — probed by default."""
+    ``id_col`` must be UNIQUE and non-NULL (it keys both the
+    MIN-survivor struct and the covered-position rejoin; a NULL id
+    would come back with its duplicated spans INTACT, and a duplicated
+    id would merge two documents' covered spans and rewrite both with
+    the union) — probed by default via
+    session.require_unique_non_null_ids (one key-pruned groupBy job)."""
     from cdk_datalake_ingest_spark.session import (
         ensure_parallelism,
-        require_non_null_ids,
+        require_unique_non_null_ids,
     )
 
     if length < 1:
@@ -484,7 +490,7 @@ def dedup_substrings(
             f"dedup_substrings: window length must be >= 1, got {length}"
         )
     if check_ids:
-        require_non_null_ids(docs, id_col, "dedup_substrings")
+        require_unique_non_null_ids(docs, id_col, "dedup_substrings")
     docs = ensure_parallelism(docs)
     wins = (
         docs.select(
@@ -736,9 +742,12 @@ def bpe_tokenize(
     per-occurrence interpreted chains.  ``id_col`` must be unique and
     non-NULL per row (it keys the reassembly: a NULL id would lump
     every NULL-keyed row into one group and then drop their tokens in
-    the name-based rejoin — silent data loss, so vocab mode PROBES for
-    NULL ids and raises; ``check_ids=False`` skips the probe, one
-    column-pruned scan, when the caller already guarantees it).
+    the name-based rejoin, and a DUPLICATED id would merge two
+    documents' tokens and attach the merged stream to both rows —
+    silent data loss either way, so vocab mode PROBES for both via
+    session.require_unique_non_null_ids and raises;
+    ``check_ids=False`` skips the probe, one key-pruned groupBy job,
+    when the caller already guarantees it).
     Pre-existing ``out_col`` columns are replaced, NULL ``text_col``
     rows yield NULL tokens — both exactly as in inline mode.
 
@@ -757,10 +766,28 @@ def bpe_tokenize(
     (128 merges 2.33 s, 512 merges 7.17 s) because added stages are
     vocabulary-sized.  Inline remains the auto choice only for toy
     models (<= :data:`BPE_AUTO_INLINE_MAX`) where its no-shuffle,
-    no-``id_col`` pure-map shape matters more than the chain cost."""
+    no-``id_col`` pure-map shape matters more than the chain cost —
+    plus one capability fallback: on a KEYLESS frame (no ``id_col``)
+    auto keeps dispatching inline up to
+    :data:`BPE_SEGMENT_MAX_MERGES`, trading the vocab path's speed
+    for the only shape that needs no reassembly key; keyless frames
+    with longer models raise (no correct path exists)."""
     merges = list(merges)
     if mode == "auto":
         mode = "inline" if len(merges) <= BPE_AUTO_INLINE_MAX else "vocab"
+        # capability floor on KEYLESS frames: vocab needs id_col for
+        # its reassembly, but a model inside the single-expression
+        # bound always has a working inline path — auto must prefer
+        # the slower-but-correct dispatch over a spurious id_col raise
+        # (the pre-vocab staged path accepted these inputs).  Keyless
+        # + >32 merges still raises below: there is no path that can
+        # both skip the reassembly key and bound the expression tree.
+        if (
+            mode == "vocab"
+            and id_col not in docs.columns
+            and len(merges) <= BPE_SEGMENT_MAX_MERGES
+        ):
+            mode = "inline"
     if mode == "inline":
         # bpe_segment raises past the expression-depth bound; at that
         # size the right shape is vocab memoization, not staging
@@ -792,9 +819,11 @@ def bpe_tokenize(
             "mode='inline' for short models on keyless frames"
         )
     if check_ids:
-        from cdk_datalake_ingest_spark.session import require_non_null_ids
+        from cdk_datalake_ingest_spark.session import (
+            require_unique_non_null_ids,
+        )
 
-        require_non_null_ids(docs, id_col, "bpe_tokenize (vocab mode)")
+        require_unique_non_null_ids(docs, id_col, "bpe_tokenize (vocab mode)")
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),

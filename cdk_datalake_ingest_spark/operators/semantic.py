@@ -276,10 +276,13 @@ def semantic_dedup(
     neighbor whose cosine (rounded to 6) is >= threshold; survivors
     come back as ``(id_col, cluster_id)``.
 
-    ``id_col`` must be non-NULL: the smaller-id duplicate test and the
-    survivor anti-join are both id-keyed, so a NULL-id near-duplicate
-    would never be evicted (probed by default —
-    session.require_non_null_ids; ``check_ids=False`` opts out).
+    ``id_col`` must be UNIQUE and non-NULL: the smaller-id duplicate
+    test and the survivor anti-join are both id-keyed, so a NULL-id
+    near-duplicate would never be evicted, and a duplicated id makes
+    eviction ill-defined (the anti-join drops or keeps BOTH rows
+    together). Probed by default —
+    session.require_unique_non_null_ids (one key-pruned groupBy job);
+    ``check_ids=False`` opts out.
 
     The duplicate test is cluster-local (equi-join on cluster_id with
     an id inequality), so the quadratic term is bounded by the largest
@@ -316,9 +319,11 @@ def semantic_dedup(
     DataFrame themselves.
     """
     if check_ids:
-        from cdk_datalake_ingest_spark.session import require_non_null_ids
+        from cdk_datalake_ingest_spark.session import (
+            require_unique_non_null_ids,
+        )
 
-        require_non_null_ids(corpus, id_col, "semantic_dedup")
+        require_unique_non_null_ids(corpus, id_col, "semantic_dedup")
     if centroids is not None:
         cents = [list(c) for c in centroids]
         dim = _centroid_dim(cents, "semantic_dedup")

@@ -103,6 +103,51 @@ def require_non_null_ids(df, id_col: str, caller: str) -> None:
         )
 
 
+def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
+    """Probe that a row-identity column is non-NULL AND unique, and
+    raise — the guard for operators that REASSEMBLE results by
+    ``id_col`` (bpe_tokenize vocab, scrub_boilerplate,
+    dedup_substrings, semantic_dedup).  NULL is one failure mode
+    (name-keyed joins never match NULL — see
+    :func:`require_non_null_ids`); a DUPLICATED id is the other, same
+    silent-wrong-output class: the groupBy lumps two documents' pieces
+    into one group and the name-keyed rejoin attaches the merged
+    result to BOTH rows — tokens interleaved, text cross-scrubbed —
+    with no error anywhere.
+
+    Cost: ONE aggregation job — a column-pruned groupBy(id).count()
+    (map-side partial agg on unique-ish keys) filtered to offenders,
+    take(1)-short-circuited.  Unlike the NULL-only probe it cannot be
+    answered from parquet footers (uniqueness is a cross-row
+    property), so it scans the key column once; callers composing
+    mid-pipeline pass their operator's ``check_ids=False`` when the
+    key is already guaranteed."""
+    bad = (
+        df.groupBy(F.col(id_col).alias("__id"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__id").isNull() | (F.col("__n") > 1))
+        .take(1)
+    )
+    if bad:
+        row = bad[0]
+        if row["__id"] is None:
+            raise ValueError(
+                f"{caller}: found NULL values in id column {id_col!r} — "
+                "name-keyed reassembly/anti-joins never match NULL, so "
+                "the result would be silently wrong for those rows. "
+                "Provide a non-NULL unique key (or pass check_ids=False "
+                "to skip this probe when the key is already guaranteed)"
+            )
+        raise ValueError(
+            f"{caller}: id column {id_col!r} is not unique (e.g. value "
+            f"{row['__id']!r} appears {row['__n']} times) — the id-keyed "
+            "reassembly would silently MERGE those rows' results and "
+            "attach the merged output to every duplicate. Provide a "
+            "unique key (or pass check_ids=False to skip this probe "
+            "when the key is already guaranteed)"
+        )
+
+
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 

@@ -262,10 +262,26 @@ def test_bpe_tokenize_corpus_and_modes(spark):
     plan = bpe_tokenize(df, mid)._jdf.queryExecution().executedPlan().toString()
     assert "RLIKE(lambda" not in plan  # per-occurrence guard absent
 
-    # vocab mode on a keyless frame fails with guidance, not a
-    # mid-plan unresolved-column error
+    # KEYLESS frames (ADVICE r10 capability regression, fixed): auto
+    # keeps dispatching inline up to the expression bound — the only
+    # shape needing no reassembly key — with identical tokens ...
+    keyless = df.drop("doc_id")
+    got_k = [
+        sorted(map(list, (r["bpe_tokens"] for r in rows)))
+        for rows in (
+            bpe_tokenize(keyless, mid).collect(),  # auto -> inline
+            bpe_tokenize(df, mid).collect(),
+        )
+    ]
+    assert got_k[0] == got_k[1]
+    # ... explicit vocab mode still fails with guidance, not a
+    # mid-plan unresolved-column error ...
     with pytest.raises(ValueError, match="id_col"):
-        bpe_tokenize(df.drop("doc_id"), mid)
+        bpe_tokenize(keyless, mid, mode="vocab")
+    # ... and a long model on a keyless frame has NO correct path:
+    # auto raises (inline would stack-overflow, vocab has no key)
+    with pytest.raises(ValueError, match="id_col"):
+        bpe_tokenize(keyless, padded)
 
 
 def test_bpe_model_persists_through_managed_table(spark, tmp_path):

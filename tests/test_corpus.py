@@ -571,3 +571,46 @@ def test_id_keyed_reassembly_refuses_null_ids(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         semantic_dedup(emb, k=1, iters=0, dim=2)
+
+
+def test_id_keyed_reassembly_refuses_duplicate_ids(spark):
+    """The r10 verdict's residual sharp edge, closed: the guard
+    checked NULL but not UNIQUENESS, so a duplicated doc_id silently
+    merged two documents' results in the id-keyed groupBy and attached
+    the merged output to BOTH rows in the name-keyed rejoin — the same
+    silently-wrong-output class as the NULL-id bug. All four
+    reassembly operators now probe via
+    session.require_unique_non_null_ids (one key-pruned groupBy job)
+    and raise; check_ids=False still opts out."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        bpe_tokenize,
+        dedup_substrings,
+        scrub_boilerplate,
+    )
+    from cdk_datalake_ingest_spark.operators.semantic import semantic_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (7, "spam spam spam spam"),
+            (7, "completely different words here"),  # duplicated key
+            (2, "spam spam spam spam"),
+        ],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        scrub_boilerplate(docs, n=2, min_doc_freq=2)
+    with pytest.raises(ValueError, match="not unique"):
+        dedup_substrings(docs, length=2)
+    with pytest.raises(ValueError, match="not unique"):
+        bpe_tokenize(docs, [("s", "p")], mode="vocab")
+    # opt-out path still runs (documented: caller owns the guarantee)
+    assert dedup_substrings(docs, length=2, check_ids=False).count() == 3
+
+    emb = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (7, [0.0, 1.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        semantic_dedup(emb, k=1, iters=0, dim=2)

@@ -363,18 +363,20 @@ def test_dot_arrow_matches_expression_on_degenerate_inputs(spark):
 
 
 def test_similarity_guards_zero_norm_and_dim(spark):
-    """r10 review: zero-norm vectors produced NaN cosine, which
-    Spark's ordering ranks ABOVE every real value (tops every top-k)
-    and whose threshold compare passes (near-dups everything in its
-    bucket) — now excluded on both sides. A dim/plane-width mismatch
-    NULL-padded zip_with and returned a silently EMPTY result — now
-    raises at action time."""
+    """r10 review (wording corrected r11): a zero-norm vector's 0/0
+    cosine is NULL under the non-ANSI session — never matched by
+    thresholds and ranked last, but still an emitted candidate ROW
+    that fills top-k slots with NULL scores — so both sides exclude
+    them in EVERY search path (r11 closed the ivf_topk gap). A
+    dim/plane-width mismatch NULL-padded zip_with and returned a
+    silently EMPTY result — now raises at action time."""
     import pytest
     from pyspark.errors.exceptions.captured import SparkRuntimeException
 
     from cdk_datalake_ingest_spark.functions.similarity import (
         brute_force_topk,
         embedding_near_dup_pairs,
+        ivf_topk,
         lsh_topk,
     )
 
@@ -390,6 +392,11 @@ def test_similarity_guards_zero_norm_and_dim(spark):
     by_q = {r["query_id"]: r["neighbor_id"] for r in top}
     # the zero vector is neither a query nor anyone's neighbor
     assert by_q == {1: 2, 2: 1}
+    # ivf_topk honors the same contract (ADVICE r10: it didn't — a
+    # zero-norm query returned a bogus rank-1 row with NULL cosine)
+    ivf = ivf_topk(df, df, k=1, n_centroids=2, n_probe=2).collect()
+    assert {r["query_id"]: r["neighbor_id"] for r in ivf} == {1: 2, 2: 1}
+    assert all(r["cosine"] is not None for r in ivf)
     pairs = embedding_near_dup_pairs(df, threshold=0.9, dim=4).collect()
     assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
 
@@ -404,3 +411,41 @@ def test_similarity_guards_zero_norm_and_dim(spark):
     )
     with pytest.raises(ValueError, match="NULL"):
         embedding_near_dup_pairs(bad, threshold=0.5, dim=4)
+
+
+def test_similarity_null_vectors_silently_dropped(spark):
+    """NULL embedding rows are DROPPED, never a hard failure, in every
+    search path (ADVICE r10: _dim_checked turned them into a
+    misleading 'length -1 != expected dim' raise in lsh/ivf, while
+    brute force silently dropped them — inconsistent cross-path
+    behavior). The shared contract: the norm filter / NULL bucket
+    excludes them; the width raise stays reserved for genuine
+    mismatches."""
+    from cdk_datalake_ingest_spark.functions.similarity import (
+        brute_force_topk,
+        embedding_near_dup_pairs,
+        ivf_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, None),  # NULL vector: dropped everywhere, no raise
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    expect = {1: 2, 2: 1}
+    for fn, kw in [
+        (brute_force_topk, {}),
+        (lsh_topk, {"n_planes": 2, "dim": 4}),
+        (lsh_multiprobe_topk, {"n_planes": 2, "dim": 4}),
+        (ivf_topk, {"n_centroids": 2, "n_probe": 2}),
+    ]:
+        got = fn(df, df, k=1, **kw).collect()
+        by_q = {r["query_id"]: r["neighbor_id"] for r in got}
+        assert by_q == expect, fn.__name__
+    pairs = embedding_near_dup_pairs(df, threshold=0.9, dim=4).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(1, 2)}
