@@ -92,16 +92,29 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     and report empty documents as jaccard-1.0 duplicates of each
     other).
 
-    Implementation note: built by zip_with over n shifted slices of the
-    token array, NOT by indexing ``tokens`` inside a transform lambda —
-    an expression captured in a higher-order-function lambda is
-    re-evaluated per element, which turns shingling into
-    O(len^2) regex work per document."""
+    Implementation notes:
+    - built by zip_with over n shifted slices of the token array, NOT
+      by indexing ``tokens`` inside a transform lambda — an expression
+      captured in a higher-order-function lambda is re-evaluated per
+      element, which turns shingling into O(len^2) regex work per
+      document.
+    - the empty/NULL guard is BRANCH-FREE: normalized text never
+      contains an empty token except the lone [''] that split('')
+      yields, so ``array_remove(tokens, '')`` IS the guard (empty/
+      NULL docs -> empty/NULL tokens -> count 0 -> empty shingles;
+      size(NULL) is -1 or NULL depending on sizeOfNull, and greatest
+      clamps both to 0).  The r10 guard wrapped ``count`` in a
+      CaseWhen instead, and every consumer references count/tokens in
+      several unconditional positions — CaseWhen children are
+      excluded from codegen subexpression elimination, so each
+      reference re-ran the normalize regex.  Measured at sf0.1
+      (tools/fingerprint_probe.py, fingerprint_docs gate, median of
+      5): CaseWhen guard 2.37-2.39 s vs 1.79-2.09 s unguarded vs
+      2.04 s this form — the r10 1.29x driver regression, recovered
+      with the guard semantics kept."""
     norm = normalize_text(col)
-    tokens = F.split(norm, " ")
-    count = F.when(
-        norm.isNull() | (norm == ""), F.lit(0)
-    ).otherwise(F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0)))
+    tokens = F.array_remove(F.split(norm, " "), "")
+    count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     shingle = F.slice(tokens, n, count)
     for k in reversed(range(n - 1)):
         shifted = F.slice(tokens, k + 1, count)

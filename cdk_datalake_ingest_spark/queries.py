@@ -6713,19 +6713,21 @@ WHERE r_name = 'AMERICA'
 #
 # ROUND-11 ROTATION (executing round 10's pre-commitment): (a) the 25
 # r8-fresh leftovers at their 3-round bound lead, positions 1-25;
-# (b) the 8 entries whose code or gate changed this round — the
+# (b) the 13 entries whose code or gate changed this round — the
 # bpe_tokenize gate's NULL-text normalization + the operator's
 # keyless-auto fallback (both ADVICE fixes), the unique-id
 # reassembly guard routed into bpe_tokenize/dedup_substrings/
 # scrub_boilerplate/semantic_dedup (the r10 verdict's "What's wrong
-# #2"), and the similarity sweep (ivf_topk now applies the shared
+# #2"), the similarity sweep (ivf_topk now applies the shared
 # _nonzero exclusion; _dim_checked passes NULL vectors through to
 # the silent-drop contract — both ADVICE fixes, latent on the clean
-# fixtures but plan-touching); (c) 17 r9-fresh entries backfill to
-# 50, fingerprint_docs first (its word_shingles path carries this
-# round's regression attribution).  The 21 r9-fresh leftovers sit at
-# tail positions 51-71 at their 3-round bound and MUST lead the r12
-# window; the 43 r10-fresh entries follow (due r13).
+# fixtures but plan-touching), and the five remaining gates over the
+# word_shingles branch-free-guard rewrite (the fingerprint_docs
+# 1.29x attribution-and-fix; its other consumers already sit in
+# (a)/(c)); (c) 12 r9-fresh entries backfill to 50, fingerprint_docs
+# first.  The 26 r9-fresh leftovers sit at tail positions 51-76 at
+# their 3-round bound and MUST lead the r12 window; the 43 r10-fresh
+# entries follow (due r13).
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
@@ -6775,6 +6777,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
     "ann_lsh_suite_topk": ann_lsh_suite_topk,
+    # ... and the five remaining gates over the word_shingles rewrite
+    # (branch-free empty-doc guard, the fingerprint_docs regression
+    # fix — the other shingle consumers fingerprint/decontaminate x2/
+    # repetition/ngram_jaccard/substring/scrub already sit in (a)-(c))
+    "minhash_near_dup_docs": minhash_near_dup_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
+    "curate_documents": curate_documents,
+    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
     # (c) r9-fresh backfill to 50 (fingerprint_docs first — its
     # word_shingles path carries the r11 regression attribution)
     "fingerprint_docs": fingerprint_docs,
@@ -6789,13 +6800,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_scrub_docs": pii_scrub_docs,
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "repetition_docs": repetition_docs,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # 26 r9-fresh leftovers at their 3-round bound: MUST lead r12
+    # (the first five displaced by the shingle-rewrite gates)
     "dataset_split_docs": dataset_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "streaming_sessionize_events": streaming_sessionize_events,
     "streaming_sessionize_stateful_events": streaming_sessionize_stateful_events,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # 21 r9-fresh leftovers at their 3-round bound: MUST lead r12
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
     "nb_quality_filter_docs": nb_quality_filter_docs,
@@ -6803,7 +6815,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_docs": unigram_lm_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "chunk_docs_sliding": chunk_docs_sliding,
-    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "perplexity_buckets_docs": perplexity_buckets_docs,
     "streaming_corpus_stats": streaming_corpus_stats,
@@ -6854,12 +6865,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_vs_finished_setops": returned_vs_finished_setops,
     "table_restore_roundtrip_events": table_restore_roundtrip_events,
     "sql_interface_q13": sql_interface_q13,
-    "curate_documents": curate_documents,
     "streaming_windowed_counts": streaming_windowed_counts,
-    "minhash_near_dup_docs": minhash_near_dup_docs,
-    "near_dup_clusters_docs": near_dup_clusters_docs,
     "embedding_near_dup": embedding_near_dup,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
     "simhash_near_dup_docs": simhash_near_dup_docs,
 }
 
