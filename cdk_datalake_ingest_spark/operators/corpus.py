@@ -535,6 +535,7 @@ def bpe_train_merges(
     n_merges: int = 6,
     id_col: str = "doc_id",
     text_col: str = "text",
+    batch_size: int = 1,
 ) -> DataFrame:
     """Byte-pair-encoding merge training (Sennrich, Haddow, Birch
     2016 — the tokenizer-induction step every LLM training pipeline
@@ -569,9 +570,37 @@ def bpe_train_merges(
     Raises when the vocabulary runs out of adjacent pairs before
     ``n_merges`` (a fixture-sized corpus problem; real corpora
     exhaust thousands of merges) so the caller never gets a silently
-    short model."""
+    short model.
+
+    ``batch_size`` (default 1 = exact sequential BPE, the oracle-gated
+    path) is the production-model-size relaxation: each round collects
+    the TOP candidate pairs once and greedily accepts up to
+    ``batch_size`` of them whose symbol sets are pairwise disjoint
+    (neither side of a later pair may equal either side OR the merged
+    symbol of an earlier one — applying an accepted merge then cannot
+    change any other accepted pair's count, so every accepted count is
+    exact at selection time).  This is the standard parallel-BPE
+    relaxation: the model can differ from exact BPE in merge ORDER
+    past the first merge of each round (a merge can promote a
+    neighbor pair above the round's later picks; exact BPE would
+    reconsider, the batch does not), which is why it is opt-in and the
+    default stays 1.  Cost: driver round-trips drop from ``n_merges``
+    to ~``n_merges / batch_size`` — the dominant term at production
+    model sizes, measured in tools/bpe_scale_probe.py --train.
+    ``n_pairs`` records the count at selection time; ``step`` stays
+    the 1-based model order.  A round that finds candidates but fewer
+    than ``batch_size`` disjoint ones simply advances by what it
+    accepted (progress is guaranteed: the top-1 pair is always
+    accepted).  Bounded by :data:`BPE_SEGMENT_MAX_MERGES` so the
+    per-round vocab update stays one shallow expression chain."""
     if n_merges < 1:
         raise ValueError(f"bpe_train_merges: n_merges must be >= 1, got {n_merges}")
+    if not 1 <= batch_size <= BPE_SEGMENT_MAX_MERGES:
+        raise ValueError(
+            f"bpe_train_merges: batch_size must be in "
+            f"[1, {BPE_SEGMENT_MAX_MERGES}] (the per-round vocab update "
+            f"is one expression chain), got {batch_size}"
+        )
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .select(F.lower("w").alias("w"))
@@ -583,7 +612,8 @@ def bpe_train_merges(
         _bpe_sym_chars(F.col("w")).alias("sym"), "freq"
     ).localCheckpoint(eager=False)
     merges = []
-    for step in range(1, n_merges + 1):
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
         toks = F.split("sym", " ")
         n = F.size(toks)
         pairs = vocab.select(
@@ -595,24 +625,45 @@ def bpe_train_merges(
             ).alias("p"),
             "freq",
         ).filter(F.col("p.l").isNotNull() & F.col("p.r").isNotNull())
-        best = (
+        # want=1 collects exactly the argmax row — the exact-BPE path
+        # is plan-identical to the historical per-merge loop.  want>1
+        # over-collects 3x+8 candidates so the disjointness filter can
+        # usually still fill the batch (model-sized rows, never data).
+        top = (
             pairs.groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
             .agg(F.sum("freq").alias("n_pairs"))
             .orderBy(F.col("n_pairs").desc(), "lhs", "rhs")
-            .limit(1)
+            .limit(1 if want == 1 else want * 3 + 8)
             .collect()
         )
-        if not best:
+        if not top:
             raise ValueError(
                 f"bpe_train_merges: vocabulary exhausted after "
-                f"{step - 1} merges (requested {n_merges}) — corpus too "
-                "small for the requested model size"
+                f"{len(merges)} merges (requested {n_merges}) — corpus "
+                "too small for the requested model size"
             )
-        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], int(best[0]["n_pairs"])
-        merges.append((step, lhs, rhs, lhs + rhs, cnt))
-        vocab = vocab.select(
-            _bpe_apply_merge(F.col("sym"), lhs, rhs).alias("sym"), "freq"
-        ).localCheckpoint(eager=False)
+        # greedy disjoint acceptance: a later pair may not touch any
+        # earlier pair's lhs/rhs/merged symbol, so earlier merges
+        # cannot change its count (exactness of n_pairs per round)
+        taken: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for row in top:
+            lhs, rhs, cnt = row["lhs"], row["rhs"], int(row["n_pairs"])
+            if batch and (
+                {lhs, rhs, lhs + rhs} & taken
+            ):
+                continue
+            batch.append((lhs, rhs, cnt))
+            taken.update({lhs, rhs, lhs + rhs})
+            if len(batch) == want:
+                break
+        sym = F.col("sym")
+        for lhs, rhs, cnt in batch:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, cnt))
+            sym = _bpe_apply_merge(sym, lhs, rhs)
+        vocab = vocab.select(sym.alias("sym"), "freq").localCheckpoint(
+            eager=False
+        )
     spark = docs.sparkSession
     return spark.createDataFrame(
         merges, "step int, lhs string, rhs string, merged string, n_pairs bigint"
@@ -669,6 +720,14 @@ BPE_SEGMENT_MAX_MERGES = 32
 #: pure-map shape (no shuffle, no id_col requirement) outweighs the
 #: chain cost: toy models on small frames.
 BPE_AUTO_INLINE_MAX = 8
+
+#: vocab-mode checkpoint cadence: every BPE_EAGER_EVERY-th inter-stage
+#: localCheckpoint is EAGER (truncates the logical plan to an RDD scan),
+#: the rest stay lazy.  Bounds what the analyzer/optimizer ever sees to
+#: ~BPE_EAGER_EVERY*32 merges of expression nodes — without it an
+#: all-lazy chain hands the whole cascade to the analyzer at action
+#: time (measured r11: 64 stages fine, 256 stages kill the driver JVM).
+BPE_EAGER_EVERY = 8
 
 
 def bpe_segment(col, merges) -> "F.Column":
@@ -728,9 +787,12 @@ def bpe_tokenize(
     the corpus's DISTINCT lowercase letters-only words (Zipf-sized —
     exactly the relation :func:`bpe_train_merges` trains on) are
     segmented ONCE through the merge chain in
-    :data:`BPE_SEGMENT_MAX_MERGES`-sized stages with a lazy
-    ``localCheckpoint`` between stages (vocabulary-sized
-    materializations, never the corpus), and the resulting
+    :data:`BPE_SEGMENT_MAX_MERGES`-sized stages with a
+    ``localCheckpoint`` between stages — lazy, except every
+    :data:`BPE_EAGER_EVERY`-th which is EAGER so the analyzer never
+    sees more than ~256 merges of expression cascade (vocabulary-sized
+    materializations either way, never the corpus; measured r11: an
+    all-lazy 256-stage chain killed the driver JVM at analysis), and the resulting
     word→segmentation map is hash-joined back onto the exploded token
     stream — per occurrence the merge chain is replaced by ONE join
     lookup.  Plan shape: one word-keyed equi-join (broadcast when the
@@ -838,6 +900,7 @@ def bpe_tokenize(
         .select("__w", _bpe_sym_chars(F.col("__w")).alias("__sym"))
     )
     rest = merges
+    stage = 0
     while rest:
         chunk, rest = (
             rest[:BPE_SEGMENT_MAX_MERGES],
@@ -846,8 +909,18 @@ def bpe_tokenize(
         seg = seg.select(
             "__w", _bpe_chain(F.col("__sym"), chunk).alias("__sym")
         )
+        stage += 1
         if rest:
-            seg = seg.localCheckpoint(eager=False)
+            # EAGER every BPE_EAGER_EVERY stages, lazy between: a lazy
+            # localCheckpoint does not truncate the LOGICAL plan until
+            # materialized, so a long all-lazy chain hands the analyzer
+            # the whole ~6-nodes-per-merge expression cascade at action
+            # time — measured r11: 2048 merges (64 stages) analyze and
+            # run fine (21.5 s), 8192 (256 stages) KILL the driver JVM.
+            # An eager checkpoint cuts the plan to an RDD scan; doing it
+            # every 8th stage bounds analyzer depth at ~256 merges while
+            # keeping the common short-model path free of extra jobs.
+            seg = seg.localCheckpoint(eager=(stage % BPE_EAGER_EVERY == 0))
     segmap = seg.select("__w", F.split("__sym", " ").alias("__segs"))
     # one join lookup per occurrence (OOV tokens — digits/punctuation,
     # never in the letters-only vocabulary — pass through verbatim),

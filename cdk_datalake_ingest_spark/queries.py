@@ -6713,7 +6713,7 @@ WHERE r_name = 'AMERICA'
 #
 # ROUND-11 ROTATION (executing round 10's pre-commitment): (a) the 25
 # r8-fresh leftovers at their 3-round bound lead, positions 1-25;
-# (b) the 13 entries whose code or gate changed this round — the
+# (b) the 14 entries whose code or gate changed this round — the
 # bpe_tokenize gate's NULL-text normalization + the operator's
 # keyless-auto fallback (both ADVICE fixes), the unique-id
 # reassembly guard routed into bpe_tokenize/dedup_substrings/
@@ -6724,9 +6724,10 @@ WHERE r_name = 'AMERICA'
 # fixtures but plan-touching), and the five remaining gates over the
 # word_shingles branch-free-guard rewrite (the fingerprint_docs
 # 1.29x attribution-and-fix; its other consumers already sit in
-# (a)/(c)); (c) 12 r9-fresh entries backfill to 50, fingerprint_docs
-# first.  The 26 r9-fresh leftovers sit at tail positions 51-76 at
-# their 3-round bound and MUST lead the r12 window; the 43 r10-fresh
+# (a)/(c)) plus the restructured trainer gate (batch_size rounds);
+# (c) 11 r9-fresh entries backfill to 50, fingerprint_docs first.
+# The 27 r9-fresh leftovers sit at tail positions 51-77 at their
+# 3-round bound and MUST lead the r12 window; the 42 r10-fresh
 # entries follow (due r13).
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
@@ -6786,6 +6787,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters_docs": near_dup_clusters_docs,
     "curate_documents": curate_documents,
     "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+    # ... and the trainer gate: bpe_train_merges grew the opt-in
+    # batch_size round structure (default batch_size=1 is the same
+    # exact-BPE plan, but the loop was restructured — re-attest)
+    "bpe_train_merges_docs": bpe_train_merges_docs,
     # (c) r9-fresh backfill to 50 (fingerprint_docs first — its
     # word_shingles path carries the r11 regression attribution)
     "fingerprint_docs": fingerprint_docs,
@@ -6798,11 +6803,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_bracket_revenue": q19_bracket_revenue,
     "token_stats_docs": token_stats_docs,
     "pii_scrub_docs": pii_scrub_docs,
-    "distinct_rows_lineitem": distinct_rows_lineitem,
     "repetition_docs": repetition_docs,
     # ---- tail: beyond the driver's 50-entry window ----
-    # 26 r9-fresh leftovers at their 3-round bound: MUST lead r12
-    # (the first five displaced by the shingle-rewrite gates)
+    # 27 r9-fresh leftovers at their 3-round bound: MUST lead r12
+    # (the first six displaced by the shingle-rewrite + trainer gates)
+    "distinct_rows_lineitem": distinct_rows_lineitem,
     "dataset_split_docs": dataset_split_docs,
     "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
@@ -6849,7 +6854,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rank_suite_events": window_rank_suite_events,
     "user_value_analytics": user_value_analytics,
     "events_pivot_by_type": events_pivot_by_type,
-    "bpe_train_merges_docs": bpe_train_merges_docs,
     "table_change_feed_events": table_change_feed_events,
     "merge_upsert_events": merge_upsert_events,
     "merge_delete_window_events": merge_delete_window_events,

@@ -197,6 +197,134 @@ def test_bpe_hypothesis_matches_python_reference(spark):
     check()
 
 
+def _ref_bpe_batched(word_freq: dict, k: int, batch: int):
+    """Pure-Python reference of the BATCHED trainer (r11): per round,
+    rank candidates by (count DESC, lhs, rhs), greedily accept up to
+    ``batch`` pairs whose {lhs, rhs, merged} sets are pairwise
+    disjoint, apply them in acceptance order, repeat."""
+    from collections import Counter
+
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    while len(merges) < k:
+        want = min(batch, k - len(merges))
+        counts = Counter()
+        for sym, f in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            return merges, True
+        ranked = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        # the Spark side over-collects want*3+8 candidates; mirror the
+        # truncation so a pathological tie-field cannot diverge
+        if want > 1:
+            ranked = ranked[: want * 3 + 8]
+        taken: set = set()
+        chosen = []
+        for (lhs, rhs), n in ranked:
+            if chosen and ({lhs, rhs, lhs + rhs} & taken):
+                continue
+            chosen.append((lhs, rhs, n))
+            taken.update({lhs, rhs, lhs + rhs})
+            if len(chosen) == want:
+                break
+        for lhs, rhs, n in chosen:
+            merges.append((len(merges) + 1, lhs, rhs, lhs + rhs, n))
+            new_vocab = {}
+            for sym, f in vocab.items():
+                out, i = [], 0
+                while i < len(sym):
+                    if (
+                        i + 1 < len(sym)
+                        and sym[i] == lhs
+                        and sym[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(sym[i])
+                        i += 1
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+            vocab = new_vocab
+    return merges, False
+
+
+def test_bpe_train_batched_hypothesis_matches_reference(spark):
+    """The r11 batched-trainer relaxation, pinned exactly: over random
+    tie-heavy corpora the Spark trainer with batch_size=3 emits the
+    merge table of the pure-Python BATCHED reference (same candidate
+    ranking, same greedy symbol-disjoint acceptance incl. the merged
+    symbol, counts recorded at selection time), and batch_size=1 — the
+    default, already reference-gated by
+    test_bpe_hypothesis_matches_python_reference — stays the exact
+    sequential path when called explicitly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="ab", min_size=1, max_size=6)
+    corpus = st.lists(word, min_size=1, max_size=10)
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus)
+    def check(words):
+        from collections import Counter
+
+        freq = Counter(words)
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+        )
+        for batch in (1, 3):
+            ref, exhausted = _ref_bpe_batched(dict(freq), 4, batch)
+            if exhausted:
+                with pytest.raises(ValueError, match="exhausted"):
+                    bpe_train_merges(df, n_merges=4, batch_size=batch)
+                continue
+            got = [
+                tuple(r)
+                for r in bpe_train_merges(
+                    df, n_merges=4, batch_size=batch
+                ).collect()
+            ]
+            assert got == ref, f"batch_size={batch}"
+        # batch-1 == the sequential reference (explicit cross-check)
+        ref1, exhausted = _ref_bpe(dict(freq), 4)
+        if not exhausted:
+            got1 = [
+                tuple(r)
+                for r in bpe_train_merges(df, n_merges=4, batch_size=1).collect()
+            ]
+            assert got1 == ref1
+
+    check()
+
+
+def test_bpe_train_batch_size_validation(spark):
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        BPE_SEGMENT_MAX_MERGES,
+    )
+
+    df = spark.createDataFrame([(1, "aab aab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="batch_size"):
+        bpe_train_merges(df, n_merges=2, batch_size=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        bpe_train_merges(
+            df, n_merges=2, batch_size=BPE_SEGMENT_MAX_MERGES + 1
+        )
+    # a batched model still round-trips through the applier: the
+    # train/apply agreement contract is batch-independent
+    from cdk_datalake_ingest_spark.operators.corpus import bpe_tokenize
+
+    model = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train_merges(df, n_merges=2, batch_size=2).collect()
+    ]
+    got = bpe_tokenize(df, model, mode="inline").collect()[0]["bpe_tokens"]
+    # segments always concatenate back to the normalized text's tokens
+    assert "".join(got) == "aabaab"
+
+
 def test_bpe_tokenize_corpus_and_modes(spark):
     """bpe_tokenize applies the learned model over whole documents —
     per-word segmentation matches bpe_segment, non-vocabulary tokens

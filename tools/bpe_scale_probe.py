@@ -1,8 +1,9 @@
-"""BPE apply cost vs model length — the measurement behind the
-round-10 `bpe_tokenize` redesign (r9 verdict task #1).
+"""BPE cost vs model length — apply (r10) and train (r11) sides.
 
-The inline path interprets the merge chain per word OCCURRENCE inside
-a HOF lambda (~6 expression nodes per merge per occurrence, never
+APPLY (default mode; the measurement behind the round-10
+`bpe_tokenize` redesign, r9 verdict task #1): the inline path
+interprets the merge chain per word OCCURRENCE inside a HOF lambda
+(~6 expression nodes per merge per occurrence, never
 whole-stage-codegen'd); the vocab path segments the DISTINCT-word
 relation once per 32-merge stage and joins the map back, so growing
 the model adds vocabulary-sized stages, never corpus-sized work.
@@ -12,11 +13,21 @@ letters-only word) no-op pairs — the conservative cost shape, since a
 no-op merge still pays its full replace scan per stage without
 shrinking any symbol string.
 
-Usage: python tools/bpe_scale_probe.py
-Prints one JSON line per (mode, n_merges) with min-of-2 warm wall
-seconds; paste the table into SCALE.md's static section
-(tools/scale_rehearsal.py:_bpe_apply_section keeps it surviving
-rehearsal rewrites).
+TRAIN (``--train``; r10 verdict task #4): `bpe_train_merges` does one
+driver round-trip per merge (exact sequential BPE); at production
+model sizes the fixed per-job cost dominates.  This mode measures
+wall time vs n_merges for batch_size=1 (exact) and a batched run
+(the r11 top-M disjoint relaxation) so the crossover is a committed
+curve, not prose.  Training runs ONCE per point (min-of-2 would
+double multi-minute points; the job-count story is deterministic).
+
+Usage:
+  python tools/bpe_scale_probe.py [lengths...]          # apply side
+  python tools/bpe_scale_probe.py --train [lengths...]  # train side
+Apply defaults: 6 32 128 512 (r10 table) — pass e.g. 2048 8192 to
+extend the curve.  Train defaults: 64 256 1024.  Paste the rows into
+PLANS.md / SCALE.md (tools/scale_rehearsal.py:_bpe_apply_section
+keeps the static apply table surviving rehearsal rewrites).
 """
 
 from __future__ import annotations
@@ -29,7 +40,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 SF_DIR = "/root/testdata/sf0.1"
-LENGTHS = [6, 32, 128, 512]
+APPLY_LENGTHS = [6, 32, 128, 512]
+TRAIN_LENGTHS = [64, 256, 1024]
+TRAIN_BATCH = 16
 
 
 def main() -> None:
@@ -40,9 +53,47 @@ def main() -> None:
     )
     from cdk_datalake_ingest_spark.session import get_spark
 
+    args = sys.argv[1:]
+    train_mode = "--train" in args
+    lengths = [int(a) for a in args if a.isdigit()] or (
+        TRAIN_LENGTHS if train_mode else APPLY_LENGTHS
+    )
+
     spark = get_spark("bpe-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    if train_mode:
+        for n in lengths:
+            for batch in (1, TRAIN_BATCH):
+                t0 = time.perf_counter()
+                try:
+                    got = bpe_train_merges(
+                        docs, n_merges=n, batch_size=batch
+                    ).collect()
+                except ValueError as exc:  # vocabulary exhausted
+                    print(
+                        json.dumps(
+                            {"n_merges": n, "batch_size": batch,
+                             "error": str(exc)[:80]}
+                        ),
+                        flush=True,
+                    )
+                    continue
+                print(
+                    json.dumps(
+                        {
+                            "n_merges": n,
+                            "batch_size": batch,
+                            "train_sec": round(time.perf_counter() - t0, 2),
+                            "rows": len(got),
+                        }
+                    ),
+                    flush=True,
+                )
+        spark.stop()
+        return
+
     trained = [
         (r["lhs"], r["rhs"])
         for r in bpe_train_merges(docs, n_merges=6).collect()
@@ -62,7 +113,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 2)
 
-    for n in LENGTHS:
+    for n in lengths:
         m = model(n)
         row = {"n_merges": n, "vocab_sec": timed("vocab", m)}
         if n <= BPE_SEGMENT_MAX_MERGES:

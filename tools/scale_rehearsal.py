@@ -279,29 +279,79 @@ def _bpe_apply_section() -> list[str]:
     return [
         "## BPE apply: inline expression chain vs vocabulary memoization",
         "",
-        "`tools/bpe_scale_probe.py` (round 10; sf0.1, local[32], min of",
-        "2 warm runs, noop sink; the 6 trained merges padded with",
-        "non-matching no-op pairs — conservative, since a no-op merge",
-        "still pays its full replace scan per stage):",
+        "`tools/bpe_scale_probe.py` (rounds 10-11; sf0.1, local[32],",
+        "min of 2 warm runs, noop sink; the 6 trained merges padded",
+        "with non-matching no-op pairs — conservative, since a no-op",
+        "merge still pays its full replace scan per stage).  Rows at",
+        ">=512 re-measured round 11 under the BPE_EAGER_EVERY",
+        "checkpoint cadence (see below):",
         "",
         "| model size | vocab-memoized sec | inline sec |",
         "|---|---|---|",
         "| 6 merges | 1.60 | 1.79 |",
         "| 32 merges | 1.44 | 6.38 |",
         "| 128 merges | 2.33 | refused (expression-depth bound) |",
-        "| 512 merges | 7.17 | refused |",
+        "| 512 merges | 6.17 (r10 all-lazy: 7.17) | refused |",
+        "| 2048 merges | 19.16 (all-lazy: 21.54) | refused |",
+        "| 8192 merges | 72.93 (all-lazy: driver JVM DIED) | refused |",
         "",
         "Reading: the inline HOF chain is interpreted per word",
         "OCCURRENCE, so its cost is linear in model size times corpus",
         "size — already 4.4x the vocab path at 32 merges, and the",
         "Catalyst expression tree overflows past ~60.  The vocab path",
-        "adds ~0.35 s per 32-merge stage (vocabulary-sized Projects +",
-        "checkpoints); the corpus-side cost (posexplode, broadcast",
-        "probe, two keyed shuffles) is CONSTANT in model size — a",
-        "32k-merge production model is ~1000 vocabulary stages on top",
-        "of the same two corpus shuffles.  bpe_tokenize's auto",
-        "dispatch threshold (BPE_AUTO_INLINE_MAX = 8) comes from this",
-        "table, not a guess.",
+        "adds ~0.28-0.35 s per 32-merge stage (vocabulary-sized",
+        "Projects + checkpoints), measured CONSTANT through 256 stages;",
+        "the corpus-side cost (posexplode, broadcast probe, two keyed",
+        "shuffles) is CONSTANT in model size — a 32k-merge production",
+        "model projects to ~1000 stages / ~5 min of vocabulary work on",
+        "top of the same two corpus shuffles (now a measured slope to",
+        "8192, not an extrapolation from 512).  Round-11 finding: an",
+        "ALL-LAZY checkpoint chain never truncates the logical plan, so",
+        "at 256 stages the analyzer ate the whole ~50k-node cascade and",
+        "killed the driver JVM; bpe_tokenize now makes every 8th",
+        "inter-stage checkpoint EAGER (BPE_EAGER_EVERY), bounding",
+        "analyzer depth at ~256 merges — which also reads 6-12% FASTER",
+        "at 512-2048.  bpe_tokenize's auto dispatch threshold",
+        "(BPE_AUTO_INLINE_MAX = 8) comes from this table, not a guess.",
+        "",
+    ]
+
+
+def _bpe_train_section() -> list[str]:
+    """Static record of the round-11 BPE TRAIN-cost probe
+    (tools/bpe_scale_probe.py --train) — rerun that tool to refresh;
+    numbers reproduced here so SCALE.md survives rehearsal rewrites."""
+    return [
+        "## BPE training: sequential argmax vs batched top-M rounds",
+        "",
+        "`tools/bpe_scale_probe.py --train` (round 11; sf0.1,",
+        "local[32], one run per point — the job-count story is",
+        "deterministic).  The sf0.1 documents vocabulary EXHAUSTS at",
+        "~89 merges (synthetic corpus, small word list), so the curve",
+        "is measured to that boundary and the production-size claim",
+        "is the per-merge slope, not an end point:",
+        "",
+        "| n_merges | batch_size=1 (exact) sec | batch_size=16 sec |",
+        "|---|---|---|",
+        "| 64 | 21.88 (cold session) | 2.87 |",
+        "| 88 | 13.11 (warm) | 2.80 |",
+        "",
+        "Reading: exact sequential BPE pays ONE driver round-trip per",
+        "merge — a warm ~0.15 s/merge of fixed job latency (the",
+        "per-iteration groupBy over the Zipf vocabulary is milliseconds",
+        "of data work) — so a 32k-merge production model is ~80 min of",
+        "pure job overhead regardless of cluster size.  The r11",
+        "`batch_size=` mode (top-M symbol-disjoint merges per round,",
+        "opt-in relaxation of merge ORDER; hypothesis-gated against a",
+        "pure-Python batched reference, batch_size=1 bit-identical to",
+        "exact BPE) cuts round-trips by ~batch_size: measured 7.6x at",
+        "64 merges / 4.7x warm at 88, bounded by the fixture's",
+        "vocabulary.  At 32k merges with batch_size=32 the same slope",
+        "projects ~2000 rounds (~5 min of job overhead) — the boundary",
+        "note stands: for EXACT production-size BPE use an external",
+        "tokenizer trainer; this operator's exact mode is honest",
+        "sequential BPE and its batched mode is the standard parallel",
+        "relaxation with the divergence documented in its docstring.",
         "",
     ]
 
@@ -565,6 +615,7 @@ def main() -> None:
         "",
     ]
     md += _bpe_apply_section()
+    md += _bpe_train_section()
     md += _sessionizer_section()
     md += _profile_section()
     Path("/root/repo/SCALE.md").write_text("\n".join(md))
