@@ -49,6 +49,14 @@ ENGINE_CONF: dict[str, str] = {
     # The reference ran Spark 3.3 (non-ANSI); the DSL's null-on-bad-cast
     # semantics depend on this.
     "spark.sql.ansi.enabled": "false",
+    # size(NULL) = NULL, not the legacy -1 (which ANSI-off would
+    # otherwise re-enable): DuckDB's len(NULL) is NULL, so the legacy
+    # -1 made every size()-derived count over a NULL array a latent
+    # Spark-vs-oracle divergence (token_count(NULL text) read -1 while
+    # TEXT_METRICS_SQL read NULL — the r11 NULL-text parity sweep).
+    # The two operators that tolerate EITHER semantics (word_shingles'
+    # greatest clamp, _dim_checked's NULL passthrough) document both.
+    "spark.sql.legacy.sizeOfNull": "false",
     # Driver fixtures carry TIMESTAMP(NANOS) parquet columns which Spark
     # otherwise refuses to read; they surface as bigint nanoseconds.
     "spark.sql.legacy.parquet.nanosAsLong": "true",

@@ -36,7 +36,13 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # NULLs first, uniformly: a Spark None and a DuckDB NaN
+            # inside an object/bool column are the same SQL NULL, but
+            # astype(str) renders them 'None' vs 'nan' — a
+            # comparator-only false mismatch (the driver's hasher
+            # treats nulls uniformly; NULL-bearing gates like
+            # schema_evolution_merge pass its hash).
+            df[c] = df[c].where(df[c].notna(), "<NULL>").astype(str)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
