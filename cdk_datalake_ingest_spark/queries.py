@@ -2451,12 +2451,28 @@ def pack_sequences_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "__shard",
         F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
     )
-    packed = per.join(F.broadcast(offsets), ["lang", "__shard"]).withColumn(
-        "pack_idx",
-        F.floor(
-            (F.col("__off") + F.col("__cum_in") - F.col("nt"))
-            / F.lit(PACK_BUDGET_TOKENS)
-        ),
+    # NULL-safe offsets join (the repo's keyed-table regime): a
+    # name-list join on lang never matches NULL, so a NULL-lang
+    # document was silently DROPPED from every pack while the window
+    # cumsum and the oracle's GROUP BY both kept it — caught by the
+    # r11 degenerate-text sweep (tests/test_null_text_parity.py).
+    off = offsets.withColumnRenamed("lang", "__olang").withColumnRenamed(
+        "__shard", "__oshard"
+    )
+    packed = (
+        per.join(
+            F.broadcast(off),
+            per["lang"].eqNullSafe(off["__olang"])
+            & per["__shard"].eqNullSafe(off["__oshard"]),
+        )
+        .drop("__olang", "__oshard")
+        .withColumn(
+            "pack_idx",
+            F.floor(
+                (F.col("__off") + F.col("__cum_in") - F.col("nt"))
+                / F.lit(PACK_BUDGET_TOKENS)
+            ),
+        )
     )
     return (
         packed.groupBy("lang", "pack_idx")
@@ -4600,10 +4616,15 @@ WITH toksl AS (
       NOT list_contains(coalesce(cov.covered, []), i - 1)) AS k
   FROM toksl tl LEFT JOIN cov ON tl.doc_id = cov.doc_id
 )
-SELECT doc_id,
-  coalesce(array_to_string(k, ' '), '') AS clean_text,
+-- NULL text propagates as NULL clean_text (the operator's NULL-in ->
+-- NULL-out contract; the coalesce-to-'' is only for the EMPTY-list
+-- array_to_string of fully-scrubbed non-NULL docs) — aligned by the
+-- r11 degenerate-text sweep (tests/test_null_text_parity.py)
+SELECT k2.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE coalesce(array_to_string(k, ' '), '') END AS clean_text,
   len(t) - len(k) AS n_removed_tokens
-FROM kept
+FROM kept k2 JOIN documents d ON k2.doc_id = d.doc_id
 """
 
 
@@ -4793,10 +4814,15 @@ WITH toksl AS (
       NOT list_contains(coalesce(cov.covered, []), i - 1)) AS k
   FROM toksl tl LEFT JOIN cov ON tl.doc_id = cov.doc_id
 )
-SELECT doc_id,
-  coalesce(array_to_string(k, ' '), '') AS clean_text,
+-- NULL text propagates as NULL clean_text (the operator's NULL-in ->
+-- NULL-out contract; the coalesce-to-'' is only for the EMPTY-list
+-- array_to_string of fully-scrubbed non-NULL docs) — aligned by the
+-- r11 degenerate-text sweep (tests/test_null_text_parity.py)
+SELECT k2.doc_id,
+  CASE WHEN d.text IS NULL THEN NULL
+       ELSE coalesce(array_to_string(k, ' '), '') END AS clean_text,
   len(t) - len(k) AS n_removed_tokens
-FROM kept
+FROM kept k2 JOIN documents d ON k2.doc_id = d.doc_id
 """
 
 
@@ -6713,7 +6739,7 @@ WHERE r_name = 'AMERICA'
 #
 # ROUND-11 ROTATION (executing round 10's pre-commitment): (a) the 25
 # r8-fresh leftovers at their 3-round bound lead, positions 1-25;
-# (b) the 14 entries whose code or gate changed this round — the
+# (b) the 15 entries whose code or gate changed this round — the
 # bpe_tokenize gate's NULL-text normalization + the operator's
 # keyless-auto fallback (both ADVICE fixes), the unique-id
 # reassembly guard routed into bpe_tokenize/dedup_substrings/
@@ -6724,9 +6750,12 @@ WHERE r_name = 'AMERICA'
 # fixtures but plan-touching), and the five remaining gates over the
 # word_shingles branch-free-guard rewrite (the fingerprint_docs
 # 1.29x attribution-and-fix; its other consumers already sit in
-# (a)/(c)) plus the restructured trainer gate (batch_size rounds);
-# (c) 11 r9-fresh entries backfill to 50, fingerprint_docs first.
-# The 27 r9-fresh leftovers sit at tail positions 51-77 at their
+# (a)/(c)), the restructured trainer gate (batch_size rounds), and
+# pack_sequences (null-safe offsets join — the degenerate-text sweep
+# caught NULL-lang docs silently dropped; scrub/substring oracles
+# aligned to NULL-propagation in the same sweep);
+# (c) 10 r9-fresh entries backfill to 50, fingerprint_docs first.
+# The 28 r9-fresh leftovers sit at tail positions 51-78 at their
 # 3-round bound and MUST lead the r12 window; the 42 r10-fresh
 # entries follow (due r13).
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
@@ -6791,6 +6820,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # batch_size round structure (default batch_size=1 is the same
     # exact-BPE plan, but the loop was restructured — re-attest)
     "bpe_train_merges_docs": bpe_train_merges_docs,
+    # ... and pack_sequences: its offsets join went null-safe after
+    # the degenerate-text sweep caught NULL-lang docs being silently
+    # dropped (the name-list-join NULL-key class, again)
+    "pack_sequences_docs": pack_sequences_docs,
     # (c) r9-fresh backfill to 50 (fingerprint_docs first — its
     # word_shingles path carries the r11 regression attribution)
     "fingerprint_docs": fingerprint_docs,
@@ -6802,14 +6835,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
     "token_stats_docs": token_stats_docs,
-    "pii_scrub_docs": pii_scrub_docs,
     "repetition_docs": repetition_docs,
     # ---- tail: beyond the driver's 50-entry window ----
     # 27 r9-fresh leftovers at their 3-round bound: MUST lead r12
-    # (the first six displaced by the shingle-rewrite + trainer gates)
+    # (the first six displaced by the shingle-rewrite + trainer gates,
+    # pii_scrub by the null-safe pack gate)
+    "pii_scrub_docs": pii_scrub_docs,
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "dataset_split_docs": dataset_split_docs,
-    "pack_sequences_docs": pack_sequences_docs,
     "stratified_sample_docs": stratified_sample_docs,
     "streaming_sessionize_events": streaming_sessionize_events,
     "streaming_sessionize_stateful_events": streaming_sessionize_stateful_events,

@@ -6,9 +6,15 @@ waiting for the first real corpus with missing text (the r10 ADVICE
 caught exactly one instance, in BPE_TOKENIZE_SQL). This test builds a
 doctored documents table — real sf0.001 rows PLUS NULL text, empty
 text, whitespace-only, punctuation-only, and single-token edge rows —
-and runs a representative slice of the text-family gates against
-their OWN registered oracles on that data, with the same comparator
-the local parity harness uses.
+and runs 24 text/dedup/sampling gates against their OWN registered
+oracles on that data, with the same comparator the local parity
+harness uses.
+
+Round-11 catches (fixed, then pinned here): the engine-wide legacy
+size(NULL) = -1 vs the oracle's NULL; pack_sequences silently
+DROPPING NULL-lang docs through a name-list offsets join; the
+scrub/substring oracles coalescing NULL text to '' against the
+operators' NULL propagation.
 
 What it pins: the engine-wide ``spark.sql.legacy.sizeOfNull=false``
 choice (size(NULL) = NULL, matching DuckDB's len(NULL) — without it
@@ -45,6 +51,21 @@ GATES = [
     "bpe_tokenize_docs",
     "dataset_split_docs",
     "pii_scrub_docs",
+    # dedup / scrub family: degenerate docs are exactly the inputs the
+    # r10 hardening was about (content-less SimHash cliques, empty-doc
+    # shingle guards) — keep them pinned against the oracles too
+    "minhash_near_dup_docs",
+    "simhash_near_dup_docs",
+    "substring_dedup_docs",
+    "scrub_boilerplate_docs",
+    "boilerplate_ngrams_docs",
+    "decontaminate_docs",
+    "chunk_docs_sliding",
+    # sampling / packing: md5-bucket and token-budget paths over
+    # NULL/empty text
+    "temperature_mixture_docs",
+    "stratified_sample_docs",
+    "pack_sequences_docs",
 ]
 
 

@@ -538,7 +538,7 @@ def main() -> None:
                       "ratio": round(ac10 / ac1, 2)}))
 
     md = [
-        "# SCALE — 10x rehearsal (round 10)",
+        "# SCALE — 10x rehearsal (round 11)",
         "",
         "Method: `tools/scale_rehearsal.py` — sf0.1 vs a synthesized 10x",
         "corpus (10 token-bijected document copies / id-shifted event and",
