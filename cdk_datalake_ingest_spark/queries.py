@@ -2932,9 +2932,15 @@ _SQL_DOT = (
 
 ANN_SQL = f"""
 WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8
+  -- zero-norm/NULL vectors excluded on BOTH sides, mirroring
+  -- similarity._nonzero (r11 degenerate-embeddings sweep): DuckDB's
+  -- 0/0 is NULL like Spark's, but a NULL-cosine candidate ROW would
+  -- still fill rank slots here while Spark emits no row at all
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 8 AND {_SQL_DOT.format(a='embedding', b='embedding')} > 0
 ), c AS (
   SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
 ), scored AS (
   SELECT query_id, neighbor_id,
     {_SQL_DOT.format(a='qv', b='cv')}
@@ -2984,7 +2990,9 @@ _ANN_LSH_PLANES = hyperplanes(64, 8, 42)  # = lsh_topk(n_planes=8, seed=42)
 
 ANN_LSH_SQL = f"""
 WITH c AS (
+  -- zero-norm/NULL excluded (similarity._nonzero mirror, r11 sweep)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
 ), b AS (
   SELECT vec_id, v,
     {_lsh_bucket_sql('v', _ANN_LSH_PLANES)} AS bucket,
@@ -3012,7 +3020,9 @@ WHERE rank <= 5
 #: hyperplane constants, same rounding/tie-break.
 ANN_LSH_MULTIPROBE_SQL = f"""
 WITH c AS (
+  -- zero-norm/NULL excluded (similarity._nonzero mirror, r11 sweep)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
 ), b AS (
   SELECT vec_id, v,
     {_lsh_bucket_sql('v', _ANN_LSH_PLANES)} AS bucket,
@@ -3068,7 +3078,11 @@ WITH c AS (
     row_number() OVER (
       PARTITION BY c.vec_id ORDER BY {_IVF_COS} DESC, cent.list_id DESC
     ) AS rn
-  FROM c CROSS JOIN cent
+  -- zero-norm/NULL rows excluded BEFORE list assignment (ivf_topk
+  -- applies _nonzero to corpus and queries; centroid seeds above stay
+  -- the raw 16 smallest ids, exactly as ivf_topk samples pre-filter)
+  FROM (SELECT * FROM c WHERE {_SQL_DOT.format(a='v', b='v')} > 0) c
+       CROSS JOIN cent
 ), assign AS (
   SELECT vec_id, v, sqrt({_SQL_DOT.format(a='v', b='v')}) AS nrm, list_id
   FROM ranked WHERE rn = 1
@@ -3094,7 +3108,9 @@ _EMB_LSH_PLANES = hyperplanes(64, 4, 42)  # = embedding_near_dup_lsh(n_planes=4)
 
 EMB_NEAR_DUP_LSH_SQL = f"""
 WITH c AS (
+  -- zero-norm/NULL excluded (similarity._nonzero mirror, r11 sweep)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
 ), b AS (
   SELECT vec_id, v,
     {_lsh_bucket_sql('v', _EMB_LSH_PLANES)} AS bucket,
@@ -5939,7 +5955,11 @@ ranked AS (
     row_number() OVER (
       PARTITION BY c.vec_id ORDER BY {_IVF_KM_COS} DESC, ct.cid DESC
     ) AS rn
-  FROM c CROSS JOIN cent{_KM_ITERS} ct
+  -- zero-norm/NULL rows excluded before list assignment (mirror of
+  -- ivf_topk's _nonzero; the k-means training CTEs above stay
+  -- unfiltered — Spark's lloyd also trains over the full corpus)
+  FROM (SELECT * FROM c WHERE {_km_dot_sql('v', 'v')} > 0) c
+       CROSS JOIN cent{_KM_ITERS} ct
 ), assign AS (
   SELECT vec_id, v, sqrt({_km_dot_sql('v', 'v')}) AS nrm, cid
   FROM ranked WHERE rn = 1
