@@ -20,6 +20,14 @@ Scale notes (the reason this operator exists):
   a bucket boundary), so the merge is an idempotent replace — re-running
   a refresh converges, no double counting;
 - the merge touches O(lookback + new buckets) rows of the rollup table.
+
+NULL event times: a row with a NULL ``ts_col`` is outside EVERY
+refresh window (the watermark/lookback range predicates never match
+NULL), so it is never ingested — the hypertable contract (TimescaleDB
+likewise requires a NOT NULL time column). The gate oracle states the
+same exclusion (CONTINUOUS_ROLLUP_SQL: WHERE ts IS NOT NULL), pinned
+by the r11 degenerate-events sweep. Callers who must account for
+timeless rows should bucket them upstream.
 """
 
 from __future__ import annotations

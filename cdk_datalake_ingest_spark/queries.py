@@ -3442,10 +3442,14 @@ WITH t AS (
           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
          THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+  -- NULLS FIRST explicitly: Spark's ASC default vs DuckDB's NULLS
+  -- LAST — a NULL-ts or NULL-event_id row would otherwise sessionize
+  -- at opposite ends of the per-user timeline (r11 sweep)
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST)
 ), s AS (
   SELECT *, CAST(SUM(is_new) OVER (
-    PARTITION BY user_id ORDER BY ts_us, event_id
+    PARTITION BY user_id ORDER BY ts_us NULLS FIRST, event_id NULLS FIRST
     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM t
 )
@@ -3840,7 +3844,11 @@ SELECT user_id, event_id, epoch_us(ts) AS ts_us,
     / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
     AS moving_avg_3
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+-- NULLS FIRST explicitly (Spark ASC default vs DuckDB NULLS LAST —
+-- a NULL-ts event's running/moving aggregates land at opposite ends
+-- of the user timeline otherwise; r11 degenerate-events sweep)
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY epoch_us(ts) NULLS FIRST, event_id NULLS FIRST)
 """
 
 
@@ -3937,7 +3945,14 @@ CONTINUOUS_ROLLUP_SQL = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
   event_type, COUNT(*) AS n,
   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM events GROUP BY bucket_us, event_type
+FROM events
+-- a NULL event time is outside EVERY refresh window of the
+-- time-partitioned rollup (watermark/lookback predicates never match
+-- NULL), so the operator never ingests such rows — the hypertable
+-- contract (TimescaleDB requires a NOT NULL time column); documented
+-- in operators/rollup.py (r11 degenerate-events sweep)
+WHERE ts IS NOT NULL
+GROUP BY bucket_us, event_type
 """
 
 
@@ -5182,10 +5197,16 @@ WITH ranked AS (
     round(percent_rank() OVER w, 6) AS pct_rank,
     round(cume_dist() OVER w, 6) AS cume
   FROM events
-  WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+  -- NULLS FIRST explicitly: Spark's ASC default; DuckDB defaults
+  -- NULLS LAST, so a NULL-valued event would rank at opposite ends
+  -- (r11 degenerate-events sweep). Valid syntax in BOTH engines —
+  -- this text also runs verbatim on Spark SQL (sql_interface_window).
+  WINDOW w AS (PARTITION BY event_type
+               ORDER BY value ASC NULLS FIRST, event_id ASC NULLS FIRST)
 ), flagged AS (
   SELECT *, lag(decile) OVER (
-    PARTITION BY event_type ORDER BY value ASC, event_id ASC
+    PARTITION BY event_type
+    ORDER BY value ASC NULLS FIRST, event_id ASC NULLS FIRST
   ) AS prev_decile
   FROM ranked
 )
@@ -5627,8 +5648,12 @@ WITH hourly AS (
   FROM events WHERE user_id < 25
   GROUP BY user_id, date_trunc('hour', ts)
 ), active AS (
+  -- NULLS FIRST (Spark ASC default): a NULL-ts event's NULL hour
+  -- bucket sorts BEFORE the grid on both engines, so its sum folds
+  -- into every carried-forward total identically (r11 sweep; the
+  -- grid itself never contains a NULL hour — min/max skip it)
   SELECT user_id, hour,
-    SUM(hour_sum) OVER (PARTITION BY user_id ORDER BY hour
+    SUM(hour_sum) OVER (PARTITION BY user_id ORDER BY hour NULLS FIRST
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
   FROM hourly
 ), grid AS (
@@ -6759,7 +6784,7 @@ WHERE r_name = 'AMERICA'
 #
 # ROUND-11 ROTATION (executing round 10's pre-commitment): (a) the 25
 # r8-fresh leftovers at their 3-round bound lead, positions 1-25;
-# (b) the 15 entries whose code or gate changed this round — the
+# (b) the 19 entries whose code or gate changed this round — the
 # bpe_tokenize gate's NULL-text normalization + the operator's
 # keyless-auto fallback (both ADVICE fixes), the unique-id
 # reassembly guard routed into bpe_tokenize/dedup_substrings/
@@ -6773,11 +6798,15 @@ WHERE r_name = 'AMERICA'
 # (a)/(c)), the restructured trainer gate (batch_size rounds), and
 # pack_sequences (null-safe offsets join — the degenerate-text sweep
 # caught NULL-lang docs silently dropped; scrub/substring oracles
-# aligned to NULL-propagation in the same sweep);
-# (c) 10 r9-fresh entries backfill to 50, fingerprint_docs first.
-# The 28 r9-fresh leftovers sit at tail positions 51-78 at their
-# 3-round bound and MUST lead the r12 window; the 42 r10-fresh
-# entries follow (due r13).
+# aligned to NULL-propagation in the same sweep), and the four gates
+# whose oracles gained explicit NULL-ordering/ingestion semantics in
+# the degenerate-events sweep (window_rank/user_value/gap_fill/
+# sessionize; ann/lsh/ivf oracles gained the zero-norm exclusion in
+# the embeddings sweep — those gates were already in-window);
+# (c) 6 r9-fresh entries backfill to 50, fingerprint_docs first.
+# The 31 r9-fresh leftovers sit at tail positions 51-81 at their
+# 3-round bound and MUST lead the r12 window; the r10-fresh entries
+# follow (due r13).
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
@@ -6844,6 +6873,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the degenerate-text sweep caught NULL-lang docs being silently
     # dropped (the name-list-join NULL-key class, again)
     "pack_sequences_docs": pack_sequences_docs,
+    # ... and the four gates whose oracles gained explicit NULL
+    # ordering/ingestion semantics in the degenerate-events sweep
+    # (NULLS FIRST on nullable ASC sort keys = Spark's default;
+    # rollup excludes NULL event times — the hypertable contract)
+    "window_rank_suite_events": window_rank_suite_events,
+    "user_value_analytics": user_value_analytics,
+    "gap_fill_user_hours": gap_fill_user_hours,
+    "sessionize_events": sessionize_events,
     # (c) r9-fresh backfill to 50 (fingerprint_docs first — its
     # word_shingles path carries the r11 regression attribution)
     "fingerprint_docs": fingerprint_docs,
@@ -6851,15 +6888,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_docs": lang_id_docs,
     "vocab_top_tokens": vocab_top_tokens,
     "q04_priority_exists": q04_priority_exists,
+    "repetition_docs": repetition_docs,
+    # ---- tail: beyond the driver's 50-entry window ----
+    # 31 r9-fresh leftovers at their 3-round bound: MUST lead r12
+    # (displaced by the shingle-rewrite/trainer/pack gates and the
+    # four NULL-ordering oracle re-attests above)
     "q06_forecast_revenue": q06_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
     "token_stats_docs": token_stats_docs,
-    "repetition_docs": repetition_docs,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # 27 r9-fresh leftovers at their 3-round bound: MUST lead r12
-    # (the first six displaced by the shingle-rewrite + trainer gates,
-    # pii_scrub by the null-safe pack gate)
     "pii_scrub_docs": pii_scrub_docs,
     "distinct_rows_lineitem": distinct_rows_lineitem,
     "dataset_split_docs": dataset_split_docs,
@@ -6876,7 +6913,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
     "perplexity_buckets_docs": perplexity_buckets_docs,
     "streaming_corpus_stats": streaming_corpus_stats,
-    "sessionize_events": sessionize_events,
     "asof_purchase_click": asof_purchase_click,
     "range_join_purchase_clicks": range_join_purchase_clicks,
     "skew_salted_join_events": skew_salted_join_events,
@@ -6887,7 +6923,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "user_engagement_approx": user_engagement_approx,
     "events_daily_rollup_sets": events_daily_rollup_sets,
     # ... then the r10-fresh entries (due r13)
-    "gap_fill_user_hours": gap_fill_user_hours,
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
@@ -6904,8 +6939,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_value_percentiles": events_value_percentiles,
     "dq_validate_orders": dq_validate_orders,
     "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
-    "window_rank_suite_events": window_rank_suite_events,
-    "user_value_analytics": user_value_analytics,
     "events_pivot_by_type": events_pivot_by_type,
     "table_change_feed_events": table_change_feed_events,
     "merge_upsert_events": merge_upsert_events,
