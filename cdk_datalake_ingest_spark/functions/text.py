@@ -16,10 +16,17 @@ from cdk_datalake_ingest_spark.operators.dedup import normalize_text, word_shing
 WORD_RE = r"[A-Za-z0-9_]+"
 PUNCT_RE = r"[.,!?;:]"
 # GPT-2-style pre-tokenizer pattern, restricted to syntax shared by
-# Java regex and RE2 (no lookarounds) so the DuckDB oracle can run the
-# identical pattern: contraction suffixes, letter runs, digit runs,
-# other-symbol runs (each optionally preceded by one space), whitespace.
-BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+# Java regex and RE2 (no lookarounds, and no bare \s: Java's \s
+# includes vertical tab 0x0B, RE2's does not, so a \x0B would land in
+# the whitespace run under Java but in the symbol run under RE2 — the
+# class is written out) so the DuckDB oracle can run the identical
+# pattern: contraction suffixes, letter runs, digit runs, other-symbol
+# runs (each optionally preceded by one space), whitespace.
+_WS = r" \t\n\x0B\f\r"
+BPE_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    r"| ?[^A-Za-z0-9" + _WS + r"']+|[" + _WS + r"]+"
+)
 
 # Tiny built-in stopword lists for the n-gram/stopword language-ID
 # heuristic. Order fixes the argmax tie-break (first wins).
@@ -56,7 +63,11 @@ def bpe_token_count(col: Column) -> Column:
     the standard proxy for LLM token budgeting when the real tokenizer
     isn't on the cluster. Whitespace-only matches are not counted."""
     pieces = F.regexp_extract_all(col, F.lit(BPE_RE), 0)
-    return F.size(F.filter(pieces, lambda p: F.trim(p) != ""))
+    # NOT trim(p) != '': trim is engine-defined (Spark strips <= 0x20,
+    # utf8proc engines strip Unicode whitespace, so an NBSP-only piece
+    # counted here but not in the oracle). The exclusion is exactly
+    # "pieces produced by the \s+ alternative", so test that.
+    return F.size(F.filter(pieces, lambda p: ~p.rlike(r"^[ \t\n\x0B\f\r]+$")))
 
 
 def char_count(col: Column) -> Column:

@@ -602,8 +602,10 @@ def bpe_train_merges(
             f"is one expression chain), got {batch_size}"
         )
     words = (
+        # tokens() already lowercases through the pinned normalize_text
+        # path (simple case mapping for İ/Σ); re-lowering here would be
+        # a no-op at best and must NOT happen before the pin.
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
-        .select(F.lower("w").alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -857,7 +859,10 @@ def bpe_tokenize(
             out_col,
             F.flatten(
                 F.transform(
-                    tokens(F.lower(F.col(text_col))),
+                    # no pre-lower: tokens() lowercases via the pinned
+                    # normalize_text (a Java full-casing lower BEFORE
+                    # the İ/Σ translate would re-diverge from the oracle)
+                    tokens(F.col(text_col)),
                     lambda w: F.split(
                         _bpe_chain(
                             F.when(
@@ -888,7 +893,8 @@ def bpe_tokenize(
         require_unique_non_null_ids(docs, id_col, "bpe_tokenize (vocab mode)")
     toks = docs.select(
         F.col(id_col),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),
+        # same no-pre-lower rule as the inline path above
+        F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
     )
     # Zipf-sized distinct-word relation; the merge replay runs over
     # THIS, never the corpus — checkpoints between 32-merge stages are

@@ -55,8 +55,33 @@ def latest_record_dedup(
 
 def normalize_text(col: Column) -> Column:
     """Canonical text form for exact/near dedup: lowercase, collapse
-    whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    whitespace, trim.
+
+    Case mapping is PINNED to per-code-point simple lowercase: the two
+    code points where the JVM's full-string lowercase departs from the
+    Unicode simple map (SpecialCasing.txt lower entries applicable in
+    the root locale) are pre-translated — U+0130 'İ' → 'i' (Java
+    expands to i + combining dot U+0307) and U+03A3 'Σ' → 'σ' (Java
+    applies the context-sensitive final-sigma rule). Without the pin,
+    a normalized hash computed on a JVM engine disagrees with the same
+    hash computed by any utf8proc/ICU-simple-mapping engine (DuckDB,
+    most warehouse engines) on Turkish/Greek text — the round-11
+    Unicode parity sweep (tests/test_unicode_text_parity.py) caught
+    exactly that. Full-locale casing is a display concern, not a
+    corpus-canonicalization one; determinism across engines wins.
+
+    Whitespace is pinned the same way: the collapse class is written
+    out as ``[ \\t\\n\\x0B\\f\\r]`` (Java's ASCII ``\\s``) because
+    RE2-based engines define ``\\s`` WITHOUT vertical tab, and the
+    edge trim is a plain leading/trailing-space strip because ``trim``
+    itself is engine-defined (Spark strips every char <= 0x20, DuckDB
+    strips Unicode whitespace incl. NBSP). After the collapse the
+    edges hold at most one ASCII space, so ``'^ | $' -> ''`` is exact
+    on every engine."""
+    collapsed = F.regexp_replace(
+        F.lower(F.translate(col, "İΣ", "iσ")), r"[ \t\n\x0B\f\r]+", " "
+    )
+    return F.regexp_replace(collapsed, "^ | $", "")
 
 
 def exact_dedup(

@@ -1156,7 +1156,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_hash,
+SELECT md5(regexp_replace(regexp_replace(lower(translate(text, 'İΣ', 'iσ')),
+           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '^ | $', '', 'g')) AS content_hash,
        MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents
 GROUP BY 1
@@ -1179,7 +1180,17 @@ def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+# The normalized-text contract (operators/dedup.py:normalize_text),
+# pinned identically on both engines: simple case mapping for the two
+# SpecialCasing lower entries (İ -> i, Σ -> σ; DuckDB's utf8proc lower
+# already maps them that way — the translate is a no-op here and
+# documents the contract), the whitespace class written out (RE2's \s
+# has no \x0B), and an explicit edge-space strip instead of the
+# engine-defined trim() (utf8proc trim strips NBSP, Spark's does not).
+_SQL_NORM = (
+    "regexp_replace(regexp_replace(lower(translate(text, 'İΣ', 'iσ')), "
+    "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '^ | $', '', 'g')"
+)
 _SQL_TOKENS = f"string_split({_SQL_NORM}, ' ')"
 _SQL_NTOK = f"CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
 _SQL_EN_LIST = "['the','and','of','to','in','is','that','it','was','for','with','as']"
@@ -3612,8 +3623,12 @@ FROM events
 GROUP BY ROLLUP(date_trunc('day', ts), event_type)
 """
 
+# Mirrors functions/text.py:BPE_RE exactly — the whitespace class is
+# written out because RE2's \s excludes \x0B while Java's includes it.
+_SQL_WS = " \\t\\n\\x0B\\f\\r"
 _SQL_BPE_RE = (
-    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    f"| ?[^A-Za-z0-9{_SQL_WS}']+|[{_SQL_WS}]+"
 ).replace("'", "''")
 
 
@@ -3634,7 +3649,7 @@ TOKEN_STATS_SQL = f"""
 SELECT doc_id,
   {_SQL_NTOK} AS n_ws_tokens,
   len(list_filter(regexp_extract_all(text, '{_SQL_BPE_RE}'),
-      p -> trim(p) != '')) AS n_bpe_tokens,
+      p -> NOT regexp_matches(p, '^[{_SQL_WS}]+$'))) AS n_bpe_tokens,
   len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words
 FROM documents
 """
@@ -6807,6 +6822,25 @@ WHERE r_name = 'AMERICA'
 # The 31 r9-fresh leftovers sit at tail positions 51-81 at their
 # 3-round bound and MUST lead the r12 window; the r10-fresh entries
 # follow (due r13).
+# ROUND-11 SESSION-2 ADDENDUM: the Unicode parity sweep
+# (tests/test_unicode_text_parity.py) pinned normalize_text's case
+# mapping (İ/Σ simple-map translate), whitespace class (explicit
+# [ \t\n\x0B\f\r] — Java \s has \x0B, RE2's does not), and edge
+# strip (engine-defined trim() replaced by '^ | $'), with the same
+# pins mirrored into _SQL_NORM / BPE_RE / _SQL_BPE_RE /
+# EXACT_DEDUP_SQL. On the clean fixtures every output is value-
+# identical (verified: touched gates re-attested at sf0.01, full
+# parity re-run green), but the CODE of ~35 text-family gates
+# changed. The window cannot hold them all (25 r8-leftover slots
+# are driver-pinned): the affected gates in groups (a)-(c) cover
+# most; the 11 overflow gates — token_stats_docs, pii_scrub_docs,
+# dataset_split_docs, stratified_sample_docs, nb_quality_filter_docs,
+# gopher_rules_docs, unigram_lm_docs, tfidf_top_terms_docs,
+# chunk_docs_sliding, perplexity_buckets_docs (all r9-fresh tail
+# leads due r12 anyway) and simhash_near_dup_docs (r10-fresh) — are
+# attested this round by the full local-parity run on the final code
+# and by the sweep itself, and join the r12 window with the r9-fresh
+# leftovers.
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
