@@ -582,7 +582,11 @@ SELECT order_id, flag_raw, status,
   CASE WHEN status IN ('F','P') THEN 'CLOSED' END AS status_last,
   trim(padded) AS clean_pri,
   CASE WHEN padded IS NOT NULL THEN trim(padded) ELSE 'NONE' END AS clean_pri_def,
-  status || '-' || flag_raw AS joined,
+  -- concat_ws, NOT '||': the DSL Concatenate_ws SKIPS NULL inputs
+  -- (yielding '' when every input is NULL) while '||' propagates NULL
+  -- — divergent the first time an order carries a NULL status (caught
+  -- by the degenerate-relational sweep)
+  concat_ws('-', status, flag_raw) AS joined,
   odate AS order_ts
 FROM src
 """
