@@ -399,7 +399,12 @@ WITH t AS (
   SELECT
     l_orderkey AS order_id,
     l_linenumber AS line_no,
-    l_partkey::VARCHAR || '|' || l_suppkey::VARCHAR AS supply_key,
+    -- concat_ws, NOT '||': D1 Concatenate is concat_ws under the
+    -- dialect separator (dsl/compiler.py:_fn_concatenate, SJ:150-152),
+    -- which SKIPS NULL inputs; '||' would propagate NULL on a NULL
+    -- part/supp key (caught by the serialization sweep's doctored
+    -- lineitem)
+    concat_ws('|', l_partkey::VARCHAR, l_suppkey::VARCHAR) AS supply_key,
     CASE WHEN l_returnflag = 'R' THEN 'RETURNED'
          WHEN l_returnflag IN ('A','N') THEN 'KEPT'
          ELSE 'UNKNOWN' END AS status_desc,
@@ -3819,7 +3824,16 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 PROPS_JSON_SQL = """
 WITH e AS (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         -- json_valid guard + TRY_CAST: get_json_object is LENIENT —
+         -- malformed JSON and non-bigint payloads yield NULL, never an
+         -- error (the only sane contract for a dirty 100 TB props
+         -- column); DuckDB's json_extract_string raises on malformed
+         -- input and CAST raises on '12.7', so the oracle must opt
+         -- into the same leniency explicitly (caught by the
+         -- serialization sweep's edge-props rows)
+         TRY_CAST(CASE WHEN json_valid(props)
+                       THEN json_extract_string(props, '$.k') END
+                  AS BIGINT) AS k
   FROM events
 )
 SELECT event_type, CAST(floor(k / 10.0) AS BIGINT) AS k_decile,
