@@ -12,10 +12,14 @@ and under this engine's non-ANSI session Spark's double division by a
 zero divisor returns NULL (verified; NOT IEEE NaN), so its cosine
 would be NULL: excluded by every threshold and ranked last, but still
 EMITTED as a candidate row that can fill top-k slots with NULL scores.
-The exclusion exists so every output row carries a well-defined
-cosine, not to fend off NaN poisoning.  (NaN CAN still arise from
-NaN-poisoned input elements — dot propagates them — and Spark ranks
-NaN above every real value; callers must not feed NaN elements.)
+NON-FINITE-norm vectors (NaN components, ±Inf, magnitudes whose
+squared norm overflows) are excluded by the same guard: Spark and
+DuckDB both evaluate NaN > 0 as TRUE, so without the explicit
+isnan/infinity test a single corrupt vector ranks FIRST in every
+descending cosine window. Search paths drop such rows silently
+(mirrored in every oracle via isfinite); TRAINING paths refuse them
+loudly (semantic.py:_guarded_vec) — corrupt input should stop a model
+build, not silently shrink it.
 NULL-vector rows are dropped by the same norm filter (norm(NULL) is
 NULL, NULL > 0 is false) in every path.  NULL-id rows in a SEARCH
 corpus are excluded by the id-comparison filters (a self-pair cannot
@@ -77,9 +81,10 @@ def dot_arrow(a: Column, b: Column) -> Column:
     kernel — Spark's Arrow serializer masks pandas NaN to SQL NULL on
     return (verified; nullable Float64 masks identically). Callers
     must exclude NaN-poisoned vectors before the pair scan; the only
-    kernel consumer (semantic_dedup) already does — its norm guard
-    ``na > 0`` is false for a NaN norm, so such rows never reach the
-    kernel. The vectorized stack runs only when the batch is
+    kernel consumer (semantic_dedup) trains first, and training
+    REFUSES non-finite components (semantic.py:_guarded_vec raises —
+    note a bare ``na > 0`` guard would NOT stop them: Spark evaluates
+    NaN > 0 as true), so such rows never reach the kernel. The vectorized stack runs only when the batch is
     uniform non-null; a batch with any degenerate row falls back to a
     row-at-a-time fold with identical left-to-right IEEE order."""
     if not _DOT_ARROW:
@@ -143,14 +148,28 @@ def scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
 
 
 def _nonzero(df: DataFrame, norm_col: str) -> DataFrame:
-    """Drop zero-norm (and NULL-vector: norm(NULL) is NULL, NULL > 0
-    is false) rows before any candidate join: a zero vector has no
-    direction, and under the non-ANSI session its 0/0 cosine is NULL —
-    not matched by thresholds and ranked last, but still a candidate
-    ROW that would fill top-k slots with NULL scores. Excluding it
-    here keeps every emitted cosine well-defined — the same contract
-    operators/semantic.py enforces with (na > 0) & (nb > 0)."""
-    return df.filter(F.col(norm_col) > 0)
+    """Drop zero-norm, NULL-vector, and NON-FINITE-norm rows before
+    any candidate join.
+
+    Zero/NULL: a zero vector has no direction, and under the non-ANSI
+    session its 0/0 cosine is NULL — not matched by thresholds and
+    ranked last, but still a candidate ROW that would fill top-k slots
+    with NULL scores (norm(NULL) is NULL, and NULL > 0 is false, so
+    NULL vectors fall out of the same filter).
+
+    Non-finite: Spark's comparison semantics make NaN GREATER than
+    every number (``double('nan') > 0`` is true — verified; the same
+    holds in DuckDB), so a NaN-poisoned or overflowing vector would
+    sail through a bare ``norm > 0`` guard and then RANK FIRST in
+    every descending cosine window on both engines — one corrupt row
+    poisons every top-k it reaches. The explicit isnan/infinity
+    exclusion keeps every emitted cosine finite and well-defined.
+    TRAINING paths refuse the same rows loudly instead
+    (operators/semantic.py:_guarded_vec) — corrupt input should stop a
+    model build, not silently shrink it. Caught by the round-11
+    extreme-numerics sweep (tests/test_extreme_numerics_parity.py)."""
+    n = F.col(norm_col)
+    return df.filter((n > 0) & ~F.isnan(n) & (n != float("inf")))
 
 
 def _as_double(col: Column) -> Column:

@@ -58,13 +58,43 @@ def _sq_dist(a: Column, b: Column) -> Column:
 def _guarded_vec(
     id_col: str, vec_col: str, dim: int, fn_name: str
 ) -> Column:
-    """``__v`` with the corpus-wide dim guard: a shorter/longer/NULL
-    vector raises with the offending id instead of crashing the Arrow
-    distance kernel with an opaque ragged-np.stack error (or, in the
-    old expression form, silently NULL-padding zip_with distances).
-    raise_error rides the same scan — no extra pass."""
+    """``__v`` with the corpus-wide dim AND finiteness guard: a
+    shorter/longer/NULL vector raises with the offending id instead of
+    crashing the Arrow distance kernel with an opaque ragged-np.stack
+    error (or, in the old expression form, silently NULL-padding
+    zip_with distances); a NaN/±Inf component raises too — np.argmin
+    over a NaN distance row is engine-noise (numpy returns the NaN
+    position, a SQL ORDER BY ranks NaN last), the poisoned centroid
+    mean then corrupts EVERY assignment, and a bare norm > 0 guard
+    would not catch it (Spark evaluates NaN > 0 as true — round-11
+    extreme-numerics sweep). Training refuses corrupt vectors loudly;
+    the SEARCH paths' silent drop (similarity._nonzero) is the
+    documented contrast. raise_error rides the same scan — no extra
+    pass; the exists() probe short-circuits per row."""
+    v = _as_double(F.col(vec_col))
+    # outer condition == dim (NOT != with a raise branch): a NULL
+    # vector makes size() NULL, which must fall to the OTHERWISE raise
+    # — an inverted test would evaluate NULL, skip every branch, and
+    # pass the NULL vector straight into the ragged np.stack crash
+    # this guard exists to prevent
     return (
-        F.when(F.size(F.col(vec_col)) == dim, _as_double(F.col(vec_col)))
+        F.when(
+            F.size(F.col(vec_col)) == dim,
+            F.when(
+                F.exists(
+                    v, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+                ),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"{fn_name}: non-finite vector component "
+                            "for id "
+                        ),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+            ).otherwise(v),
+        )
         .otherwise(
             F.raise_error(
                 F.concat(

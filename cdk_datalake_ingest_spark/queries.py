@@ -1148,7 +1148,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_SQL = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2
 """
@@ -1502,7 +1502,7 @@ SELECT user_id,
   MIN(ts_us) AS session_start_us,
   MAX(ts_us) AS session_end_us,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value
 FROM s GROUP BY user_id, session_seq
 """
 
@@ -2833,7 +2833,7 @@ STREAMING_WINDOWED_SQL = """
 SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type, COUNT(*) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value
 FROM events
 GROUP BY window_start, window_end, event_type
 """
@@ -2950,6 +2950,16 @@ _SQL_DOT = (
     "list_sum(list_transform(range(1, 65), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
 )
 
+
+def _sql_vec_ok(dot_expr: str) -> str:
+    """Shared degenerate-vector exclusion, the similarity._nonzero
+    mirror: ``dot > 0`` drops zero-norm and NULL vectors, and the
+    isfinite wrap drops NaN/±Inf/overflow vectors — required because
+    BOTH engines evaluate NaN > 0 as TRUE, so a bare positivity test
+    would let one corrupt vector rank first in every cosine window
+    (round-11 extreme-numerics sweep)."""
+    return f"(isfinite({dot_expr}) AND {dot_expr} > 0)"
+
 ANN_SQL = f"""
 WITH q AS (
   -- zero-norm/NULL vectors excluded on BOTH sides, mirroring
@@ -2957,10 +2967,10 @@ WITH q AS (
   -- 0/0 is NULL like Spark's, but a NULL-cosine candidate ROW would
   -- still fill rank slots here while Spark emits no row at all
   SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-  WHERE vec_id < 8 AND {_SQL_DOT.format(a='embedding', b='embedding')} > 0
+  WHERE vec_id < 8 AND {_sql_vec_ok(_SQL_DOT.format(a='embedding', b='embedding'))}
 ), c AS (
   SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
-  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
+  WHERE {_sql_vec_ok(_SQL_DOT.format(a='embedding', b='embedding'))}
 ), scored AS (
   SELECT query_id, neighbor_id,
     {_SQL_DOT.format(a='qv', b='cv')}
@@ -3012,7 +3022,7 @@ ANN_LSH_SQL = f"""
 WITH c AS (
   -- zero-norm/NULL excluded (similarity._nonzero mirror, r11 sweep)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
+  WHERE {_sql_vec_ok(_SQL_DOT.format(a='embedding', b='embedding'))}
 ), b AS (
   SELECT vec_id, v,
     {_lsh_bucket_sql('v', _ANN_LSH_PLANES)} AS bucket,
@@ -3042,7 +3052,7 @@ ANN_LSH_MULTIPROBE_SQL = f"""
 WITH c AS (
   -- zero-norm/NULL excluded (similarity._nonzero mirror, r11 sweep)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
+  WHERE {_sql_vec_ok(_SQL_DOT.format(a='embedding', b='embedding'))}
 ), b AS (
   SELECT vec_id, v,
     {_lsh_bucket_sql('v', _ANN_LSH_PLANES)} AS bucket,
@@ -3101,7 +3111,7 @@ WITH c AS (
   -- zero-norm/NULL rows excluded BEFORE list assignment (ivf_topk
   -- applies _nonzero to corpus and queries; centroid seeds above stay
   -- the raw 16 smallest ids, exactly as ivf_topk samples pre-filter)
-  FROM (SELECT * FROM c WHERE {_SQL_DOT.format(a='v', b='v')} > 0) c
+  FROM (SELECT * FROM c WHERE {_sql_vec_ok(_SQL_DOT.format(a='v', b='v'))}) c
        CROSS JOIN cent
 ), assign AS (
   SELECT vec_id, v, sqrt({_SQL_DOT.format(a='v', b='v')}) AS nrm, list_id
@@ -3130,7 +3140,7 @@ EMB_NEAR_DUP_LSH_SQL = f"""
 WITH c AS (
   -- zero-norm/NULL excluded (similarity._nonzero mirror, r11 sweep)
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-  WHERE {_SQL_DOT.format(a='embedding', b='embedding')} > 0
+  WHERE {_sql_vec_ok(_SQL_DOT.format(a='embedding', b='embedding'))}
 ), b AS (
   SELECT vec_id, v,
     {_lsh_bucket_sql('v', _EMB_LSH_PLANES)} AS bucket,
@@ -3432,7 +3442,12 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
        * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+-- both sides pass the shared degenerate-vector exclusion: without it
+-- a NaN cosine satisfies >= threshold on BOTH engines (NaN compares
+-- greater), pairing one corrupt vector with the whole corpus
+WHERE {_sql_vec_ok(_SQL_DOT.format(a='a.embedding', b='a.embedding'))}
+  AND {_sql_vec_ok(_SQL_DOT.format(a='b.embedding', b='b.embedding'))}
+  AND {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
     / (sqrt({_SQL_DOT.format(a='a.embedding', b='a.embedding')})
        * sqrt({_SQL_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.42
 """
@@ -3478,7 +3493,7 @@ SELECT user_id, session_seq,
   MAX(ts_us) AS session_end_us,
   MAX(ts_us) - MIN(ts_us) AS duration_us,
   COUNT(*) AS n_events,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value
 FROM s GROUP BY 1, 2
 """
 
@@ -3626,7 +3641,7 @@ def events_daily_rollup_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 ROLLUP_SETS_SQL = """
 SELECT date_trunc('day', ts) AS day, event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+  CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value,
   CAST(GROUPING(date_trunc('day', ts), event_type) AS BIGINT) AS gid
 FROM events
 GROUP BY ROLLUP(date_trunc('day', ts), event_type)
@@ -3794,7 +3809,7 @@ WITH p AS (
 )
 SELECT p.purchase_id, p.user_id, p.start_us,
   COUNT(*) AS n_clicks,
-  CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS click_value
+  CAST(SUM((CASE WHEN isnan(c.value) THEN NULL ELSE TRY_CAST(c.value AS DECIMAL(18,6)) END)) AS DOUBLE) AS click_value
 FROM p JOIN c
   ON p.user_id = c.user_id
  AND c.ts_us BETWEEN p.start_us AND p.start_us + {RANGE_WIN_US}
@@ -3869,10 +3884,10 @@ def user_value_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 USER_ANALYTICS_SQL = """
 SELECT user_id, event_id, epoch_us(ts) AS ts_us,
   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+  CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) OVER (
     w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS running_value,
-  round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+  round(CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) OVER (
       w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
     / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
     AS moving_avg_3
@@ -3977,7 +3992,7 @@ def continuous_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTINUOUS_ROLLUP_SQL = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS bucket_us,
   event_type, COUNT(*) AS n,
-  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value
 FROM events
 -- a NULL event time is outside EVERY refresh window of the
 -- time-partitioned rollup (watermark/lookback predicates never match
@@ -4015,7 +4030,7 @@ def skew_salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 SKEW_JOIN_SQL = """
 SELECT c.c_mktsegment AS segment, e.event_type,
   COUNT(*) AS n,
-  CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+  CAST(SUM((CASE WHEN isnan(e.value) THEN NULL ELSE TRY_CAST(e.value AS DECIMAL(18,6)) END)) AS DOUBLE) AS total_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 WHERE c.c_custkey < 150
 GROUP BY segment, e.event_type
@@ -5138,7 +5153,7 @@ UNPIVOT_SQL = """
 WITH wide AS (
   SELECT user_id,
     CAST(COUNT(*) AS DOUBLE) AS n_events,
-    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+    CAST(SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,2)) END)) AS DOUBLE) AS total_value,
     CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS n_types
   FROM events GROUP BY user_id
 )
@@ -5162,8 +5177,17 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; at 100 TB the per-group sort is the cost — use the
     approx-sketch twin when rank error is tolerable."""
     ev = _events(spark, sf_dir)
+    # NaN -> NULL before ranking: a NaN has no rank. Spark's sort-based
+    # percentile would deterministically place NaN above +Inf, but
+    # DuckDB's quantile_cont partial-sort breaks on NaN comparisons and
+    # returns unstable garbage — and "NaN is the corpus maximum" is an
+    # implementation accident, not a statistic. Both sides exclude NaN
+    # (percentile/quantile_cont ignore NULL); ±Inf stays — it is
+    # totally ordered and interpolates correctly on both engines.
+    # Caught by the extreme-numerics sweep.
     pct = F.expr(
-        "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))"
+        "percentile(CASE WHEN isnan(value) THEN NULL ELSE value END, "
+        "array(0.25D, 0.5D, 0.75D, 0.95D))"
     ).alias("p")
     wide = ev.groupBy("event_type").agg(
         pct, F.count(F.lit(1)).alias("n")
@@ -5179,13 +5203,19 @@ def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PERCENTILES_SQL = """
+-- NaN -> NULL mirrors the gate: NaN has no rank (see the gate comment)
+WITH e AS (
+  SELECT event_type,
+         CASE WHEN isnan(value) THEN NULL ELSE value END AS value
+  FROM events
+)
 SELECT event_type,
   round(quantile_cont(value, 0.25), 6) AS p25,
   round(quantile_cont(value, 0.5), 6) AS p50,
   round(quantile_cont(value, 0.75), 6) AS p75,
   round(quantile_cont(value, 0.95), 6) AS p95,
   COUNT(*) AS n
-FROM events GROUP BY event_type
+FROM e GROUP BY event_type
 """
 
 
@@ -5677,7 +5707,7 @@ def gap_fill_user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
 GAP_FILL_SQL = """
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS hour,
-    SUM(CAST(value AS DECIMAL(18,2))) AS hour_sum
+    SUM((CASE WHEN isnan(value) THEN NULL ELSE TRY_CAST(value AS DECIMAL(18,2)) END)) AS hour_sum
   FROM events WHERE user_id < 25
   GROUP BY user_id, date_trunc('hour', ts)
 ), active AS (
@@ -6016,7 +6046,7 @@ ranked AS (
   -- zero-norm/NULL rows excluded before list assignment (mirror of
   -- ivf_topk's _nonzero; the k-means training CTEs above stay
   -- unfiltered — Spark's lloyd also trains over the full corpus)
-  FROM (SELECT * FROM c WHERE {_km_dot_sql('v', 'v')} > 0) c
+  FROM (SELECT * FROM c WHERE {_sql_vec_ok(_km_dot_sql('v', 'v'))}) c
        CROSS JOIN cent{_KM_ITERS} ct
 ), assign AS (
   SELECT vec_id, v, sqrt({_km_dot_sql('v', 'v')}) AS nrm, cid
@@ -6858,7 +6888,15 @@ WHERE r_name = 'AMERICA'
 # leads due r12 anyway) and simhash_near_dup_docs (r10-fresh) — are
 # attested this round by the full local-parity run on the final code
 # and by the sweep itself, and join the r12 window with the r9-fresh
-# leftovers.
+# leftovers. The extreme-numerics sweep (#7) likewise touched the
+# oracles of the events money-aggregate family and the ANN suite —
+# the in-window members are re-attested by the driver; the tail
+# members (events_value_percentiles, events_unpivot_metrics,
+# events_pivot_by_type, events_daily_rollup_sets, asof_purchase_click,
+# range_join_purchase_clicks, skew_salted_join_events,
+# embedding_near_dup, kmeans_clusters_embeddings, ann_pq_adc_topk,
+# ann_ivfadc_topk, merge gates) carry sweep + local-parity attestation
+# and are r12-window leads.
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
