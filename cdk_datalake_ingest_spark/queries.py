@@ -5676,13 +5676,37 @@ def gap_fill_user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = hourly.select(
         "user_id", "hour", F.sum("hour_sum").over(w_cum).alias("cum_dec")
     )
+    # span guard: sequence() materializes the whole grid as ONE array
+    # row, so a single corrupt timestamp (year 9999 from a bad parse)
+    # would allocate a ~70M-element array and OOM the stage. A span
+    # beyond ~23 years of hours is corrupt data — refuse it loudly
+    # with the offending user instead (same contract as the k-means
+    # _guarded_vec refusal: corruption stops the job, it does not
+    # silently OOM or run away). Rides the min/max aggregate row.
+    max_fill_hours = 200_000
+    # timestampdiff, not a bigint cast: TIMESTAMP_NTZ does not cast to
+    # numeric in Spark 4
+    span_h = F.expr("timestampdiff(HOUR, h0, h1)")
     grid = (
         active.groupBy("user_id")
         .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
         .select(
             "user_id",
             F.explode(
-                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                F.when(
+                    span_h > max_fill_hours,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "gap_fill: hour span exceeds "
+                                f"{max_fill_hours} buckets for user "
+                            ),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                ).otherwise(
+                    F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+                )
             ).alias("hour"),
         )
     )

@@ -178,6 +178,39 @@ def test_ann_gates_agree_on_nonfinite_vectors(spark, extreme_sf_dir):
     assert not _run(spark, extreme_sf_dir, GATES_EMB)
 
 
+def test_gap_fill_refuses_runaway_spans(spark, tmp_path):
+    """One corrupt timestamp (a year-9999 bad parse) would make the
+    gap-fill grid's sequence() materialize a ~70M-element array in a
+    single row and OOM the stage; the span guard refuses it with the
+    offending user instead — corruption stops the job, it does not
+    silently OOM. Same refusal contract as _guarded_vec."""
+    import __spark_entry__ as entry_mod
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    for t in (
+        "region nation customer supplier part orders lineitem documents "
+        "embeddings"
+    ).split():
+        shutil.copy(f"{SF_SRC}/{t}.parquet", d / f"{t}.parquet")
+    ev = spark.read.parquet(f"{SF_SRC}/events.parquet")
+    bad = spark.createDataFrame(
+        [(940001, dt.datetime(9999, 1, 1), 3, "click", 1.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+    staged = d / "_s"
+    ev.unionByName(bad).coalesce(1).write.mode("overwrite").parquet(
+        str(staged)
+    )
+    shutil.copy(next(staged.glob("part-*.parquet")), d / "events.parquet")
+    shutil.rmtree(staged)
+    with pytest.raises(Exception, match="hour span exceeds"):
+        entry_mod.queries()["gap_fill_user_hours"](
+            spark, str(d)
+        ).toPandas()
+
+
 def test_training_gates_refuse_nonfinite_vectors(spark, extreme_sf_dir):
     """The documented contrast to the search paths' silent drop: a
     k-means/SemDeDup model build REFUSES corrupt vectors with the
