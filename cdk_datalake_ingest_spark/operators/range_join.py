@@ -44,6 +44,7 @@ def range_join(
     on: Sequence[str] = (),
     bucket_width: int = 3_600_000_000,
     how: str = "inner",
+    max_buckets: int = 100_000,
 ) -> DataFrame:
     """Join each point row to every interval row with
     ``start_col <= point_col <= end_col`` (closed on both ends) and equal
@@ -54,6 +55,17 @@ def range_join(
     ``how`` is ``inner`` or ``left`` (left keeps unmatched points with
     NULL interval columns). Output columns: all point columns, then the
     interval columns not in ``on`` (name collisions suffixed ``_right``).
+
+    ``max_buckets`` bounds the per-interval bucket explosion: one
+    corrupt interval end (a year-9999 bad parse at microsecond
+    resolution) would otherwise materialize a ~70M-element bucket array
+    in a single row and OOM the stage — the operator refuses such an
+    interval loudly with its (start, end) instead (the gap-fill span
+    guard's contract: corruption stops the job, it does not silently
+    OOM). NULL start/end rows are dropped by the explode, the same
+    silent NULL-key semantics as the equi-join itself; an inverted
+    interval (end < start) yields descending buckets whose containment
+    re-check matches nothing.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
@@ -83,13 +95,27 @@ def range_join(
     # floor(), not an integer cast: cast truncates toward zero, which is
     # wrong for pre-epoch (negative) timestamps.
     pt = pts.withColumn(_BUCKET, F.floor(F.col(point_col) / F.lit(w)))
+    b0 = F.floor(F.col(start_col) / F.lit(w))
+    b1 = F.floor(F.col(end_col) / F.lit(w))
     iv = intervals.withColumn(
         _BUCKET,
         F.explode(
-            F.sequence(
-                F.floor(F.col(start_col) / F.lit(w)),
-                F.floor(F.col(end_col) / F.lit(w)),
-            )
+            F.when(
+                b1 - b0 + 1 > max_buckets,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"range_join: interval spans > {max_buckets} "
+                            "buckets (corrupt end timestamp? raise "
+                            "bucket_width or max_buckets) for interval ["
+                        ),
+                        F.col(start_col).cast("string"),
+                        F.lit(", "),
+                        F.col(end_col).cast("string"),
+                        F.lit("]"),
+                    )
+                ),
+            ).otherwise(F.sequence(b0, b1))
         ),
     )
 

@@ -136,3 +136,32 @@ def test_negative_timestamps(spark):
     intervals = spark.createDataFrame([Row(lo=-10, hi=0, iv="neg")])
     got = {(r.ts, r.iv) for r in range_join(points, intervals, "ts", "lo", "hi", bucket_width=10).collect()}
     assert got == {(-5, "neg")}
+
+
+def test_refuses_runaway_interval_spans(spark):
+    """One corrupt interval end (year-9999 in microseconds) would
+    explode into a ~70M-element bucket array in one row and OOM the
+    stage; the span guard refuses it with the offending interval
+    instead (gap-fill contract: corruption stops the job). A NULL
+    start/end interval is silently dropped by the same explode — the
+    equi-join NULL-key semantics."""
+    points, intervals = _frames(spark)
+    bad = intervals.union(
+        spark.createDataFrame(
+            [Row(k=1, lo=0, hi=253_402_300_800_000_000, iv="corrupt")]
+        )
+    )
+    with pytest.raises(Exception, match="interval spans > "):
+        range_join(
+            points, bad, "ts", "lo", "hi", on=["k"], bucket_width=3600
+        ).collect()
+    null_iv = intervals.union(
+        spark.createDataFrame(
+            [(1, None, None, "nullrow")],
+            "k long, lo long, hi long, iv string",
+        )
+    )
+    out = range_join(
+        points, null_iv, "ts", "lo", "hi", on=["k"], bucket_width=100
+    )
+    assert {r.iv for r in out.collect()} == {"w1", "w2"}
