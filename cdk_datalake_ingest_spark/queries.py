@@ -3758,8 +3758,21 @@ WITH m AS (
     ROUND(-SUM((f.c/t.n) * log2(f.c/t.n)), 6) AS entropy_bits
   FROM freq f JOIN tot t USING (media_id) GROUP BY f.media_id
 )
-SELECT s.media_id, s.byte_len, s.n_distinct_bytes, s.entropy_bits, m.mime
-FROM stats s JOIN m USING (media_id)
+-- LEFT join from m, not an inner join from stats: a NULL-text doc has
+-- NULL content (Spark concat propagates NULL), but the media item's
+-- ROW survives the decode stage with empty-payload features
+-- (byte_len 0, 0 distinct bytes, entropy 0.0) and sniff_mime's
+-- unknown-content fallback 'application/octet-stream' — the byte
+-- explosion above has no rows for it, so an inner join silently
+-- dropped the item and the construction-rule mime disagreed with the
+-- sniffer (NULL-text sweep extension)
+SELECT m.media_id,
+  CAST(coalesce(s.byte_len, 0) AS BIGINT) AS byte_len,
+  CAST(coalesce(s.n_distinct_bytes, 0) AS BIGINT) AS n_distinct_bytes,
+  coalesce(s.entropy_bits, 0.0) AS entropy_bits,
+  CASE WHEN m.hx IS NULL THEN 'application/octet-stream'
+       ELSE m.mime END AS mime
+FROM m LEFT JOIN stats s USING (media_id)
 """
 
 
@@ -4931,8 +4944,13 @@ def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HASH_EMBED_SQL = f"""
 WITH base AS (
+  -- coalesce: hash_embed's contract is NULL text -> ZERO vector (the
+  -- featurizer must emit a fixed-width vector for every row — the
+  -- semantic operators it feeds key on doc_id and cannot skip rows);
+  -- without it a NULL doc read NULL toks -> NULL vec_counts while the
+  -- operator emitted zeros (caught by the NULL-text sweep extension)
   SELECT doc_id,
-    CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+    CASE WHEN coalesce({_SQL_NORM}, '') = '' THEN CAST([] AS VARCHAR[])
          ELSE {_SQL_TOKENS} END AS toks
   FROM documents
 ), bucketed AS (
@@ -5949,8 +5967,13 @@ def semantic_dedup_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KM_HASHDOC_SOURCE = f"""c AS (
   WITH hb AS (
+    -- coalesce: NULL text -> zero vector, the hash_embed featurizer
+    -- contract (HASH_EMBED_SQL has the same guard) — without it the
+    -- NULL doc's NULL vector silently dropped out of training here
+    -- while Spark trained WITH its zero vector, shifting every
+    -- centroid (NULL-text sweep extension)
     SELECT doc_id,
-      CASE WHEN {_SQL_NORM} = '' THEN CAST([] AS VARCHAR[])
+      CASE WHEN coalesce({_SQL_NORM}, '') = '' THEN CAST([] AS VARCHAR[])
            ELSE {_SQL_TOKENS} END AS toks
     FROM documents
   ), hv AS (

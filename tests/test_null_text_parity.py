@@ -66,6 +66,23 @@ GATES = [
     "temperature_mixture_docs",
     "stratified_sample_docs",
     "pack_sequences_docs",
+    # round-11 session-2 extension: the remaining document-family
+    # gates (featurizer/quality/curation/multimodal). This extension
+    # CAUGHT three divergences, now pinned: hash_embed's NULL text ->
+    # ZERO vector contract (oracle read NULL toks), the same silent
+    # NULL-vector drop shifting every kmeans_train_hash centroid, and
+    # the multimodal inner join dropping the NULL-content media item
+    # whose row survives the decode stage with empty-payload features
+    # and the sniffer's octet-stream fallback.
+    "tfidf_top_terms_docs",
+    "perplexity_buckets_docs",
+    "nb_quality_filter_docs",
+    "curate_documents",
+    "hash_embed_docs",
+    "kmeans_train_hash_docs",
+    "ngram_jaccard_docs",
+    "semantic_dedup_hash_docs",
+    "multimodal_media_pipeline",
 ]
 
 

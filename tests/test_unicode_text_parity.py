@@ -62,6 +62,18 @@ GATES = [
     "temperature_mixture_docs",
     "stratified_sample_docs",
     "pack_sequences_docs",
+    # round-11 session-2 extension (same list as the NULL sweep): the
+    # remaining document-family gates — all agreed on Unicode input
+    # out of the box once the case/whitespace pins above landed
+    "tfidf_top_terms_docs",
+    "perplexity_buckets_docs",
+    "nb_quality_filter_docs",
+    "curate_documents",
+    "hash_embed_docs",
+    "kmeans_train_hash_docs",
+    "ngram_jaccard_docs",
+    "semantic_dedup_hash_docs",
+    "multimodal_media_pipeline",
 ]
 
 #: (doc_id, text, lang) — n_chars is derived as len(text) (code points,
