@@ -112,3 +112,33 @@ def test_build_incremental_query_live(spark, derby):
     out = read_jdbc(spark, derby, q)
     expect = [r for r in ROWS if 300 <= r[2] <= 600]
     assert _sorted(out) == expect
+
+
+def test_unicode_and_null_roundtrip(spark, derby, tmp_path_factory):
+    """The raw-zone JDBC hop with the strings a real source system
+    holds: Unicode (CJK/emoji/accents — UTF-16 in Derby, UTF-8 in
+    Spark), empty vs NULL (distinct in Derby VARCHAR, unlike Oracle's
+    ''-is-NULL — the dialect difference the reference's Oracle jobs
+    live with), and quote/backslash soup through the quoted-identifier
+    writer. Byte-exact both directions or the raw zone silently
+    corrupts every downstream stage."""
+    db_path = str(tmp_path_factory.mktemp("derby_uni") / "unidb")
+    rows = [
+        (1, "春眠不覚暁 🚀 café Straße Привет"),
+        (2, ""),
+        (3, None),
+        (4, "it's \"quoted\" \\backslash"),
+        (5, "foo nbsp　ideo"),
+    ]
+    df = spark.createDataFrame(rows, "ID int, TXT string")
+    df.write.jdbc(
+        url=f"jdbc:derby:{db_path};create=true",
+        table="APP.UNI",
+        mode="overwrite",
+        properties={"driver": "org.apache.derby.jdbc.EmbeddedDriver"},
+    )
+    ep = EndpointSpec(
+        endpoint_name="derby-uni", bd_type="derby", db_name=db_path
+    )
+    out = read_jdbc(spark, ep, "SELECT id, txt FROM APP.UNI")
+    assert sorted(tuple(r) for r in out.collect()) == sorted(rows)
