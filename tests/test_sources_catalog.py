@@ -110,3 +110,40 @@ def test_scale_profile_sizing_and_application(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_raw_csv_hop_is_lossless_for_hostile_text(spark, tmp_path):
+    """The S1/S7 raw-zone pair must round-trip the text a real DMS
+    extract contains. Two writer/reader defaults silently broke that:
+    the default reader splits records on raw newlines regardless of
+    quoting (a newline-bearing VARCHAR became a corrupt extra row),
+    and the default WRITER trims leading/trailing whitespace (byte
+    loss). multiLine + trim-off fix both; the one documented
+    canonicalization is '' -> NULL (CSV cannot portably carry the
+    distinction, and the reference's primary source dialect, Oracle,
+    erases it source-side)."""
+    rows = [
+        (1, "line1\nline2"),
+        (2, "crlf\r\nhere"),
+        (3, 'quote " inside'),
+        (4, None),
+        (5, ""),
+        (6, "unicode 春 🚀 café"),
+        (7, "tab\tand,comma"),
+        (8, "\\backslash"),
+        (9, " pad both ends "),
+    ]
+    df = spark.createDataFrame(
+        [(str(a), b) for a, b in rows], "id string, txt string"
+    )
+    p = str(tmp_path / "raw")
+    write_raw_csv(df, p, mode="overwrite")
+    got = sorted(
+        (tuple(r) for r in read_raw_csv(spark, p).collect()),
+        key=lambda t: int(t[0]),
+    )
+    want = sorted(
+        ((str(a), None if b == "" else b) for a, b in rows),
+        key=lambda t: int(t[0]),
+    )
+    assert got == want
