@@ -33,12 +33,23 @@ def write_jsonl(
 
 
 def read_jsonl(
-    spark: SparkSession, path: str, schema: StructType | str | None = None
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """Read JSONL; pass the schema (DDL string ok) — inference is a
     second full scan and widens integral ids to doubles, both wrong at
-    100 TB."""
-    r = spark.read
+    100 TB.
+
+    ``mode`` defaults to FAILFAST: under Spark's default PERMISSIVE
+    mode a corrupt shard line silently becomes an ALL-NULL row
+    (verified) — a poisoned corpus row per corrupt line with zero
+    signal, in the format whose whole job is delivering training
+    data. Corruption stops the job (the engine's refusal convention);
+    pass mode="PERMISSIVE" (ideally with a corrupt-record column in
+    the schema) to triage a damaged delivery instead."""
+    r = spark.read.option("mode", mode)
     if schema is not None:
         r = r.schema(schema)
     return r.json(path)

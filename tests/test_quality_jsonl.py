@@ -312,3 +312,27 @@ def test_cli_apply_changes_replicates(spark, tmp_path):
     with contextlib.redirect_stderr(err):
         rc = main(["table", rep_p, "apply-changes", src_p])
     assert rc == 1 and err.getvalue().startswith("usage: table <path> ")
+
+
+def test_read_jsonl_refuses_corrupt_lines(spark, tmp_path):
+    """A corrupt shard line under Spark's default PERMISSIVE json mode
+    silently becomes an ALL-NULL corpus row — zero signal, one
+    poisoned document per corrupt line. The delivery-path reader
+    defaults to FAILFAST (corruption stops the job); PERMISSIVE stays
+    an explicit opt-in for triaging a damaged delivery."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.sources.jsonl import read_jsonl
+
+    p = tmp_path / "shards"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "good"}\n'
+        '{"doc_id": 2, "text": CORRUPT}\n'
+    )
+    with pytest.raises(Exception, match="FAILFAST|Malformed|malformed"):
+        read_jsonl(spark, str(p), "doc_id long, text string").collect()
+    rows = read_jsonl(
+        spark, str(p), "doc_id long, text string", mode="PERMISSIVE"
+    ).collect()
+    assert len(rows) == 2  # opt-in keeps the old triage behavior
