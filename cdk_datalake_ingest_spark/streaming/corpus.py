@@ -33,8 +33,11 @@ def stream_jsonl_documents(
 ) -> DataFrame:
     """File-source stream over a JSONL drop directory (gzip ok).
     Schema is explicit — streaming reads do not infer, and inference
-    would widen integral ids anyway (see sources/jsonl.py)."""
-    reader = spark.readStream.schema(schema)
+    would widen integral ids anyway (see sources/jsonl.py).
+    FAILFAST for the same reason as the batch reader: a corrupt shard
+    line under PERMISSIVE silently feeds an all-NULL document into
+    every running aggregate, and a streaming sink can't un-count it."""
+    reader = spark.readStream.schema(schema).option("mode", "FAILFAST")
     if max_files_per_trigger is not None:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
