@@ -73,15 +73,18 @@ def normalize_text(col: Column) -> Column:
     Whitespace is pinned the same way: the collapse class is written
     out as ``[ \\t\\n\\x0B\\f\\r]`` (Java's ASCII ``\\s``) because
     RE2-based engines define ``\\s`` WITHOUT vertical tab, and the
-    edge trim is a plain leading/trailing-space strip because ``trim``
-    itself is engine-defined (Spark strips every char <= 0x20, DuckDB
-    strips Unicode whitespace incl. NBSP). After the collapse the
-    edges hold at most one ASCII space, so ``'^ | $' -> ''`` is exact
-    on every engine."""
+    edge trim is ``btrim(x, ' ')`` — an EXPLICIT space-only char set,
+    because bare ``trim`` is engine-defined (Spark strips every char
+    <= 0x20, DuckDB strips Unicode whitespace incl. NBSP) while
+    trim-with-charset is identical everywhere. btrim, not a
+    ``'^ | $'`` regexp: same semantics after the collapse (edges hold
+    at most one ASCII space), but pointer arithmetic instead of a
+    second full-string Matcher pass — the regexp form measured
+    1.5-2x on every text gate (round-11 bench)."""
     collapsed = F.regexp_replace(
         F.lower(F.translate(col, "İΣ", "iσ")), r"[ \t\n\x0B\f\r]+", " "
     )
-    return F.regexp_replace(collapsed, "^ | $", "")
+    return F.btrim(collapsed, F.lit(" "))
 
 
 def exact_dedup(

@@ -1165,8 +1165,8 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXACT_DEDUP_SQL = """
-SELECT md5(regexp_replace(regexp_replace(lower(translate(text, 'İΣ', 'iσ')),
-           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '^ | $', '', 'g')) AS content_hash,
+SELECT md5(trim(regexp_replace(lower(translate(text, 'İΣ', 'iσ')),
+           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) AS content_hash,
        MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents
 GROUP BY 1
@@ -1194,11 +1194,13 @@ def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SpecialCasing lower entries (İ -> i, Σ -> σ; DuckDB's utf8proc lower
 # already maps them that way — the translate is a no-op here and
 # documents the contract), the whitespace class written out (RE2's \s
-# has no \x0B), and an explicit edge-space strip instead of the
-# engine-defined trim() (utf8proc trim strips NBSP, Spark's does not).
+# has no \x0B), and trim with an EXPLICIT space-only char set (bare
+# trim() is engine-defined: utf8proc strips NBSP, Spark strips all
+# chars <= 0x20; trim-with-charset is identical everywhere and avoids
+# a second regex pass).
 _SQL_NORM = (
-    "regexp_replace(regexp_replace(lower(translate(text, 'İΣ', 'iσ')), "
-    "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), '^ | $', '', 'g')"
+    "trim(regexp_replace(lower(translate(text, 'İΣ', 'iσ')), "
+    "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')"
 )
 _SQL_TOKENS = f"string_split({_SQL_NORM}, ' ')"
 _SQL_NTOK = f"CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
