@@ -606,7 +606,17 @@ class ManagedTable:
         manifest version their input snapshot came from. The commit CAS
         then rejects the write if any other commit landed after that
         read (without it, only commits racing *this* write's own
-        manifest read are detected)."""
+        manifest read are detected).
+
+        Partition-value fidelity (probed, pinned in
+        tests/test_table_maintenance.py): Unicode, spaces, slashes,
+        '=' and '&' in a string partition column all round-trip via
+        Spark's directory-name escaping, and NULL round-trips through
+        the hive default partition. The ONE canonicalization is
+        '' -> NULL: the hive layout writes both as
+        __HIVE_DEFAULT_PARTITION__ (every hive-layout engine — Spark,
+        Hive, Delta — shares this), so an empty string is not a usable
+        partition value. Data columns are unaffected."""
         # Route by what the TABLE is, not by what is importable: a
         # legacy parquet-manifest table in a delta-enabled env must
         # keep its CAS path — a bare HAS_DELTA branch would silently

@@ -582,3 +582,35 @@ def test_vacuum_rejects_keep_zero(spark, tmp_path):
     with pytest.raises(ValueError, match="keep_snapshots"):
         t.vacuum(keep_snapshots=0)
     assert t.read().count() == 1
+
+
+def test_partition_value_fidelity(spark, tmp_path):
+    """Hostile partition VALUES through the hive-partitioned snapshot
+    layout: Unicode/space/slash/equals/ampersand values round-trip via
+    directory-name escaping and NULL survives the hive default
+    partition; the one documented canonicalization is '' -> NULL (both
+    serialize to __HIVE_DEFAULT_PARTITION__ — a layout property every
+    hive-layout engine shares, not a bug here)."""
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+
+    rows = [
+        (1, "a", 1.0),
+        (2, None, 2.0),
+        (3, "", 3.0),  # canonicalizes to NULL
+        (4, "sp ace", 4.0),
+        (5, "uni春🚀", 5.0),
+        (6, "slash/colon:", 6.0),
+        (7, "eq=amp&", 7.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, part string, v double")
+    t = ManagedTable(spark, str(tmp_path / "pfid"))
+    t.write(df, partition_by=["part"])
+    got = sorted(
+        ((r.id, r.part, r.v) for r in t.read().collect()),
+        key=lambda x: x[0],
+    )
+    want = sorted(
+        ((i, None if p == "" else p, v) for i, p, v in rows),
+        key=lambda x: x[0],
+    )
+    assert got == want
