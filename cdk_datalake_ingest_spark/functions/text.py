@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from cdk_datalake_ingest_spark.operators.dedup import normalize_text, word_shingles
+from cdk_datalake_ingest_spark.operators.dedup import (
+    ASCII_WS,
+    normalize_text,
+    word_shingles,
+)
 
 WORD_RE = r"[A-Za-z0-9_]+"
 PUNCT_RE = r"[.,!?;:]"
@@ -22,7 +26,7 @@ PUNCT_RE = r"[.,!?;:]"
 # class is written out) so the DuckDB oracle can run the identical
 # pattern: contraction suffixes, letter runs, digit runs, other-symbol
 # runs (each optionally preceded by one space), whitespace.
-_WS = r" \t\n\x0B\f\r"
+_WS = ASCII_WS  # the single pinned class (operators/dedup.py)
 BPE_RE = (
     r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
     r"| ?[^A-Za-z0-9" + _WS + r"']+|[" + _WS + r"]+"
@@ -67,7 +71,7 @@ def bpe_token_count(col: Column) -> Column:
     # utf8proc engines strip Unicode whitespace, so an NBSP-only piece
     # counted here but not in the oracle). The exclusion is exactly
     # "pieces produced by the \s+ alternative", so test that.
-    return F.size(F.filter(pieces, lambda p: ~p.rlike(r"^[ \t\n\x0B\f\r]+$")))
+    return F.size(F.filter(pieces, lambda p: ~p.rlike(f"^[{_WS}]+$")))
 
 
 def char_count(col: Column) -> Column:

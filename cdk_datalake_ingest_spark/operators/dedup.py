@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 from cdk_datalake_ingest_spark.session import ensure_parallelism
 from pyspark.sql.functions import pandas_udf
 
+#: THE pinned ASCII-whitespace class (Java's \s, which RE2-based
+#: engines define WITHOUT \x0B — so the class is written out). Every
+#: Spark-side regex and every oracle-SQL mirror that tests whitespace
+#: must be built from this one constant: the round-11 Unicode sweep's
+#: whole point is that these classes stay byte-identical across every
+#: engine mirror, and four independent literals would desynchronize
+#: silently (the same char sequence works verbatim in Java regex and
+#: RE2 — backslash escapes are interpreted by the REGEX engine, not
+#: the SQL string layer).
+ASCII_WS = r" \t\n\x0B\f\r"
+
 
 def latest_record_dedup(
     df: DataFrame,
@@ -82,7 +93,7 @@ def normalize_text(col: Column) -> Column:
     second full-string Matcher pass — the regexp form measured
     1.5-2x on every text gate (round-11 bench)."""
     collapsed = F.regexp_replace(
-        F.lower(F.translate(col, "İΣ", "iσ")), r"[ \t\n\x0B\f\r]+", " "
+        F.lower(F.translate(col, "İΣ", "iσ")), f"[{ASCII_WS}]+", " "
     )
     return F.btrim(collapsed, F.lit(" "))
 

@@ -100,8 +100,15 @@ def range_join(
     iv = intervals.withColumn(
         _BUCKET,
         F.explode(
+            # abs(): F.sequence(b0, b1) with b0 > b1 generates a
+            # DESCENDING array, so a corrupt START (or swapped bounds)
+            # would bypass a signed bound and materialize the same
+            # runaway array in the other direction (review catch on
+            # the first guard draft). Small inverted intervals stay
+            # allowed — their descending buckets match nothing under
+            # the containment re-check.
             F.when(
-                b1 - b0 + 1 > max_buckets,
+                F.abs(b1 - b0) + 1 > max_buckets,
                 F.raise_error(
                     F.concat(
                         F.lit(

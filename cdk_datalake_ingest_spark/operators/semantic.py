@@ -81,8 +81,16 @@ def _guarded_vec(
         F.when(
             F.size(F.col(vec_col)) == dim,
             F.when(
+                # x.isNull() is load-bearing: exists() is three-valued,
+                # so a correct-dim vector holding a NULL ELEMENT makes
+                # the predicate NULL (not true), skips the raise, and
+                # np.asarray converts None to the very NaN this guard
+                # exists to refuse (review catch on the first draft)
                 F.exists(
-                    v, lambda x: F.isnan(x) | (F.abs(x) == float("inf"))
+                    v,
+                    lambda x: x.isNull()
+                    | F.isnan(x)
+                    | (F.abs(x) == float("inf")),
                 ),
                 F.raise_error(
                     F.concat(
@@ -221,6 +229,19 @@ def lloyd_kmeans(
             raise ValueError(
                 f"vector length {0 if c is None else len(c)} for id "
                 f"{r['cid']} does not match dim={dim}"
+            )
+        # seed rows bypass _guarded_vec (they are collected raw before
+        # the guarded projection exists), so the refusal contract must
+        # be enforced HERE too — a NULL/NaN/Inf component in a seed
+        # otherwise crashes later as an opaque driver-side
+        # float(None)/poisoned-centroid failure
+        if any(
+            x is None or x != x or x in (float("inf"), float("-inf"))
+            for x in c
+        ):
+            raise ValueError(
+                "lloyd_kmeans: non-finite vector component for id "
+                f"{r['cid']} (seed row)"
             )
     base = ensure_parallelism(corpus).select(
         F.col(id_col), _guarded_vec(id_col, vec_col, dim, "lloyd_kmeans")

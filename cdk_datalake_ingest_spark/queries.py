@@ -52,6 +52,7 @@ from cdk_datalake_ingest_spark.operators.semantic import (
     semantic_dedup,
 )
 from cdk_datalake_ingest_spark.operators.dedup import (
+    ASCII_WS,
     exact_dedup,
     latest_record_dedup,
     minhash_near_dup_pairs,
@@ -1164,9 +1165,9 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "text", "doc_id")
 
 
-EXACT_DEDUP_SQL = """
+EXACT_DEDUP_SQL = f"""
 SELECT md5(trim(regexp_replace(lower(translate(text, 'İΣ', 'iσ')),
-           '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')) AS content_hash,
+           '[{ASCII_WS}]+', ' ', 'g'), ' ')) AS content_hash,
        MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
 FROM documents
 GROUP BY 1
@@ -1200,7 +1201,7 @@ def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a second regex pass).
 _SQL_NORM = (
     "trim(regexp_replace(lower(translate(text, 'İΣ', 'iσ')), "
-    "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'), ' ')"
+    f"'[{ASCII_WS}]+', ' ', 'g'), ' ')"
 )
 _SQL_TOKENS = f"string_split({_SQL_NORM}, ' ')"
 _SQL_NTOK = f"CASE WHEN {_SQL_NORM} = '' THEN 0 ELSE len({_SQL_TOKENS}) END"
@@ -3650,8 +3651,10 @@ GROUP BY ROLLUP(date_trunc('day', ts), event_type)
 """
 
 # Mirrors functions/text.py:BPE_RE exactly — the whitespace class is
-# written out because RE2's \s excludes \x0B while Java's includes it.
-_SQL_WS = " \\t\\n\\x0B\\f\\r"
+# written out because RE2's \s excludes \x0B while Java's includes it
+# (the same char sequence is a valid escape set in both regex engines,
+# so the ONE pinned constant serves both sides verbatim).
+_SQL_WS = ASCII_WS
 _SQL_BPE_RE = (
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
     f"| ?[^A-Za-z0-9{_SQL_WS}']+|[{_SQL_WS}]+"

@@ -30,14 +30,18 @@ def stream_jsonl_documents(
     source_dir: str,
     schema: str = DOC_SCHEMA,
     max_files_per_trigger: int | None = None,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """File-source stream over a JSONL drop directory (gzip ok).
     Schema is explicit — streaming reads do not infer, and inference
     would widen integral ids anyway (see sources/jsonl.py).
-    FAILFAST for the same reason as the batch reader: a corrupt shard
-    line under PERMISSIVE silently feeds an all-NULL document into
-    every running aggregate, and a streaming sink can't un-count it."""
-    reader = spark.readStream.schema(schema).option("mode", "FAILFAST")
+    ``mode`` defaults to FAILFAST for the same reason as the batch
+    reader: a corrupt shard line under PERMISSIVE silently feeds an
+    all-NULL document into every running aggregate, and a streaming
+    sink can't un-count it. Like the batch twin, mode="PERMISSIVE" is
+    the explicit opt-in for triaging a damaged drop directory (the
+    API symmetry is deliberate — both readers, one contract)."""
+    reader = spark.readStream.schema(schema).option("mode", mode)
     if max_files_per_trigger is not None:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)

@@ -96,3 +96,49 @@ def test_registry_oracle_keys_subset_of_queries():
     q = entry_mod.queries()
     for k in entry_mod.oracle_sql():
         assert k in q
+
+
+def test_money_guard_and_ws_class_uniform():
+    """Source-level consistency pins for the two contracts that are
+    textually replicated across oracle SQL strings (the review's
+    maintenance concern — a future edit to one copy must not silently
+    desynchronize the rest):
+
+    - every DECIMAL money cast of the events value column carries the
+      isnan + TRY_CAST guard (a bare CAST raises on inf in the oracle
+      engine and diverges from Spark's NULL), and no unguarded form
+      remains;
+    - the pinned ASCII-whitespace class exists exactly once
+      (operators/dedup.py:ASCII_WS) and no independent literal of it
+      survives anywhere in the package.
+    """
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parents[1] / "cdk_datalake_ingest_spark"
+    qsrc = (pkg / "queries.py").read_text()
+
+    bare = [
+        m.group(0)
+        for m in re.finditer(r"(?<!TRY_)CAST\((?:[a-z]\.)?value AS DECIMAL", qsrc)
+    ]
+    assert not bare, f"unguarded money cast(s): {bare}"
+    guarded = re.findall(
+        r"CASE WHEN isnan\((?:[a-z]\.)?value\) THEN NULL "
+        r"ELSE TRY_CAST\((?:[a-z]\.)?value AS DECIMAL\(18,[26]\)\) END",
+        qsrc,
+    )
+    trys = re.findall(r"TRY_CAST\((?:[a-z]\.)?value AS DECIMAL", qsrc)
+    assert len(guarded) == len(trys) >= 12, (len(guarded), len(trys))
+
+    ws_literal = re.compile(r"\[? ?\\+t\\+n\\+x0[bB]\\+f\\+r")
+    offenders = []
+    for p in pkg.rglob("*.py"):
+        if p.name == "dedup.py":
+            continue
+        for i, line in enumerate(p.read_text().splitlines(), 1):
+            if line.lstrip().startswith(("#", "--")):
+                continue  # prose may cite the class; code may not
+            if ws_literal.search(line):
+                offenders.append(f"{p.name}:{i}")
+    assert not offenders, f"independent whitespace-class literal(s): {offenders}"

@@ -165,3 +165,21 @@ def test_refuses_runaway_interval_spans(spark):
         points, null_iv, "ts", "lo", "hi", on=["k"], bucket_width=100
     )
     assert {r.iv for r in out.collect()} == {"w1", "w2"}
+
+
+def test_refuses_runaway_inverted_interval(spark):
+    """The guard must bound the span in BOTH directions: sequence(b0,
+    b1) with b0 > b1 generates a DESCENDING array, so a corrupt START
+    (or swapped bounds) would bypass a signed bound and materialize
+    the same runaway array the guard exists to prevent (review catch
+    on the first draft). Small inverted intervals remain allowed."""
+    points, intervals = _frames(spark)
+    bad = intervals.union(
+        spark.createDataFrame(
+            [Row(k=1, lo=253_402_300_800_000_000, hi=0, iv="swapped")]
+        )
+    )
+    with pytest.raises(Exception, match="interval spans > "):
+        range_join(
+            points, bad, "ts", "lo", "hi", on=["k"], bucket_width=3600
+        ).collect()

@@ -209,3 +209,20 @@ def test_centroid_matrix_validated_at_boundary(spark):
         corpus, centroids=[[1.0, 0.0], [0.0, 1.0]], threshold=0.95
     ).collect()
     assert {r["vec_id"] for r in out} == {1, 2}  # 3 deduped against 1
+
+
+def test_guarded_training_raises_on_null_component(spark):
+    """A correct-dim vector holding a NULL ELEMENT must hit the
+    non-finite refusal: exists() is three-valued, so without an
+    explicit isNull test the predicate evaluates NULL, skips the
+    raise, and np.asarray converts None to the very NaN the guard
+    refuses (review catch on the first draft)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.operators.semantic import lloyd_kmeans
+
+    rows = [(1, [1.0, 2.0]), (2, [3.0, None]), (3, [0.5, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="non-finite vector component"):
+        lloyd_kmeans(df, k=2, iters=1, dim=2)
