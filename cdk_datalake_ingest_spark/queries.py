@@ -6949,6 +6949,21 @@ WHERE r_name = 'AMERICA'
 # embedding_near_dup, kmeans_clusters_embeddings, ann_pq_adc_topk,
 # ann_ivfadc_topk, merge gates) carry sweep + local-parity attestation
 # and are r12-window leads.
+# R12 PRE-COMMITMENT (write the window BEFORE seeing r12): (a) the
+# r9-fresh leftovers in the tail block below (q06/q14/q19 through
+# events_daily_rollup_sets) reach their 3-round bound and MUST lead
+# the r12 window; (b) then the session-2 overflow/oracle-changed tail
+# entries named in the two addendum notes above (token_stats,
+# pii_scrub, dataset_split, stratified_sample, nb_quality, gopher,
+# unigram_lm, tfidf, chunk, perplexity, simhash — most are in (a)
+# already — plus events_value_percentiles, events_unpivot_metrics,
+# events_pivot_by_type, asof_purchase_click,
+# range_join_purchase_clicks, skew_salted_join_events,
+# embedding_near_dup, kmeans_clusters_embeddings, ann_pq_adc_topk,
+# ann_ivfadc_topk, jsonl_roundtrip_docs, stage_pipeline_lineitem and
+# the merge pair); (c) r10-fresh backfill. Every (b) entry carries
+# r11 sweep + full local-parity attestation in the meantime
+# (PARITY_LOCAL_r11.json, 114/114 on the final code).
 # Registry note (round 10): the r9-suggested dsl_flags_orders +
 # dsl_magic_codes fold was evaluated and SKIPPED — the two gates
 # have disjoint output schemas (date/timestamp_ntz/period decode at
