@@ -185,3 +185,84 @@ def promote(
         store.delete(key)
 
     return {"result": "SUCCESS", "status": "Complete", "target_path": target_path}
+
+
+# ---------------------------------------------------------------------------
+# AppFlow flow-status polling (the Salesforce landing wait loop)
+# ---------------------------------------------------------------------------
+
+# DescriptSalesforceLanding.py:29-34 — the three answers the Step
+# Functions Choice state discriminates on.
+FLOW_CREATING = "CREATING"
+FLOW_SUCCESS = "SUCCESS"
+FLOW_FAILED = "FAILED"
+
+
+def appflow_flow_name(
+    object_name: str, load_type: str, prefix: str = "ajedtlk"
+) -> str:
+    """Resolve the AppFlow flow name the reference polls
+    (DescriptSalesforceLanding.py:16-21 `get_appflow_name`):
+    UPSERT_LOAD tables run the hourly ('hr') flow variant, everything
+    else the daily ('da') one, appended to the lower-cased Salesforce
+    object name under the deployment prefix."""
+    suffix = "hr" if load_type == "UPSERT_LOAD" else "da"
+    return f"{prefix}-{object_name.lower()}{suffix}"
+
+
+def check_flow_status(
+    describe: Callable[[str], str], flow_name: str
+) -> str:
+    """One poll of the Salesforce-landing state machine, the AppFlow
+    twin of replication.check_task_status: discriminate the LATEST
+    flow-execution status into the reference's three-answer contract
+    (DescriptSalesforceLanding.py:23-35 `evaluateFlow`):
+
+      InProgress → CREATING  (the SFN Wait state loops back)
+      Successful → SUCCESS   (landing files are ready to promote)
+      anything else → FAILED (Error, CancelStarted, no execution, ...)
+
+    ``describe`` is the seam for `appflow.describe_flow_execution_records
+    (flowName, maxResults=1)[0]['executionStatus']` — injected so tests
+    and local runs script the lifecycle. A describe that RAISES maps to
+    FAILED. Deliberate deviation, stated plainly: the reference's
+    evaluateFlow swallows the exception and returns None, which reaches
+    the SFN Choice state as a result matching none of its three rules
+    and kills the execution with States.NoChoiceMatched — an outage
+    (AppFlow API down) should read as a failed poll, not a dead state
+    machine."""
+    try:
+        status = describe(flow_name)
+    except Exception:  # noqa: BLE001 - poll seam, see docstring
+        return FLOW_FAILED
+    if status == "InProgress":
+        return FLOW_CREATING
+    if status == "Successful":
+        return FLOW_SUCCESS
+    return FLOW_FAILED
+
+
+def poll_flow(
+    describe: Callable[[str], str],
+    flow_name: str,
+    max_polls: int = 16,
+    sleeper: Callable[[float], None] | None = None,
+    poll_interval: float = 0.0,
+) -> str:
+    """Drive the wait-loop the reference builds in Step Functions
+    around DescriptSalesforceLanding: re-evaluate while the answer is
+    CREATING, return the first terminal SUCCESS/FAILED. ``max_polls``
+    bounds the loop (the reference relies on the SFN execution
+    timeout); exhausting it returns FAILED — a flow still InProgress
+    after the budget is treated as stuck, matching the timeout's
+    effect. Control-plane only: no Spark work happens until the poll
+    returns SUCCESS, exactly like the reference where the Glue
+    transform job is downstream of the Choice state."""
+    result = FLOW_CREATING
+    for _ in range(max_polls):
+        result = check_flow_status(describe, flow_name)
+        if result != FLOW_CREATING:
+            return result
+        if sleeper and poll_interval:
+            sleeper(poll_interval)
+    return FLOW_FAILED

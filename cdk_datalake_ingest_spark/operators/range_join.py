@@ -107,8 +107,18 @@ def range_join(
             # the first guard draft). Small inverted intervals stay
             # allowed — their descending buckets match nothing under
             # the containment re-check.
+            # double-cast: the engine session pins ANSI off, so a
+            # pathological bound pair whose bucket indices differ by
+            # more than 2^63 would WRAP in bigint subtraction and
+            # could sneak under max_buckets, dying later in Spark's
+            # own sequence() length error instead of this loud
+            # per-interval refusal. Double arithmetic saturates
+            # monotonically (no wrap); the guard only needs a
+            # magnitude comparison, so the <2^53 precision loss is
+            # irrelevant at any plausible max_buckets.
             F.when(
-                F.abs(b1 - b0) + 1 > max_buckets,
+                F.abs(b1.cast("double") - b0.cast("double")) + 1
+                > float(max_buckets),
                 F.raise_error(
                     F.concat(
                         F.lit(

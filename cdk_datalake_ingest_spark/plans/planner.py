@@ -102,6 +102,67 @@ class TableRunResult:
 
 
 @dataclass
+class Notifier:
+    """Pluggable success/error notification seam (R5, completing the
+    partial): the reference publishes SNS on BOTH paths — per-table
+    errors from inside the stage job (aje-stage-dms-load.py:328-337,
+    :560/:578: warning-vs-failed message chosen by substring match on
+    the error) and ENDPOINT-level success only when that endpoint has
+    zero FAILED tables (SendSuccededNotification.py:26-36: a DynamoDB
+    scan filtered by ENDPOINT + STATUS_STAGE='FAILED'; empty → publish
+    "Successfully load {endpoint}"). The engine exposes the same two
+    seams as plain callables so operational alerting (SNS, Slack,
+    PagerDuty, a test list) can attach without subclassing.
+
+    ``on_failure(table_name, message, error)`` fires once per FAILED
+    (or warning-class) table, after retries are exhausted, with the
+    reference's message shape already rendered. ``on_success(endpoint,
+    message)`` fires once per endpoint whose tables all SUCCEEDED —
+    endpoint-level, not per-table, and only when failed_count==0 for
+    that endpoint, exactly the reference's gate. Notifier exceptions
+    are swallowed (the reference's lambda returns FAILED but never
+    breaks the pipeline, SendSuccededNotification.py:43-47)."""
+
+    on_success: Callable[[str, str], None] | None = None
+    on_failure: Callable[[str, str, str], None] | None = None
+
+    @staticmethod
+    def failure_message(table_name: str, error: str) -> str:
+        """aje-stage-dms-load.py:328-337 message dispatch: the no-data
+        warning class gets a WARNING-worded message, everything else
+        the Failed-table shape."""
+        if "no data detected to migrate" in error.lower():
+            return f"RAW WARNING in table: {table_name} \n{error}"
+        return (
+            f"Failed table: {table_name} \nStep: stage job "
+            f"\nLog ERROR \n{error}"
+        )
+
+    @staticmethod
+    def success_message(endpoint_name: str) -> str:
+        """SendSuccededNotification.py:15: 'Successfully load {ep}'."""
+        return f"Successfully load {endpoint_name}"
+
+    def notify_failure(self, table_name: str, error: str) -> None:
+        if self.on_failure is None:
+            return
+        try:
+            self.on_failure(
+                table_name, self.failure_message(table_name, error), error
+            )
+        except Exception:  # noqa: BLE001 - alerting must not kill the run
+            pass
+
+    def notify_success(self, endpoint_name: str) -> None:
+        if self.on_success is None:
+            return
+        try:
+            self.on_success(endpoint_name, self.success_message(endpoint_name))
+        except Exception:  # noqa: BLE001
+            pass
+
+
+@dataclass
 class RunPlanner:
     catalog: ConfigCatalog
     run_log: RunLog | None = None
@@ -109,6 +170,7 @@ class RunPlanner:
     max_attempts: int = 3
     backoff_rate: float = 5.0
     base_sleep: float = 0.0
+    notifier: Notifier | None = None
     results: list[TableRunResult] = field(default_factory=list)
 
     def plan(
@@ -162,9 +224,24 @@ class RunPlanner:
                         "FAILED",
                         message=str(e),
                     )
+                if self.notifier:
+                    self.notifier.notify_failure(t.target_table_name, str(e))
                 return TableRunResult(t.target_table_name, "FAILED", str(e))
 
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
             results = list(pool.map(one, tables))
         self.results = results
+        if self.notifier:
+            # endpoint-level success gate: notify only endpoints with
+            # ZERO failed tables (SendSuccededNotification.py:26-36 —
+            # the per-ENDPOINT FAILED scan must come back empty).
+            status_by_table = {r.table: r.status for r in results}
+            by_endpoint: dict[str, list[str]] = defaultdict(list)
+            for t in tables:
+                by_endpoint[t.endpoint].append(
+                    status_by_table.get(t.target_table_name, "FAILED")
+                )
+            for ep, statuses in by_endpoint.items():
+                if all(s == "SUCCEEDED" for s in statuses):
+                    self.notifier.notify_success(ep)
         return results

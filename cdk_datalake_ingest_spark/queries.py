@@ -2855,7 +2855,11 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs); each runner's count is a distributed action, and concurrent
     job submission overlaps their scheduling — same shape as the
     reference's 5-way Glue Map."""
-    from cdk_datalake_ingest_spark.plans.planner import RunLog, RunPlanner
+    from cdk_datalake_ingest_spark.plans.planner import (
+        Notifier,
+        RunLog,
+        RunPlanner,
+    )
     from cdk_datalake_ingest_spark.specs import ConfigCatalog, EndpointSpec
 
     import tempfile
@@ -2893,11 +2897,28 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts[t.target_table_name] = n
 
     log = RunLog(tempfile.mkdtemp(prefix="cdk_runlog_") + "/log.jsonl")
-    planner = RunPlanner(catalog, run_log=log, base_sleep=0.0)
+    successes: list[str] = []
+    failures: list[str] = []
+    planner = RunPlanner(
+        catalog,
+        run_log=log,
+        base_sleep=0.0,
+        notifier=Notifier(
+            on_success=lambda ep, msg: successes.append(ep),
+            on_failure=lambda tbl, msg, err: failures.append(tbl),
+        ),
+    )
     results = planner.run(runner)
     if log.failed_count() != 1:  # R5: failure logged, run continued
         raise RuntimeError(
             f"run log recorded {log.failed_count()} failures, expected 1"
+        )
+    # R5 notification seam: endpoint-level success ONLY for the clean
+    # endpoint (fs-a), per-table failure for the isolated FAILED table;
+    # fs-b must NOT get a success (SendSuccededNotification gate).
+    if sorted(successes) != ["fs-a"] or failures != ["missing_src"]:
+        raise RuntimeError(
+            f"notifier mis-fired: successes={successes} failures={failures}"
         )
     rows = [
         (r.table, r.status, counts.get(r.table, 0))
@@ -3321,8 +3342,26 @@ def salesforce_incremental_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     full_wm = max_watermark(full, ["modified_ts"], now=_now)
     store.advance("orders_sf", full_wm)
 
-    # 2. Incremental pull: rows with LastModifiedDate >= the stored END
-    #    watermark (>= so the boundary instant re-extracts — updates).
+    # 2. Incremental pull, gated by the AppFlow wait loop exactly as
+    #    the reference gates its transform job on the SFN Choice state
+    #    (DescriptSalesforceLanding.py:22-57): the UPSERT_LOAD table
+    #    polls the hourly flow variant until it leaves InProgress; the
+    #    pull only proceeds on SUCCESS. Locally the lifecycle is
+    #    scripted (two in-flight polls, then Successful).
+    from cdk_datalake_ingest_spark.operators.landing import (
+        appflow_flow_name,
+        poll_flow,
+    )
+
+    flow = appflow_flow_name("Order", "UPSERT_LOAD")
+    if flow != "ajedtlk-orderhr":  # hr variant for UPSERT_LOAD
+        raise RuntimeError(f"unexpected flow name {flow}")
+    lifecycle = iter(["InProgress", "InProgress", "Successful"])
+    if poll_flow(lambda f: next(lifecycle), flow) != "SUCCESS":
+        raise RuntimeError("appflow poll did not reach SUCCESS")
+
+    #    Rows with LastModifiedDate >= the stored END watermark
+    #    (>= so the boundary instant re-extracts — updates).
     start_from = store.get("orders_sf")[1]
     batch = _tl(
         o.filter(
@@ -6926,7 +6965,9 @@ WHERE r_name = 'AMERICA'
 # (tests/test_unicode_text_parity.py) pinned normalize_text's case
 # mapping (İ/Σ simple-map translate), whitespace class (explicit
 # [ \t\n\x0B\f\r] — Java \s has \x0B, RE2's does not), and edge
-# strip (engine-defined trim() replaced by '^ | $'), with the same
+# strip (engine-defined trim() replaced by trim-with-explicit-charset,
+# btrim(x, ' ') — the '^ | $' regexp form was drafted and rejected
+# for performance; see normalize_text / _SQL_NORM), with the same
 # pins mirrored into _SQL_NORM / BPE_RE / _SQL_BPE_RE /
 # EXACT_DEDUP_SQL. On the clean fixtures every output is value-
 # identical (verified: touched gates re-attested at sf0.01, full

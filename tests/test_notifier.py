@@ -1,0 +1,125 @@
+"""R5 notification seam (plans/planner.py:Notifier).
+
+The reference pushes SNS on both paths: per-table errors from inside
+the stage job (aje-stage-dms-load.py:328-337 message dispatch, :560 /
+:578 publish sites) and endpoint-level success only when that endpoint
+has zero FAILED tables (SendSuccededNotification.py:26-36). These tests
+pin the message shapes, the endpoint-level success gate, the
+warning-class dispatch, and the swallow-notifier-exceptions contract —
+all control-plane, no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from cdk_datalake_ingest_spark.plans.planner import (
+    Notifier,
+    RunLog,
+    RunPlanner,
+)
+from cdk_datalake_ingest_spark.specs import (
+    ConfigCatalog,
+    EndpointSpec,
+    TableSpec,
+)
+
+
+def _catalog() -> ConfigCatalog:
+    return ConfigCatalog(
+        tables=[
+            TableSpec("t_ok_1", endpoint="EP_A"),
+            TableSpec("t_ok_2", endpoint="EP_A"),
+            TableSpec("t_bad", endpoint="EP_B"),
+            TableSpec("t_ok_3", endpoint="EP_B"),
+        ],
+        endpoints=[
+            EndpointSpec("EP_A", bd_type="file"),
+            EndpointSpec("EP_B", bd_type="file"),
+        ],
+    )
+
+
+def _run(catalog, notifier, runner):
+    log = RunLog(tempfile.mkdtemp(prefix="cdk_notif_") + "/log.jsonl")
+    planner = RunPlanner(
+        catalog, run_log=log, base_sleep=0.0, max_attempts=2,
+        notifier=notifier,
+    )
+    return planner.run(runner), log
+
+
+def test_failure_fires_per_table_and_success_is_endpoint_gated():
+    successes: list[tuple[str, str]] = []
+    failures: list[tuple[str, str, str]] = []
+    notifier = Notifier(
+        on_success=lambda ep, msg: successes.append((ep, msg)),
+        on_failure=lambda tbl, msg, err: failures.append((tbl, msg, err)),
+    )
+
+    def runner(t: TableSpec) -> None:
+        if t.target_table_name == "t_bad":
+            raise RuntimeError("boom")
+
+    results, log = _run(_catalog(), notifier, runner)
+    assert {r.table: r.status for r in results} == {
+        "t_ok_1": "SUCCEEDED",
+        "t_ok_2": "SUCCEEDED",
+        "t_bad": "FAILED",
+        "t_ok_3": "SUCCEEDED",
+    }
+    # EP_A is clean -> exactly one success; EP_B has a FAILED table ->
+    # NO success even though t_ok_3 succeeded (the reference's scan
+    # filters STATUS_STAGE='FAILED' per ENDPOINT and publishes only on
+    # an empty result).
+    assert [ep for ep, _ in successes] == ["EP_A"]
+    assert successes[0][1] == "Successfully load EP_A"
+    # one failure notification per failed table, AFTER retries exhaust
+    # (not per attempt), with the reference's Failed-table message.
+    assert len(failures) == 1
+    tbl, msg, err = failures[0]
+    assert tbl == "t_bad"
+    assert err == "boom"
+    assert msg == "Failed table: t_bad \nStep: stage job \nLog ERROR \nboom"
+    assert log.failed_count() == 1
+
+
+def test_warning_class_message_dispatch():
+    # aje-stage-dms-load.py:330: substring match on the error selects
+    # the RAW WARNING wording instead of Failed-table.
+    msg = Notifier.failure_message(
+        "t_empty", "No data detected to migrate. Details are: empty range"
+    )
+    assert msg.startswith("RAW WARNING in table: t_empty \n")
+    assert "Failed table" not in msg
+
+
+def test_all_endpoints_clean_fires_one_success_each():
+    successes: list[str] = []
+    notifier = Notifier(on_success=lambda ep, msg: successes.append(ep))
+    results, _ = _run(_catalog(), notifier, lambda t: None)
+    assert all(r.status == "SUCCEEDED" for r in results)
+    assert sorted(successes) == ["EP_A", "EP_B"]
+
+
+def test_notifier_exceptions_never_break_the_run():
+    def explode(*a):  # noqa: ANN002
+        raise ConnectionError("sns is down")
+
+    notifier = Notifier(on_success=explode, on_failure=explode)
+
+    def runner(t: TableSpec) -> None:
+        if t.target_table_name == "t_bad":
+            raise RuntimeError("boom")
+
+    results, log = _run(_catalog(), notifier, runner)
+    # run completed and statuses are intact despite the notifier dying
+    # on both paths (SendSuccededNotification catches and returns
+    # FAILED without propagating).
+    assert {r.table: r.status for r in results}["t_bad"] == "FAILED"
+    assert log.failed_count() == 1
+
+
+def test_no_notifier_is_the_default_and_harmless():
+    results, _ = _run(_catalog(), None, lambda t: None)
+    assert all(r.status == "SUCCEEDED" for r in results)

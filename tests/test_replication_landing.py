@@ -553,3 +553,69 @@ def test_table_mappings_mixed_explicit_and_auto_rule_ids():
 
     with _pytest.raises(ValueError, match="duplicate rule-id"):
         parse_table_mappings(doc)
+
+
+# ---------------------------------------------------------------------------
+# AppFlow flow-status polling (DescriptSalesforceLanding.py:22-57)
+# ---------------------------------------------------------------------------
+
+
+def test_appflow_flow_name_variants():
+    from cdk_datalake_ingest_spark.operators.landing import appflow_flow_name
+
+    # UPSERT_LOAD -> hourly variant, everything else -> daily
+    assert appflow_flow_name("Order", "UPSERT_LOAD") == "ajedtlk-orderhr"
+    assert appflow_flow_name("Order", "FULL_LOAD") == "ajedtlk-orderda"
+    assert appflow_flow_name("Account", "incremental") == "ajedtlk-accountda"
+    assert (
+        appflow_flow_name("Case", "UPSERT_LOAD", prefix="mylake")
+        == "mylake-casehr"
+    )
+
+
+def test_check_flow_status_discrimination():
+    from cdk_datalake_ingest_spark.operators.landing import check_flow_status
+
+    assert check_flow_status(lambda f: "InProgress", "x") == "CREATING"
+    assert check_flow_status(lambda f: "Successful", "x") == "SUCCESS"
+    # every non-InProgress/Successful execution status is FAILED
+    for status in ("Error", "CancelStarted", "Canceled", ""):
+        assert check_flow_status(lambda f, s=status: s, "x") == "FAILED"
+
+    def boom(flow):
+        raise ConnectionError("appflow api down")
+
+    # documented deviation: a raising describe is a FAILED poll, not
+    # the reference's None (which NoChoiceMatched-kills the SFN).
+    assert check_flow_status(boom, "x") == "FAILED"
+
+
+def test_poll_flow_waits_through_creating_then_terminal():
+    from cdk_datalake_ingest_spark.operators.landing import poll_flow
+
+    seen = []
+
+    def scripted(flow):
+        seen.append(flow)
+        return ["InProgress", "InProgress", "Successful"][len(seen) - 1]
+
+    assert poll_flow(scripted, "ajedtlk-orderhr") == "SUCCESS"
+    assert len(seen) == 3  # polled exactly until the terminal answer
+
+    fails = iter(["InProgress", "Error"])
+    assert poll_flow(lambda f: next(fails), "x") == "FAILED"
+
+
+def test_poll_flow_budget_exhaustion_is_failed():
+    from cdk_datalake_ingest_spark.operators.landing import poll_flow
+
+    naps = []
+    out = poll_flow(
+        lambda f: "InProgress",
+        "x",
+        max_polls=4,
+        sleeper=naps.append,
+        poll_interval=0.5,
+    )
+    assert out == "FAILED"  # stuck flow == SFN execution timeout
+    assert naps == [0.5] * 4
