@@ -325,6 +325,31 @@ def test_bpe_train_batch_size_validation(spark):
     assert "".join(got) == "aabaab"
 
 
+def test_bpe_train_production_size_warns_at_batch_size_1(spark):
+    # n_merges > 256 at the exact-sequential default is the measured
+    # ~0.15 s/merge driver-latency footgun: the guard must WARN (not
+    # raise — the exact path stays valid) and steer to batch_size=16.
+    import warnings
+
+    df = spark.createDataFrame([(1, "aab aab")], "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        # validation order: the warning fires before the train loop, so
+        # pair-exhaustion (this fixture can't feed 257 merges) proves
+        # the warning was already emitted when the loop raised.
+        with pytest.raises(ValueError, match="exhausted"):
+            bpe_train_merges(df, n_merges=257, batch_size=1)
+    msgs = [str(x.message) for x in w]
+    assert any("batch_size=16" in m for m in msgs), msgs
+    # batched runs and small exact runs stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        bpe_train_merges(df, n_merges=2, batch_size=1).collect()
+        with pytest.raises(ValueError, match="exhausted"):
+            bpe_train_merges(df, n_merges=257, batch_size=16)
+    assert not [x for x in w if "batch_size=16" in str(x.message)]
+
+
 def test_bpe_tokenize_corpus_and_modes(spark):
     """bpe_tokenize applies the learned model over whole documents —
     per-word segmentation matches bpe_segment, non-vocabulary tokens
