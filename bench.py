@@ -6,17 +6,27 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced end-to-end with a noop write (full computation,
 no driver-side result materialization cost).
 
-Each query runs REPEATS times (default 3) and reports the MEDIAN of
-ALL repeats — with 3 repeats that is the middle value, which in the
-normal case (run 0 slowest, paying JIT/codegen/footer costs worth
-~1.5-2x) lands on the slower of the two warm runs. Round 8 measured a
-per-query noise floor of 1.4-1.7x between same-code runs, against
-which min-of-2 was under-powered; the median is robust to one outlier
-in EITHER direction (the round-9 evidence-pipeline fix, r8 verdict
-task #1). Run 0's cold time is recorded separately in the detail
-file's first_run map, and every raw repeat lands in its "runs" map so
-any other statistic is recomputable from the committed artifact. Set
-SPARK_GRAFT_BENCH_REPEATS=1 for single-shot.
+Repeats are INTERLEAVED round-robin across the query set (r11 verdict
+task #1): sweep 0 runs every query once, then sweep 1, then sweep 2 —
+instead of running each query's repeats back-to-back. Under back-to-back
+repeats a transient box-contention window (another process, a GC storm)
+lands ALL of one query's samples inside it and no statistic can recover;
+interleaving separates a query's samples by a full sweep (~minutes), so
+contention shows up as at most one bad sample per query plus an elevated
+per-sweep load average — both visible in the detail file. The r11 driver
+run read +19% vs r10 on unchanged code with monotonically-falling
+per-repeat totals (a contended-box signature the old layout couldn't
+localize); this layout makes that failure mode diagnosable.
+
+Each query reports the MEDIAN of its sweep samples (round 8 measured a
+1.4-1.7x per-query noise floor between same-code runs; the median is
+robust to one outlier in either direction) AND the detail file carries
+`trimmed_min` — the per-query min over WARM sweeps (sweep 0 excluded),
+the statistic least sensitive to contention for cross-round same-code
+comparison. Sweep 0's cold time stays in first_run, every raw sample in
+"runs" (sweep order), and os.getloadavg() is recorded at each sweep
+boundary so a contaminated run is self-evident from the committed
+artifact. Set SPARK_GRAFT_BENCH_REPEATS=1 for single-shot.
 """
 
 from __future__ import annotations
@@ -66,29 +76,40 @@ def main() -> None:
     ).save()
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
-    timings: dict[str, float] = {}
-    first_run: dict[str, float] = {}
-    all_runs: dict[str, list[float]] = {}
-    for name in bench_queries():
-        fn = QUERIES[name]
-        runs: list[float] = []
-        for i in range(repeats):
+    order = bench_queries()
+    all_runs: dict[str, list[float]] = {name: [] for name in order}
+    load_avgs: list[float] = []
+    sweep_totals: list[float] = []
+    for _sweep in range(repeats):
+        load_avgs.append(round(os.getloadavg()[0], 2))
+        t_sweep = time.perf_counter()
+        for name in order:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
-            if i == 0:
-                first_run[name] = round(elapsed, 3)
-            runs.append(elapsed)
-        all_runs[name] = [round(r, 3) for r in runs]
-        # median of all repeats (odd default 3: the middle value) —
-        # robust to one outlier in EITHER direction, unlike min (which
-        # under-reports genuine cost) or mean (which a single 1.7x
-        # noise spike drags); the cold run is usually the max, so the
-        # median lands on a warm run. first_run keeps the cold value.
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            all_runs[name].append(round(time.perf_counter() - t0, 3))
+        sweep_totals.append(round(time.perf_counter() - t_sweep, 3))
+    load_avgs.append(round(os.getloadavg()[0], 2))  # end-of-run reading
+
+    timings: dict[str, float] = {}
+    trimmed_min: dict[str, float] = {}
+    first_run: dict[str, float] = {}
+    for name, runs in all_runs.items():
+        first_run[name] = runs[0]
+        # median of all sweeps — robust to one outlier in EITHER
+        # direction, unlike min (under-reports genuine cost) or mean
+        # (one 1.7x noise spike drags it); sweep 0 is usually the max
+        # (JIT/codegen/footer warmup), so the median lands warm.
         srt = sorted(runs)
         mid = len(srt) // 2
         med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
         timings[name] = round(med, 3)
+        # min over WARM sweeps: the contention-insensitive statistic
+        # for same-code cross-round comparison (single-shot runs have
+        # no warm sweep — fall back to the only sample).
+        warm = runs[1:] or runs
+        trimmed_min[name] = round(min(warm), 3)
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -99,12 +120,21 @@ def main() -> None:
         "sf": sf,
         # Methodology fields so cross-round comparisons are
         # interpretable: rounds 1-2 were single-shot cold runs
-        # (repeats=1); rounds 3-8 reported the warm min-of-2; round 9+
-        # reports the median-of-3 (r8 verdict task #1 — min-of-2 is
-        # under-powered against the measured 1.4-1.7x same-code noise
-        # floor).  Compare totals only under the same repeats policy.
+        # (repeats=1); rounds 3-8 reported the warm min-of-2; rounds
+        # 9-11 the median of back-to-back repeats; round 12+ the median
+        # of INTERLEAVED sweeps (same statistic, same repeat count —
+        # totals stay comparable with r9-11; only the sample layout
+        # changed, to localize box contention).  value_trimmed_min is
+        # the sum of per-query warm-sweep minimums — the
+        # contention-insensitive companion number.
         "repeats": repeats,
-        "timing": "median_of_repeats" if repeats > 1 else "single_shot",
+        "timing": (
+            "interleaved_median_of_sweeps" if repeats > 1 else "single_shot"
+        ),
+        "value_trimmed_min": round(sum(trimmed_min.values()), 3),
+        # one load-average reading per sweep boundary (n_sweeps + 1):
+        # a contaminated run shows elevated/rising values here.
+        "load_avg": load_avgs,
     }
 
     # Full per-query detail always lands in a file the judge can read.
@@ -121,7 +151,14 @@ def main() -> None:
     detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
     detail_path.write_text(
         json.dumps(
-            {**payload, "first_run": first_run, "runs": all_runs}, indent=2
+            {
+                **payload,
+                "first_run": first_run,
+                "runs": all_runs,
+                "trimmed_min": trimmed_min,
+                "sweep_totals": sweep_totals,
+            },
+            indent=2,
         )
         + "\n"
     )
