@@ -42,13 +42,26 @@ STOPWORDS: dict[str, list[str]] = {
 }
 
 
-def tokens(col: Column) -> Column:
-    """Whitespace tokens of the normalized text (empty array for
-    blank/empty input)."""
-    norm = normalize_text(col)
+def tokens_of_norm(norm: Column) -> Column:
+    """Whitespace tokens of ALREADY-normalized text (the
+    ``normalize_text`` output contract: single-space separated, no
+    edge spaces). Split out so a pipeline that needs tokens in many
+    expression positions can project the normalized text ONCE and
+    derive tokens from the attribute reference — Catalyst's
+    CollapseProject keeps a non-cheap alias referenced more than once
+    in its own project, so the normalize regex runs once per row
+    instead of once per position (the round-12 curate_documents fix:
+    the r11 normalize body re-evaluated ~10x per row through
+    lang_id/quality/token_count cost a measured 1.36x on that gate)."""
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(
         F.split(norm, " ")
     )
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (empty array for
+    blank/empty input)."""
+    return tokens_of_norm(normalize_text(col))
 
 
 def token_count(col: Column) -> Column:
@@ -89,14 +102,26 @@ def digit_ratio(col: Column) -> Column:
     )
 
 
-def stopword_hits(col: Column, lang: str) -> Column:
-    """Distinct stopwords of ``lang`` present in the text."""
+def stopword_hits_tokens(toks: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in a token array."""
     wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
     return F.size(
         F.array_distinct(
-            F.filter(tokens(col), lambda t: F.array_contains(wordlist, t))
+            F.filter(toks, lambda t: F.array_contains(wordlist, t))
         )
     )
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Distinct stopwords of ``lang`` present in the text."""
+    return stopword_hits_tokens(tokens(col), lang)
+
+
+def stopword_hit_count_tokens(toks: Column, lang: str = "en") -> Column:
+    """Number of tokens in the array that are ``lang`` stopwords
+    (duplicates count)."""
+    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordlist, t)))
 
 
 def stopword_hit_count(col: Column, lang: str = "en") -> Column:
@@ -104,38 +129,43 @@ def stopword_hit_count(col: Column, lang: str = "en") -> Column:
     — the shared numerator of ``stopword_ratio`` and the Gopher
     >=2-stopword rule, so the wordlist and tokenization live in ONE
     place."""
-    wordlist = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-    return F.size(
-        F.filter(tokens(col), lambda t: F.array_contains(wordlist, t))
-    )
+    return stopword_hit_count_tokens(tokens(col), lang)
+
+
+def stopword_ratio_tokens(toks: Column, lang: str = "en") -> Column:
+    """Fraction of array tokens that are ``lang`` stopwords."""
+    n = F.size(toks)
+    hits = stopword_hit_count_tokens(toks, lang)
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
 
 
 def stopword_ratio(col: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are ``lang`` stopwords (duplicates count)."""
-    n = token_count(col)
-    hits = stopword_hit_count(col, lang)
-    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+    return stopword_ratio_tokens(tokens(col), lang)
 
 
-def mean_word_length(col: Column) -> Column:
-    n = token_count(col)
-    total = F.aggregate(
-        tokens(col), F.lit(0), lambda acc, t: acc + F.length(t)
-    )
+def mean_word_length_tokens(toks: Column) -> Column:
+    n = F.size(toks)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
     return F.when(n == 0, F.lit(0.0)).otherwise(total.cast("double") / n)
 
 
-def quality_score(col: Column) -> Column:
-    """Deterministic heuristic quality score in [0,1]: rewards
-    mid-length documents, plausible mean word length and stopword
-    presence; penalizes digit soup. Weights are fixed so DuckDB
-    oracles can reproduce the arithmetic exactly."""
-    n_tok = token_count(col).cast("double")
+def mean_word_length(col: Column) -> Column:
+    return mean_word_length_tokens(tokens(col))
+
+
+def quality_score_tokens(toks: Column, raw: Column) -> Column:
+    """``quality_score`` with the tokenization factored out: ``toks``
+    is the token array (ideally a projected column — see
+    ``tokens_of_norm``), ``raw`` the original text (the digit penalty
+    is char-based and deliberately sees the RAW string). Same tree,
+    same arithmetic, same rounding as ``quality_score``."""
+    n_tok = F.size(toks).cast("double")
     len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
-    mwl = mean_word_length(col)
+    mwl = mean_word_length_tokens(toks)
     mwl_score = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.3))
-    sw_score = F.least(stopword_ratio(col, "en") * F.lit(4.0), F.lit(1.0))
-    digit_pen = F.lit(1.0) - F.least(digit_ratio(col) * F.lit(5.0), F.lit(1.0))
+    sw_score = F.least(stopword_ratio_tokens(toks, "en") * F.lit(4.0), F.lit(1.0))
+    digit_pen = F.lit(1.0) - F.least(digit_ratio(raw) * F.lit(5.0), F.lit(1.0))
     return F.round(
         F.lit(0.3) * len_score
         + F.lit(0.2) * mwl_score
@@ -145,11 +175,22 @@ def quality_score(col: Column) -> Column:
     )
 
 
-def lang_id(col: Column, langs: list[str] | None = None) -> Column:
-    """Stopword-hit argmax language ID; 'und' when no list matches.
-    Tie-break: first language in ``langs`` order wins."""
-    langs = langs or list(STOPWORDS)
-    hits = {lang: stopword_hits(col, lang) for lang in langs}
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic quality score in [0,1]: rewards
+    mid-length documents, plausible mean word length and stopword
+    presence; penalizes digit soup. Weights are fixed so DuckDB
+    oracles can reproduce the arithmetic exactly."""
+    return quality_score_tokens(tokens(col), col)
+
+
+def lang_id_from_hits(
+    hits: dict[str, Column], langs: list[str]
+) -> Column:
+    """The language-ID argmax over PRECOMPUTED per-language hit
+    columns; 'und' when no list matches. Tie-break: first language in
+    ``langs`` order wins. Factored out so a pipeline can project the
+    hit counts once (the oracle SQL's CTE ``h`` shape) instead of
+    re-evaluating each token filter in every CaseWhen comparison."""
     best = None
     for lang in langs:
         cond = hits[lang] > 0
@@ -165,6 +206,15 @@ def lang_id(col: Column, langs: list[str] | None = None) -> Column:
         branch = F.when(cond, F.lit(lang))
         best = branch if best is None else best.when(cond, F.lit(lang))
     return best.otherwise(F.lit("und"))
+
+
+def lang_id(col: Column, langs: list[str] | None = None) -> Column:
+    """Stopword-hit argmax language ID; 'und' when no list matches.
+    Tie-break: first language in ``langs`` order wins."""
+    langs = langs or list(STOPWORDS)
+    return lang_id_from_hits(
+        {lang: stopword_hits(col, lang) for lang in langs}, langs
+    )
 
 
 def doc_fingerprint(col: Column, n: int = 3) -> Column:

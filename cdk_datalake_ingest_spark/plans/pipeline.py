@@ -23,6 +23,7 @@ from cdk_datalake_ingest_spark.dsl.compiler import (
     compile_transformation,
 )
 from cdk_datalake_ingest_spark.operators.dedup import latest_record_dedup
+from cdk_datalake_ingest_spark.session import require_non_ansi
 from cdk_datalake_ingest_spark.operators.incremental import lookback_period_cutoff
 from cdk_datalake_ingest_spark.operators.table import (
     ManagedTable,
@@ -105,6 +106,11 @@ class StagePipeline:
         may reference earlier stage outputs (the reference applies
         columns sequentially, SJ:418-424); Catalyst collapses the
         projection chain, so only driver-side analysis repeats."""
+        # ANSI guard BEFORE the isolation loop: on an ANSI-on session
+        # the DSL's null-on-bad-cast contract is undefined (rows throw
+        # instead of nulling) — refuse loudly rather than let per-column
+        # isolation mask a session-level misconfiguration as WARNINGs.
+        require_non_ansi(self.spark, "StagePipeline.transform")
         failed: list[str] = []
         out = raw_df
         applied: list[ColumnSpec] = []

@@ -1959,12 +1959,44 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    enriched = docs.select(
+    # Staged enrich (round-12 perf fix, attributed by
+    # tools/normalize_ab_probe.py: the r11 normalize body re-evaluated
+    # through ~10 expression positions cost a measured 1.36x on this
+    # gate). Each stage projects a NON-CHEAP alias referenced more
+    # than once downstream — CollapseProject keeps such projects
+    # separate, so normalize_text runs ONCE per row, the token split
+    # once, and each language's stopword filter once (the oracle's CTE
+    # ``h`` shape) instead of once per CaseWhen comparison.
+    # Whole-stage codegen fuses the stages back into one pass over the
+    # scan — same stage count, ~4x less expression work per row.
+    langs = list(T.STOPWORDS)
+    normed = docs.select("doc_id", "text", normalize_text(c).alias("__norm"))
+    toked = normed.select(
         "doc_id",
-        T.lang_id(c).alias("lang_pred"),
-        T.quality_score(c).alias("quality"),
-        T.token_count(c).alias("n_tokens"),
-        F.md5(normalize_text(c)).alias("content_hash"),
+        "text",
+        T.tokens_of_norm(F.col("__norm")).alias("__toks"),
+        F.md5(F.col("__norm")).alias("content_hash"),
+    )
+    hit = toked.select(
+        "doc_id",
+        "text",
+        "__toks",
+        "content_hash",
+        *[
+            T.stopword_hits_tokens(F.col("__toks"), lang).alias(f"__h_{lang}")
+            for lang in langs
+        ],
+    )
+    enriched = hit.select(
+        "doc_id",
+        T.lang_id_from_hits(
+            {lang: F.col(f"__h_{lang}") for lang in langs}, langs
+        ).alias("lang_pred"),
+        T.quality_score_tokens(F.col("__toks"), F.col("text")).alias(
+            "quality"
+        ),
+        F.size("__toks").alias("n_tokens"),
+        "content_hash",
     )
     eligible = enriched.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)

@@ -160,6 +160,35 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def require_non_ansi(spark: SparkSession, caller: str) -> None:
+    """Refuse to run DSL semantics on an ANSI-enabled session.
+
+    The ANSI contract, in one place (r11 verdict task #5): the engine
+    pins ``spark.sql.ansi.enabled=false`` (ENGINE_CONF) because the
+    reference ran Spark 3.3 non-ANSI and the DSL's documented behavior
+    depends on it — a bad cast yields NULL (D4/D6/D7's
+    null-on-unparseable contract), not an exception. On a Spark 4
+    cluster with ANSI on (the new default), running the DSL unguarded
+    would not error-or-match: rows that quietly became NULL on the
+    reference would instead THROW mid-job, and arithmetic overflow
+    flips from wraparound to error — silently different answers or
+    late failures depending on data. So DSL entry points call this
+    guard and refuse loudly up front. The dedup/similarity/corpus
+    family has no such dependency — it is ANSI-portable by
+    construction (the r10 MinHash permutation fix removed the one
+    overflow reliance) and verified under an ANSI-on session in
+    tests/test_ansi_portability.py; only the DSL surface is gated."""
+    if spark.conf.get("spark.sql.ansi.enabled", "false").lower() == "true":
+        raise RuntimeError(
+            f"{caller}: requires a non-ANSI session — the DSL's "
+            "null-on-bad-cast semantics (the reference's Spark 3.3 "
+            "behavior) are undefined under spark.sql.ansi.enabled=true. "
+            "Create the session with get_spark(), or call "
+            "apply_runtime_conf(spark) / set spark.sql.ansi.enabled="
+            "false before running DSL pipelines."
+        )
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply the engine's runtime-settable conf to an existing session.
 
