@@ -61,22 +61,51 @@ def corpus_stats(docs: DataFrame) -> DataFrame:
 
 
 def run_complete_overwrite(
-    result: DataFrame, out_dir: str, checkpoint_dir: str
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain all available input; each micro-batch overwrites
     ``out_dir`` with the FULL updated aggregate (complete mode), so
     after the drain the directory holds the final totals. Overwrite-
     per-batch is idempotent under foreachBatch's at-least-once
-    delivery — a replayed batch rewrites the same state."""
+    delivery — a replayed batch rewrites the same state.
+
+    ``state_partitions`` sizes the streaming aggregation's state store
+    (``spark.sql.shuffle.partitions`` at query start, after which the
+    checkpoint pins it for the query's lifetime — restarts keep the
+    original number regardless of session conf). Size it to the STATE,
+    not the cluster: every state-store instance pays file-commit +
+    snapshot machinery PER MICRO-BATCH whether or not it holds keys,
+    so a |lang|x|source|-sized report aggregate behind the session's
+    default (32 local, 2000+ on a production cluster) spends its wall
+    clock on empty-store commits — measured locally as the dominant
+    fixed cost of this topology (r11 verdict task #2; the r10 profile
+    put ~93% of the gate in per-batch machinery). A handful of
+    partitions holds catalog-cardinality state comfortably at any
+    corpus scale; leave None for corpus-keyed aggregations where the
+    session default is the right order of magnitude."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_dir)
 
-    q = (
-        result.writeStream.outputMode("complete")
-        .foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    spark = result.sparkSession
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode("complete")
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # restore as soon as the query has latched its plan conf: the
+        # batch jobs foreachBatch submits use the batch session conf,
+        # and nothing else in the session should inherit the override.
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     q.awaitTermination()

@@ -82,16 +82,41 @@ def stream_dedup(
 
 
 def run_available_now(
-    result: DataFrame, out_dir: str, checkpoint_dir: str
+    result: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Drain all available input once (the scheduled-batch cadence of
-    the reference's EventBridge triggers) and stop."""
-    q = (
-        result.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    the reference's EventBridge triggers) and stop.
+
+    ``state_partitions`` sizes the stateful operator's state store
+    (``spark.sql.shuffle.partitions`` latched at query start; the
+    checkpoint pins it afterwards). Size it to the STATE cardinality,
+    not the cluster: each state-store instance pays file-commit and
+    snapshot machinery per micro-batch even when empty, which
+    dominates small-state topologies (measured 3-5x of the wall clock
+    on the corpus-stats gate under the 32-partition default — see
+    streaming/corpus.py:run_complete_overwrite for the full note).
+    Leave None when the state is genuinely wide (corpus-keyed dedup,
+    high-cardinality sessionization at production scale)."""
+    spark = result.sparkSession
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # StreamExecution clones the session at start(), so restoring
+        # here cannot affect the running query — only the caller's
+        # session state.
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     q.awaitTermination()
