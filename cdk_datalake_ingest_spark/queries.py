@@ -7038,84 +7038,11 @@ WHERE r_name = 'AMERICA'
 # fidelity the gates pin.  Registry 113 -> 114, inside the <=120
 # bound.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # (a) the 25 r8-fresh leftovers lead (3-round staleness
-    # bound — pre-positioned at tail 51-75 by the r10 rotation)
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "kmeans_train_hash_docs": kmeans_train_hash_docs,
-    "decontaminate_docs": decontaminate_docs,
-    "decontaminate_multi_docs": decontaminate_multi_docs,
-    "multimodal_media_pipeline": multimodal_media_pipeline,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "ann_cosine_topk": ann_cosine_topk,
-    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
-    "watermark_events": watermark_events,
-    "incremental_between_events": incremental_between_events,
-    "continuous_rollup_events": continuous_rollup_events,
-    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "sql_interface_window": sql_interface_window,
-    "sql_interface_setops": sql_interface_setops,
-    "dsl_flags_orders": dsl_flags_orders,
-    "salesforce_stage_orders": salesforce_stage_orders,
-    "dsl_magic_codes": dsl_magic_codes,
-    "w1_latest_event": w1_latest_event,
-    "events_hourly_rollup": events_hourly_rollup,
-    "exact_dedup_docs": exact_dedup_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "events_props_json": events_props_json,
-    "hash_embed_docs": hash_embed_docs,
-    # (b) entries whose code or gate changed in round 11:
-    # bpe_tokenize gate NULL-text normalization + keyless-auto
-    # fallback + the unique-id reassembly guard (bpe/substring/
-    # scrub/semantic), and the similarity sweep (_nonzero in
-    # ivf_topk, NULL-passthrough _dim_checked in the lsh/ivf
-    # paths)
-    "bpe_tokenize_docs": bpe_tokenize_docs,
-    "substring_dedup_docs": substring_dedup_docs,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
-    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
-    "ann_lsh_suite_topk": ann_lsh_suite_topk,
-    # ... and the five remaining gates over the word_shingles rewrite
-    # (branch-free empty-doc guard, the fingerprint_docs regression
-    # fix — the other shingle consumers fingerprint/decontaminate x2/
-    # repetition/ngram_jaccard/substring/scrub already sit in (a)-(c))
-    "minhash_near_dup_docs": minhash_near_dup_docs,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
-    "near_dup_clusters_docs": near_dup_clusters_docs,
-    "curate_documents": curate_documents,
-    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-    # ... and the trainer gate: bpe_train_merges grew the opt-in
-    # batch_size round structure (default batch_size=1 is the same
-    # exact-BPE plan, but the loop was restructured — re-attest)
-    "bpe_train_merges_docs": bpe_train_merges_docs,
-    # ... and pack_sequences: its offsets join went null-safe after
-    # the degenerate-text sweep caught NULL-lang docs being silently
-    # dropped (the name-list-join NULL-key class, again)
-    "pack_sequences_docs": pack_sequences_docs,
-    # ... and the four gates whose oracles gained explicit NULL
-    # ordering/ingestion semantics in the degenerate-events sweep
-    # (NULLS FIRST on nullable ASC sort keys = Spark's default;
-    # rollup excludes NULL event times — the hypertable contract)
-    "window_rank_suite_events": window_rank_suite_events,
-    "user_value_analytics": user_value_analytics,
-    "gap_fill_user_hours": gap_fill_user_hours,
-    "sessionize_events": sessionize_events,
-    # (c) r9-fresh backfill to 50 (fingerprint_docs first — its
-    # word_shingles path carries the r11 regression attribution)
-    "fingerprint_docs": fingerprint_docs,
-    "text_metrics_docs": text_metrics_docs,
-    "lang_id_docs": lang_id_docs,
-    "vocab_top_tokens": vocab_top_tokens,
-    "q04_priority_exists": q04_priority_exists,
-    "repetition_docs": repetition_docs,
-    # ---- tail: beyond the driver's 50-entry window ----
-    # 31 r9-fresh leftovers at their 3-round bound: MUST lead r12
-    # (displaced by the shingle-rewrite/trainer/pack gates and the
-    # four NULL-ordering oracle re-attests above)
+    # ROUND-12 WINDOW (positions 1-50, FIFO rotation per COVERAGE.md):
+    # (a) the 29 r9-fresh leftovers lead (3-round staleness bound —
+    # pre-positioned at tail 51-79 by the r11 rotation; COVERAGE's
+    # '31' miscounted q02/q07, which are r10-fresh per CORRECTNESS_r10
+    # and backfill below instead),
     "q06_forecast_revenue": q06_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
@@ -7145,7 +7072,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_dedup_ingest": streaming_dedup_ingest,
     "user_engagement_approx": user_engagement_approx,
     "events_daily_rollup_sets": events_daily_rollup_sets,
-    # ... then the r10-fresh entries (due r13)
+    # (b) the 10 code/gate-changed entries of round 12: curate (staged
+    # enrich rewrite), salesforce_incremental_upsert (AppFlow poll
+    # wiring), bpe_train (batch warning), streaming_windowed_counts
+    # (state_partitions path), and the text-family delegation refactor
+    # consumers (bpe_tokenize/fingerprint/text_metrics/lang_id/
+    # vocab_top_tokens/repetition — trees identical, code changed),
+    "curate_documents": curate_documents,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "bpe_train_merges_docs": bpe_train_merges_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "streaming_windowed_counts": streaming_windowed_counts,
+    "fingerprint_docs": fingerprint_docs,
+    "text_metrics_docs": text_metrics_docs,
+    "lang_id_docs": lang_id_docs,
+    "vocab_top_tokens": vocab_top_tokens,
+    "repetition_docs": repetition_docs,
+    # (c) 11 oldest r10-fresh backfill to 50 (standing order)
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
@@ -7157,6 +7100,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_promotion_suppliers": q20_promotion_suppliers,
     "q21_waiting_suppliers": q21_waiting_suppliers,
+    # TAIL 51-72: the 22 r10-fresh leftovers at their 3-round bound —
+    # they MUST lead the r13 window; then the r11-fresh entries
+    # (due r14). Every tail entry is locally re-attested this round in
+    # PARITY_LOCAL_r12.json (full-registry oracle at sf0.01).
     "q22_dormant_customers": q22_dormant_customers,
     "events_unpivot_metrics": events_unpivot_metrics,
     "events_value_percentiles": events_value_percentiles,
@@ -7167,7 +7114,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_upsert_events": merge_upsert_events,
     "merge_delete_window_events": merge_delete_window_events,
     "schema_evolution_merge": schema_evolution_merge,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
     "zorder_layout_events": zorder_layout_events,
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
@@ -7178,9 +7124,51 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "returned_vs_finished_setops": returned_vs_finished_setops,
     "table_restore_roundtrip_events": table_restore_roundtrip_events,
     "sql_interface_q13": sql_interface_q13,
-    "streaming_windowed_counts": streaming_windowed_counts,
     "embedding_near_dup": embedding_near_dup,
     "simhash_near_dup_docs": simhash_near_dup_docs,
+    # r11-fresh (due r14):
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "kmeans_train_hash_docs": kmeans_train_hash_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "decontaminate_multi_docs": decontaminate_multi_docs,
+    "multimodal_media_pipeline": multimodal_media_pipeline,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_cosine_topk": ann_cosine_topk,
+    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
+    "watermark_events": watermark_events,
+    "incremental_between_events": incremental_between_events,
+    "continuous_rollup_events": continuous_rollup_events,
+    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
+    "temperature_mixture_docs": temperature_mixture_docs,
+    "sql_interface_window": sql_interface_window,
+    "sql_interface_setops": sql_interface_setops,
+    "dsl_flags_orders": dsl_flags_orders,
+    "salesforce_stage_orders": salesforce_stage_orders,
+    "dsl_magic_codes": dsl_magic_codes,
+    "w1_latest_event": w1_latest_event,
+    "events_hourly_rollup": events_hourly_rollup,
+    "exact_dedup_docs": exact_dedup_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "events_props_json": events_props_json,
+    "hash_embed_docs": hash_embed_docs,
+    "substring_dedup_docs": substring_dedup_docs,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "ann_lsh_suite_topk": ann_lsh_suite_topk,
+    "minhash_near_dup_docs": minhash_near_dup_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
+    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "window_rank_suite_events": window_rank_suite_events,
+    "user_value_analytics": user_value_analytics,
+    "gap_fill_user_hours": gap_fill_user_hours,
+    "sessionize_events": sessionize_events,
+    "q04_priority_exists": q04_priority_exists,
 }
 
 ORACLES: dict[str, str] = {
