@@ -1177,16 +1177,23 @@ GROUP BY 1
 def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    return docs.select(
+    # project the token array once (r12, the curate_documents lesson:
+    # the column-wrapper functions would re-run normalize+split in ~10
+    # expression positions; a multi-referenced non-cheap alias stays
+    # its own project, so the split happens once per row and the
+    # char-based metrics keep reading the raw column)
+    toked = docs.select("doc_id", "text", T.tokens(c).alias("__toks"))
+    tk = F.col("__toks")
+    return toked.select(
         "doc_id",
-        T.token_count(c).alias("n_tokens"),
+        F.size(tk).alias("n_tokens"),
         T.word_count(c).alias("n_words"),
         T.char_count(c).alias("n_chars_calc"),
         T.punct_count(c).alias("n_punct"),
         F.round(T.digit_ratio(c), 6).alias("digit_r"),
-        F.round(T.mean_word_length(c), 6).alias("mean_wl"),
-        F.round(T.stopword_ratio(c, "en"), 6).alias("sw_en"),
-        T.quality_score(c).alias("quality"),
+        F.round(T.mean_word_length_tokens(tk), 6).alias("mean_wl"),
+        F.round(T.stopword_ratio_tokens(tk, "en"), 6).alias("sw_en"),
+        T.quality_score_tokens(tk, c).alias("quality"),
     )
 
 
@@ -4843,17 +4850,28 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparisons cannot drift cross-engine."""
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
-    toks = T.tokens(c)
-    n = T.token_count(c)
-    sw_hits = T.stopword_hit_count(c, "en")
+    # two-stage shape (r12, the curate_documents lesson): tokens once,
+    # then the four rule INPUTS as their own multi-referenced aliases —
+    # each rule boolean and the conjunctive keep reuse attribute refs
+    # instead of re-running normalize/split/filter per reference.
+    toked = docs.select("doc_id", T.tokens(c).alias("__toks"))
+    tk = F.col("__toks")
+    m = toked.select(
+        "doc_id",
+        F.size(tk).alias("__n"),
+        T.stopword_hit_count_tokens(tk, "en").alias("__sw"),
+        T.mean_word_length_tokens(tk).alias("__mwl"),
+        F.size(F.filter(tk, lambda t: t.rlike("[a-z]"))).alias("__n_alpha"),
+    )
+    n = F.col("__n")
     alpha_frac = F.when(n == 0, F.lit(0.0)).otherwise(
-        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / n
+        F.col("__n_alpha").cast("double") / n
     )
     r_wc = (n >= 20) & (n <= 100_000)
-    r_mwl = T.mean_word_length(c).between(3.0, 10.0)
+    r_mwl = F.col("__mwl").between(3.0, 10.0)
     r_alpha = alpha_frac > 0.8
-    r_sw = sw_hits >= 2
-    return docs.select(
+    r_sw = F.col("__sw") >= 2
+    return m.select(
         "doc_id",
         n.alias("n_tokens"),
         r_wc.alias("rule_word_count"),

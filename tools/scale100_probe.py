@@ -138,7 +138,13 @@ def main() -> None:
     from cdk_datalake_ingest_spark import queries
     from cdk_datalake_ingest_spark.session import get_spark
 
-    spark = get_spark("scale100")
+    # 16g heap: the engine default (local-mode 1g) is the honest bench
+    # constraint, but 100x scrub's posexplode working set needs real
+    # executor memory — on a cluster this is ordinary executor sizing
+    # (scale_profile documents 16 GB/executor), not a plan change.
+    spark = get_spark(
+        "scale100", extra_conf={"spark.driver.memory": "16g"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
     build_corpus(spark)
 
