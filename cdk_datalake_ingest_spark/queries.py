@@ -1250,8 +1250,29 @@ FROM documents
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", "lang", T.lang_id(F.col("text")).alias("lang_pred")
+    # staged hits shape (r12, the curate_documents lesson — and the
+    # oracle's own CTE `h` shape below): tokens once, the four hit
+    # counts once, then the argmax over attribute refs; the plain
+    # T.lang_id(col) wrapper re-runs each language's token filter in
+    # every CaseWhen comparison (~7 references per language).
+    langs = list(T.STOPWORDS)
+    toked = docs.select(
+        "doc_id", "lang", T.tokens(F.col("text")).alias("__toks")
+    )
+    hit = toked.select(
+        "doc_id",
+        "lang",
+        *[
+            T.stopword_hits_tokens(F.col("__toks"), lg).alias(f"__h_{lg}")
+            for lg in langs
+        ],
+    )
+    return hit.select(
+        "doc_id",
+        "lang",
+        T.lang_id_from_hits(
+            {lg: F.col(f"__h_{lg}") for lg in langs}, langs
+        ).alias("lang_pred"),
     )
 
 
