@@ -223,3 +223,82 @@ def test_normalize_and_tokens_are_ansi_invariant(spark, ansi_flip):
     assert by_id[3][0].startswith("istanbul σ")  # simple-map pin holds
     assert by_id[6] == ("", ())
     assert by_id[7] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# Wrapper/from-tokens delegation contract (r12 refactor guard)
+# ---------------------------------------------------------------------------
+
+
+def test_from_tokens_variants_equal_column_wrappers(spark):
+    """The r12 split of the text functions into column wrappers +
+    from-tokens cores must stay VALUE-identical under both calling
+    shapes — a drift here would silently change curate/text_metrics/
+    gopher/lang_id (which use the projected shape) relative to every
+    other consumer (which uses the wrappers). Hypothesis over hostile
+    text: unicode case pins, whitespace zoo, empties, NULLs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.functions import text as T
+
+    word = st.text(
+        alphabet="ab İΣß1. \t\n\x0b é", min_size=0, max_size=12
+    )
+    corpus = st.lists(
+        st.one_of(word, st.none()), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(corpus)
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, text string"
+        )
+        c = F.col("text")
+        langs = list(T.STOPWORDS)
+        wrapped = df.select(
+            "i",
+            T.token_count(c).alias("ntok"),
+            F.round(T.mean_word_length(c), 9).alias("mwl"),
+            F.round(T.stopword_ratio(c, "en"), 9).alias("swr"),
+            T.stopword_hit_count(c, "en").alias("swc"),
+            T.stopword_hits(c, "en").alias("swh"),
+            T.quality_score(c).alias("q"),
+            T.lang_id(c).alias("lang"),
+        ).collect()
+        toked = df.select("i", "text", T.tokens(c).alias("__toks"))
+        tk = F.col("__toks")
+        hit = toked.select(
+            "i",
+            "text",
+            "__toks",
+            *[
+                T.stopword_hits_tokens(tk, lg).alias(f"__h_{lg}")
+                for lg in langs
+            ],
+        )
+        staged = hit.select(
+            "i",
+            F.size("__toks").alias("ntok"),
+            F.round(T.mean_word_length_tokens(F.col("__toks")), 9).alias(
+                "mwl"
+            ),
+            F.round(
+                T.stopword_ratio_tokens(F.col("__toks"), "en"), 9
+            ).alias("swr"),
+            T.stopword_hit_count_tokens(F.col("__toks"), "en").alias("swc"),
+            F.col("__h_en").alias("swh"),
+            T.quality_score_tokens(F.col("__toks"), F.col("text")).alias(
+                "q"
+            ),
+            T.lang_id_from_hits(
+                {lg: F.col(f"__h_{lg}") for lg in langs}, langs
+            ).alias("lang"),
+        ).collect()
+        a = sorted(tuple(r) for r in wrapped)
+        b = sorted(tuple(r) for r in staged)
+        assert a == b
+
+    check()

@@ -573,3 +573,95 @@ def test_bpe_tokenize_vocab_path_memoizes_segmentation(spark):
     # the control: the inline path really does segment per occurrence
     # (so the assertion above is testing something real)
     assert _per_occurrence(inline), inline
+
+
+def _exec_plan(spark, name: str) -> str:
+    """Raw executedPlan string — expression-level (translate counts),
+    where explain('formatted') would summarize."""
+    return (
+        QUERIES[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_text_gates_evaluate_normalize_once(spark):
+    """The r12 staged-projection fix (curate_documents read 1.36x from
+    the r11 normalize body ONLY because the enrich evaluated it in ~10
+    expression positions; PLANS.md 'Round-12' attribution): the narrow
+    text gates must keep exactly ONE normalize evaluation per row. The
+    `translate` call is normalize_text's unique fingerprint — a
+    refactor that re-inlines the wrappers multiplies it and fails
+    here. CaseWhen children are excluded from codegen subexpression
+    elimination, so plan-string multiplicity IS runtime multiplicity
+    for these shapes."""
+    # expected TEXTUAL counts: gates that project tokens(col) carry 2
+    # occurrences inside the one alias (the `norm == ''` guard
+    # condition + the split branch reference the same subtree; the
+    # condition is ALWAYS evaluated, so codegen CSE collapses the
+    # branch's copy — runtime is 1 evaluation). exact_dedup hashes the
+    # norm directly: 1. Anything ABOVE these counts means a wrapper
+    # re-inline multiplied the regex per expression position (the
+    # pre-r12 text_metrics plan counted 10+, curate's enrich 79).
+    for name, expect in (
+        ("text_metrics_docs", 2),
+        ("gopher_rules_docs", 2),
+        ("lang_id_docs", 2),
+        ("token_stats_docs", 2),
+        ("exact_dedup_docs", 1),
+    ):
+        plan = _exec_plan(spark, name)
+        n = plan.count("translate(")
+        assert n == expect, (
+            f"{name}: expected {expect} textual normalize occurrence(s) "
+            f"in the physical plan, found {n} — a wrapper re-inline "
+            "re-multiplies the normalize regex per expression position"
+        )
+
+
+def test_curate_enrich_stays_single_normalize(spark):
+    """curate_documents end-to-end contains the enrich (1 normalize)
+    plus the LSH shingle stage (word_shingles' internal references are
+    CSE-collapsed at runtime but textually expanded in the plan) — pin
+    the ENRICH portion by running its stages standalone: one translate
+    in the executed plan (was 79 before the r12 staging)."""
+    from pyspark.sql import functions as F
+
+    from cdk_datalake_ingest_spark.functions import text as T
+    from cdk_datalake_ingest_spark.operators.dedup import normalize_text
+
+    spark_df = spark.read.parquet(f"{SF}/documents.parquet")
+    c = F.col("text")
+    langs = list(T.STOPWORDS)
+    normed = spark_df.select(
+        "doc_id", "text", normalize_text(c).alias("__norm")
+    )
+    toked = normed.select(
+        "doc_id",
+        "text",
+        T.tokens_of_norm(F.col("__norm")).alias("__toks"),
+        F.md5(F.col("__norm")).alias("content_hash"),
+    )
+    hit = toked.select(
+        "doc_id",
+        "text",
+        "__toks",
+        "content_hash",
+        *[
+            T.stopword_hits_tokens(F.col("__toks"), lg).alias(f"__h_{lg}")
+            for lg in langs
+        ],
+    )
+    enriched = hit.select(
+        "doc_id",
+        T.lang_id_from_hits(
+            {lg: F.col(f"__h_{lg}") for lg in langs}, langs
+        ).alias("lang_pred"),
+        T.quality_score_tokens(F.col("__toks"), F.col("text")).alias(
+            "quality"
+        ),
+        F.size("__toks").alias("n_tokens"),
+        "content_hash",
+    )
+    plan = enriched._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("translate(") == 1, plan.count("translate(")
+    # and the split (token materialization) happens once too
+    assert plan.count("split(btrim(") <= 1
