@@ -601,21 +601,25 @@ def bpe_train_merges(
             f"[1, {BPE_SEGMENT_MAX_MERGES}] (the per-round vocab update "
             f"is one expression chain), got {batch_size}"
         )
-    if n_merges > 256 and batch_size == 1:
-        # production-footgun guard: exact sequential BPE pays one
-        # driver round-trip per merge (~0.15 s warm, measured in
-        # tools/bpe_scale_probe.py) — a 32k-merge vocabulary is ~80 min
-        # of pure job latency at batch_size=1. The batch relaxation is
-        # a measured 7.6× at batch_size=16 with the order-divergence
-        # caveat documented above; keep the default only for
-        # oracle-exact runs at model-fixture sizes.
+    if n_merges / batch_size > 256:
+        # production-footgun guard: the latency term is ROUND-TRIPS
+        # (~n_merges / batch_size, one collect each, ~0.15 s warm —
+        # measured in tools/bpe_scale_probe.py), so the condition
+        # scales with the quotient rather than special-casing the
+        # batch_size=1 default (review catch: 32k merges at
+        # batch_size=2 is still ~40 min of pure job latency). A
+        # 32k-merge vocabulary at batch_size=1 is ~80 min. The batch
+        # relaxation is a measured 7.6× at batch_size=16 with the
+        # order-divergence caveat documented above; keep small
+        # batch_size only for oracle-exact runs at model-fixture sizes.
         import warnings
 
         warnings.warn(
-            f"bpe_train_merges: n_merges={n_merges} at batch_size=1 pays "
-            f"one driver round-trip per merge (~0.15 s each); pass "
-            f"batch_size=16 for a ~7.6x faster train unless you need "
-            f"exact sequential-BPE merge order.",
+            f"bpe_train_merges: n_merges={n_merges} at "
+            f"batch_size={batch_size} pays ~{n_merges // batch_size} "
+            f"driver round-trips (~0.15 s each); raise batch_size "
+            f"(16 measured ~7.6x faster) unless you need exact "
+            f"sequential-BPE merge order.",
             stacklevel=2,
         )
     words = (

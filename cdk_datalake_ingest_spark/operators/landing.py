@@ -258,11 +258,12 @@ def poll_flow(
     effect. Control-plane only: no Spark work happens until the poll
     returns SUCCESS, exactly like the reference where the Glue
     transform job is downstream of the Choice state."""
-    result = FLOW_CREATING
-    for _ in range(max_polls):
+    for i in range(max_polls):
         result = check_flow_status(describe, flow_name)
         if result != FLOW_CREATING:
             return result
-        if sleeper and poll_interval:
+        # sleep only when another poll remains — the budget-exhausted
+        # path must not pay one final wasted interval (review catch).
+        if sleeper and poll_interval and i + 1 < max_polls:
             sleeper(poll_interval)
     return FLOW_FAILED

@@ -235,12 +235,14 @@ class RunPlanner:
             # endpoint-level success gate: notify only endpoints with
             # ZERO failed tables (SendSuccededNotification.py:26-36 —
             # the per-ENDPOINT FAILED scan must come back empty).
-            status_by_table = {r.table: r.status for r in results}
+            # zip, not a name-keyed dict: pool.map preserves input
+            # order, and a name-keyed rebuild would collapse duplicate
+            # target_table_name values across endpoints onto the last
+            # one's status (review catch) — a FAILED table could then
+            # be masked by a later same-named success elsewhere.
             by_endpoint: dict[str, list[str]] = defaultdict(list)
-            for t in tables:
-                by_endpoint[t.endpoint].append(
-                    status_by_table.get(t.target_table_name, "FAILED")
-                )
+            for t, r in zip(tables, results):
+                by_endpoint[t.endpoint].append(r.status)
             for ep, statuses in by_endpoint.items():
                 if all(s == "SUCCEEDED" for s in statuses):
                     self.notifier.notify_success(ep)

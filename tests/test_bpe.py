@@ -340,14 +340,14 @@ def test_bpe_train_production_size_warns_at_batch_size_1(spark):
         with pytest.raises(ValueError, match="exhausted"):
             bpe_train_merges(df, n_merges=257, batch_size=1)
     msgs = [str(x.message) for x in w]
-    assert any("batch_size=16" in m for m in msgs), msgs
+    assert any("driver round-trips" in m for m in msgs), msgs
     # batched runs and small exact runs stay silent
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         bpe_train_merges(df, n_merges=2, batch_size=1).collect()
         with pytest.raises(ValueError, match="exhausted"):
             bpe_train_merges(df, n_merges=257, batch_size=16)
-    assert not [x for x in w if "batch_size=16" in str(x.message)]
+    assert not [x for x in w if "driver round-trips" in str(x.message)]
 
 
 def test_bpe_tokenize_corpus_and_modes(spark):

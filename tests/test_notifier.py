@@ -123,3 +123,28 @@ def test_notifier_exceptions_never_break_the_run():
 def test_no_notifier_is_the_default_and_harmless():
     results, _ = _run(_catalog(), None, lambda t: None)
     assert all(r.status == "SUCCEEDED" for r in results)
+
+
+def test_duplicate_table_names_across_endpoints_do_not_mask_failure():
+    # review catch: target_table_name uniqueness is NOT enforced across
+    # endpoints; the success gate must key per-spec (zip with results),
+    # never per-name, or a later same-named success masks the failure.
+    catalog = ConfigCatalog(
+        tables=[
+            TableSpec("orders", endpoint="EP_A"),   # fails
+            TableSpec("orders", endpoint="EP_B"),   # succeeds
+        ],
+        endpoints=[
+            EndpointSpec("EP_A", bd_type="file"),
+            EndpointSpec("EP_B", bd_type="file"),
+        ],
+    )
+    successes: list[str] = []
+    notifier = Notifier(on_success=lambda ep, msg: successes.append(ep))
+
+    def runner(t: TableSpec) -> None:
+        if t.endpoint == "EP_A":
+            raise RuntimeError("boom")
+
+    _run(catalog, notifier, runner)
+    assert successes == ["EP_B"]  # EP_A must NOT get a success

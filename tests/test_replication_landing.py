@@ -618,4 +618,6 @@ def test_poll_flow_budget_exhaustion_is_failed():
         poll_interval=0.5,
     )
     assert out == "FAILED"  # stuck flow == SFN execution timeout
-    assert naps == [0.5] * 4
+    # N polls sleep only BETWEEN polls: the exhausted path must not
+    # pay one final wasted interval after the last check
+    assert naps == [0.5] * 3
