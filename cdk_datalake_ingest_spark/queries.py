@@ -1363,15 +1363,38 @@ def _stage_time_ordered_drop(slices, tmp_prefix: str, files_per_drop: int) -> st
     import os as _os
     import tempfile as _tempfile
 
+    import shutil as _shutil
+
     stage_tmp = _tempfile.mkdtemp(prefix=tmp_prefix)
     drop_dir = f"{stage_tmp}/drop"
     _os.makedirs(drop_dir)
+    empty_file: str | None = None
     for i, part in enumerate(slices):
         stage_dir = f"{stage_tmp}/slice{i}"
         part.repartition(files_per_drop).write.parquet(stage_dir)
-        for j, src_file in enumerate(
-            sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
-        ):
+        produced = sorted(_glob.glob(f"{stage_dir}/part-*.parquet"))
+        # GUARANTEE the per-slice file count: round-robin repartition
+        # of a tiny slice can land every row in one partition, and
+        # Spark writes no part file for an empty partition — the drop
+        # then under-produces files and the maxFilesPerTrigger batch
+        # boundaries silently shift OFF the slice boundaries (caught
+        # by the r12 streaming-neardup unit test; the event gates never
+        # hit it because their slices fill both partitions). Pad with
+        # 0-row parquet files of the slice's schema — a valid, empty
+        # micro-batch member that keeps file counts exact.
+        while len(produced) < files_per_drop:
+            if empty_file is None:
+                pad_dir = f"{stage_tmp}/__pad"
+                part.sparkSession.createDataFrame(
+                    [], part.schema
+                ).coalesce(1).write.parquet(pad_dir)
+                empty_file = sorted(
+                    _glob.glob(f"{pad_dir}/part-*.parquet")
+                )[0]
+            pad = f"{stage_dir}/part-pad{len(produced)}.parquet"
+            _shutil.copy(empty_file, pad)
+            produced.append(pad)
+        for j, src_file in enumerate(sorted(produced)):
             dst = f"{drop_dir}/{i:03d}_{j}.parquet"
             _os.rename(src_file, dst)
             _os.utime(dst, (1_000_000 + i, 1_000_000 + i))
@@ -4860,6 +4883,114 @@ WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
 """
 
 
+def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming near-dup dedup-on-ingest (streaming/neardup.py — new
+    in round 12): the documents corpus arrives as THREE time-ordered
+    micro-batches (doc_id % 3 slices); each batch is deduped within
+    itself (smaller-id domination) and against the signature index of
+    everything kept so far, survivors land tagged with their batch and
+    their signatures append to the index the NEXT batch probes. Output
+    = (doc_id, ingest_batch) of every kept document.
+
+    The oracle unrolls the three ingest levels over the exact 3-gram
+    Jaccard pair relation (the LSH recall-1 tripwire contract of
+    `minhash_near_dup_docs` transfers: candidacy is decided per pair
+    from the two signatures alone, so batch-subset restrictions cannot
+    lose pairs). Scale shape: per batch, only the batch is shingled;
+    the index streams through a broadcast-pinned candidate probe; the
+    loop's state is the index TABLES, not streaming state — restart
+    picks up from the tables."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        stream_near_dup_ingest,
+    )
+
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _build_drop() -> str:
+        slices = [
+            docs.filter(F.pmod("doc_id", F.lit(3)) == k) for k in range(3)
+        ]
+        return _stage_time_ordered_drop(slices, "cdk_stream_ndup_", 2)
+
+    drop = _memo_staging(("neardup_ingest", sf_dir), _build_drop)
+    tmp = tempfile.mkdtemp(prefix="cdk_stream_ndup_run_")
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(drop)
+    )
+    stream_near_dup_ingest(
+        spark,
+        src,
+        f"{tmp}/kept",
+        f"{tmp}/index_bands",
+        f"{tmp}/index_sets",
+        f"{tmp}/ckpt",
+    )
+    return spark.read.parquet(f"{tmp}/kept").select("doc_id", "ingest_batch")
+
+
+# Three unrolled ingest levels over the exact pair relation: kept(i) =
+# batch-i docs with no smaller-id batch-i near-dup AND no near-dup
+# (either direction) among kept(<i). Documents with no shingles (empty/
+# NULL text) have no pairs and are always kept — same as the operator,
+# whose banded stage filters size(__sh) > 0.
+STREAMING_NEARDUP_SQL = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, GREATEST(len({_SQL_TOKENS}) - 2, 0) + 1),
+    i -> {_SQL_TOKENS}[i] || ' ' || {_SQL_TOKENS}[i+1] || ' ' || {_SQL_TOKENS}[i+2]
+  )) AS shset
+  FROM documents
+  WHERE GREATEST(len({_SQL_TOKENS}) - 2, 0) > 0
+), e AS (
+  SELECT doc_id, unnest(shset) AS sh FROM s
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM e a JOIN e b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, len(shset) AS n FROM s
+), prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes na ON na.doc_id = id_a
+  JOIN sizes nb ON nb.doc_id = id_b
+  WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
+), sym AS (
+  SELECT id_a AS x, id_b AS y FROM prs
+  UNION ALL
+  SELECT id_b, id_a FROM prs
+), k0 AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 3 = 0
+    AND NOT EXISTS (SELECT 1 FROM prs p
+                    WHERE p.id_b = d.doc_id AND p.id_a % 3 = 0)
+), k1 AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 3 = 1
+    AND NOT EXISTS (SELECT 1 FROM prs p
+                    WHERE p.id_b = d.doc_id AND p.id_a % 3 = 1)
+    AND NOT EXISTS (SELECT 1 FROM sym JOIN k0 ON sym.x = k0.doc_id
+                    WHERE sym.y = d.doc_id)
+), k01 AS (
+  SELECT doc_id FROM k0 UNION ALL SELECT doc_id FROM k1
+), k2 AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 3 = 2
+    AND NOT EXISTS (SELECT 1 FROM prs p
+                    WHERE p.id_b = d.doc_id AND p.id_a % 3 = 2)
+    AND NOT EXISTS (SELECT 1 FROM sym JOIN k01 ON sym.x = k01.doc_id
+                    WHERE sym.y = d.doc_id)
+)
+SELECT doc_id, 0 AS ingest_batch FROM k0
+UNION ALL SELECT doc_id, 1 FROM k1
+UNION ALL SELECT doc_id, 2 FROM k2
+"""
+
+
 def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality filter (Rae et al. 2021 A1.1,
     thresholds adapted to this corpus's short documents): per-document
@@ -7138,11 +7269,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_promotion_suppliers": q20_promotion_suppliers,
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    # TAIL 51-72: the 22 r10-fresh leftovers at their 3-round bound —
+    # (d) NEW gate of round 12 (streaming near-dup ingest) takes the
+    # 50th slot; q21_waiting_suppliers (r10-fresh, due r13 regardless)
+    # moves to the tail's r13-lead block
+    "streaming_neardup_ingest_docs": streaming_neardup_ingest_docs,
+    # TAIL 51-73: the 23 r10-fresh leftovers at their 3-round bound —
     # they MUST lead the r13 window; then the r11-fresh entries
     # (due r14). Every tail entry is locally re-attested this round in
     # PARITY_LOCAL_r12.json (full-registry oracle at sf0.01).
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "q22_dormant_customers": q22_dormant_customers,
     "events_unpivot_metrics": events_unpivot_metrics,
     "events_value_percentiles": events_value_percentiles,
@@ -7332,4 +7467,5 @@ ORACLES: dict[str, str] = {
     "nb_quality_filter_docs": NB_QUALITY_SQL,
     "gopher_rules_docs": GOPHER_RULES_SQL,
     "incremental_minhash_ingest_docs": INCREMENTAL_MINHASH_SQL,
+    "streaming_neardup_ingest_docs": STREAMING_NEARDUP_SQL,
 }
