@@ -414,6 +414,27 @@ def incremental_near_dup(
         new_docs, id_col, text_col, shingle_size, num_hashes, bands,
         seed, prime, cache=cache,
     )
+    return probe_signatures(
+        new_bands, new_sets, index_bands, index_sets, id_col,
+        jaccard_threshold,
+    )
+
+
+def probe_signatures(
+    new_bands: DataFrame,
+    new_sets: DataFrame,
+    index_bands: DataFrame,
+    index_sets: DataFrame,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The broadcast candidate probe + exact-verify tail of
+    ``incremental_near_dup`` over PRECOMPUTED batch signatures (r12
+    split, same rationale as ``pairs_from_signatures``). The batch's
+    banded relation is broadcast-pinned — callers own the batch-size
+    contract (``incremental_near_dup`` enforces it with
+    ``max_batch_rows``; the streaming loop's batches are bounded by
+    maxFilesPerTrigger)."""
     cand = (
         F.broadcast(new_bands).alias("n")
         .join(
@@ -475,14 +496,29 @@ def minhash_near_dup_pairs(
         df, id_col, text_col, shingle_size, num_hashes, bands, seed,
         prime, cache,
     )
+    return pairs_from_signatures(banded, sets, id_col, jaccard_threshold)
+
+
+def pairs_from_signatures(
+    banded: DataFrame,
+    sets: DataFrame,
+    id_col: str,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The self-join + exact-verify tail of ``minhash_near_dup_pairs``
+    over PRECOMPUTED signature relations (``_minhash_banded`` /
+    ``minhash_signature_index`` output shape). Split out (r12) so a
+    caller holding the signature stage — the streaming ingest loop
+    needs pairs, an index probe AND the survivor signatures from the
+    same batch — can shingle ONCE instead of once per consumer."""
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
         left.join(
             right,
             on=[
-                F.col(f"l.band") == F.col(f"r.band"),
-                F.col(f"l.band_hash") == F.col(f"r.band_hash"),
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
                 F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
             ],
         )

@@ -4929,6 +4929,7 @@ def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{tmp}/index_bands",
         f"{tmp}/index_sets",
         f"{tmp}/ckpt",
+        shuffle_partitions=8,
     )
     return spark.read.parquet(f"{tmp}/kept").select("doc_id", "ingest_batch")
 

@@ -46,9 +46,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cdk_datalake_ingest_spark.operators.dedup import (
-    incremental_near_dup,
-    minhash_near_dup_pairs,
-    minhash_signature_index,
+    MINHASH_PRIME,
+    _minhash_banded,
+    pairs_from_signatures,
+    probe_signatures,
 )
 
 #: schema of the band-index table (minhash_signature_index bands_df)
@@ -76,40 +77,66 @@ def ingest_batch(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     **sig_params,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest step as pure batch logic (unit-testable without a
-    stream): the batch's SURVIVORS per the module survivor rule.
-    ``sig_params`` (shingle_size/num_hashes/bands/seed/prime) must
-    match the index's build parameters — they define the probe space.
+    stream): ``(survivors, surv_bands, surv_sets)`` — the batch rows
+    kept per the module survivor rule plus their signature relations,
+    ready to append to the index tables. ``sig_params`` (shingle_size/
+    num_hashes/bands/seed/prime) must match the index's build
+    parameters — they define the probe space.
 
-    The result is lazy and its lineage reads the index relations —
-    callers that mutate the index afterwards (the streaming loop) must
-    pin the survivor set FIRST (localCheckpoint) or the deferred plan
-    re-probes the grown index."""
-    # (a) within-batch domination: every id_b of a within-batch pair
-    # has a smaller near-dup id_a (the pair operator emits id_a < id_b)
-    batch_pairs = minhash_near_dup_pairs(
+    The batch is shingled exactly ONCE: all three consumers (the
+    within-batch pair join, the index probe, the appended signatures)
+    derive from one shared, persisted ``_minhash_banded`` stage — the
+    r12 restructure that took the gate from ~22 s to ~<10 s at sf0.1
+    (the naive composition re-shingled per consumer). The survivor ID
+    set is pinned (localCheckpoint — ids only, tiny) so every returned
+    relation agrees and none re-probes the index after the caller
+    mutates it (the appends-then-lazy-re-read divergence)."""
+    banded, sets = _minhash_banded(
         batch_df,
         id_col,
         text_col,
-        jaccard_threshold=jaccard_threshold,
-        **sig_params,
+        sig_params.get("shingle_size", 3),
+        sig_params.get("num_hashes", 32),
+        sig_params.get("bands", 8),
+        sig_params.get("seed", 42),
+        sig_params.get("prime", MINHASH_PRIME),
+        cache=sig_params.get("cache", True),
+    )
+    # (a) within-batch domination: every id_b of a within-batch pair
+    # has a smaller near-dup id_a (the pair tail emits id_a < id_b)
+    batch_pairs = pairs_from_signatures(
+        banded, sets, id_col, jaccard_threshold
     )
     dominated = batch_pairs.select(F.col("id_b").alias(id_col)).distinct()
-    undominated = batch_df.join(dominated, id_col, "left_anti")
+    # PIN the undominated id set (ids only — tiny): it feeds THREE
+    # consumers (the probe's bands + sets semi-joins and the survivor
+    # anti-join), and without the pin each consumer re-executes the
+    # whole pair self-join + exact-verify pipeline — profiled at ~3x
+    # the drain's compute before this checkpoint landed.
+    und_ids = (
+        batch_df.select(id_col)
+        .join(dominated, id_col, "left_anti")
+        .localCheckpoint(eager=True)
+    )
     # (b) probe the persisted index with the undominated remainder only
-    # (same survivor set, strictly less probe work)
-    index_hits = incremental_near_dup(
-        undominated,
-        index_bands,
-        index_sets,
-        id_col,
-        text_col,
-        jaccard_threshold=jaccard_threshold,
-        **sig_params,
+    # (same survivor set, strictly less probe work) — signatures come
+    # from the SHARED stage via an id semi-join, never a re-shingle
+    und_bands = banded.join(und_ids, id_col, "left_semi")
+    und_sets = sets.join(und_ids, id_col, "left_semi")
+    index_hits = probe_signatures(
+        und_bands, und_sets, index_bands, index_sets, id_col,
+        jaccard_threshold,
     )
     dup_new = index_hits.select(F.col("new_id").alias(id_col)).distinct()
-    return undominated.join(dup_new, id_col, "left_anti")
+    surv_ids = und_ids.join(dup_new, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    survivors = batch_df.join(surv_ids, id_col, "left_semi")
+    surv_bands = banded.join(surv_ids, id_col, "left_semi")
+    surv_sets = sets.join(surv_ids, id_col, "left_semi")
+    return survivors, surv_bands, surv_sets
 
 
 def stream_near_dup_ingest(
@@ -122,6 +149,7 @@ def stream_near_dup_ingest(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    shuffle_partitions: int | None = None,
     **sig_params,
 ) -> None:
     """Drain ``source_stream`` (availableNow) through the ingest loop:
@@ -129,7 +157,16 @@ def stream_near_dup_ingest(
     append survivors (tagged with ``ingest_batch`` = the micro-batch
     id) to ``out_dir`` and their signatures to the index dirs. The
     index starts empty; batch 0's probe sees zero rows and only the
-    within-batch rule applies — no special-casing."""
+    within-batch rule applies — no special-casing.
+
+    ``shuffle_partitions`` sizes the foreachBatch joins (latched into
+    the stream's cloned session at start, caller conf restored
+    immediately — the run_complete_overwrite pattern): a micro-batch
+    is bounded by maxFilesPerTrigger, so its pair/probe joins shuffle
+    batch-sized relations and want batch-sized parallelism, not the
+    session default. There is no state store here (state = the index
+    tables), so unlike a stateful query the number is NOT pinned by
+    the checkpoint — restarts may resize freely."""
 
     def _read_or_empty(path: str, schema: T.StructType) -> DataFrame:
         # existence probe, not try/except: the first batch's missing
@@ -143,11 +180,17 @@ def stream_near_dup_ingest(
         return spark.read.schema(schema).parquet(path)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # pin the batch (the file-source relation feeds three consumers)
-        batch_df = batch_df.localCheckpoint(eager=True)
+        # no batch_df checkpoint: the file-source batch relation is a
+        # column-pruned parquet scan whose three consumers share the
+        # PERSISTED signature stage inside ingest_batch — an eager
+        # checkpoint here costs a full extra job + memory per batch
+        # for re-reads that are already cheap.
         bands = _read_or_empty(bands_dir, _BANDS_SCHEMA)
         sets = _read_or_empty(sets_dir, _SETS_SCHEMA)
-        survivors = ingest_batch(
+        # ingest_batch pins the survivor ID set internally, so all
+        # three relations below agree and none re-probes the index
+        # after the appends mutate it.
+        survivors, new_bands, new_sets = ingest_batch(
             batch_df,
             bands,
             sets,
@@ -156,26 +199,26 @@ def stream_near_dup_ingest(
             jaccard_threshold,
             **sig_params,
         )
-        # FIX THE DECISION before anything mutates the index dirs the
-        # survivor plan reads: localCheckpoint truncates the lineage so
-        # the signature build and the three writes below all see the
-        # same survivor set (a lazy plan would re-probe the GROWN index
-        # on each re-execution and silently diverge bands from sets).
-        survivors = survivors.localCheckpoint(eager=True)
-        new_bands, new_sets = minhash_signature_index(
-            survivors, id_col, text_col, **sig_params
-        )
         survivors.withColumn(
             "ingest_batch", F.lit(batch_id).cast("int")
         ).write.mode("append").parquet(out_dir)
         new_bands.write.mode("append").parquet(bands_dir)
         new_sets.write.mode("append").parquet(sets_dir)
 
-    q = (
-        source_stream.writeStream.outputMode("append")
-        .foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prior = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions)
+        )
+    try:
+        q = (
+            source_stream.writeStream.outputMode("append")
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prior)
     q.awaitTermination()

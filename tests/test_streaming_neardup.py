@@ -48,11 +48,14 @@ def test_within_batch_smaller_id_dominates(spark):
     batch = _docs(
         spark, [(1, _NEAR), (2, _NEAR2), (9, _OTHER)]
     )
-    kept = sorted(
-        r["doc_id"]
-        for r in ingest_batch(batch, bands, sets, cache=False).collect()
+    survivors, surv_bands, surv_sets = ingest_batch(
+        batch, bands, sets, cache=False
     )
+    kept = sorted(r["doc_id"] for r in survivors.collect())
     assert kept == [1, 9]  # 2 dominated by 1; 9 unrelated
+    # the returned signature relations cover exactly the survivors
+    assert {r["doc_id"] for r in surv_bands.collect()} == {1, 9}
+    assert {r["doc_id"] for r in surv_sets.collect()} == {1, 9}
 
 
 def test_domination_is_by_anyone_earlier_not_greedy_mis(spark):
@@ -69,25 +72,21 @@ def test_domination_is_by_anyone_earlier_not_greedy_mis(spark):
         _docs(spark, [(100, _NEAR)]), "doc_id", "text", cache=False
     )
     batch = _docs(spark, [(1, _NEAR2), (3, _NEAR3)])
-    kept = sorted(
-        r["doc_id"]
-        for r in ingest_batch(
-            batch, idx_bands, idx_sets, cache=False
-        ).collect()
-    )
+    survivors, _, _ = ingest_batch(batch, idx_bands, idx_sets, cache=False)
+    kept = sorted(r["doc_id"] for r in survivors.collect())
     assert kept == []  # 1 dropped by index, 3 dropped by domination
 
 
 def test_no_shingle_docs_always_survive(spark):
     bands, sets = _empty_index(spark)
     batch = _docs(spark, [(1, ""), (2, None), (3, "one two")])
-    kept = sorted(
-        r["doc_id"]
-        for r in ingest_batch(batch, bands, sets, cache=False).collect()
-    )
+    survivors, surv_bands, _ = ingest_batch(batch, bands, sets, cache=False)
+    kept = sorted(r["doc_id"] for r in survivors.collect())
     # "", NULL and a 2-token doc (below shingle_size=3) have no
     # shingles -> never near-dup candidates -> all kept
     assert kept == [1, 2, 3]
+    # no-shingle survivors contribute NO signature rows to the index
+    assert surv_bands.count() == 0
 
 
 def test_stream_matches_sequential_batches_and_index_grows(spark):
