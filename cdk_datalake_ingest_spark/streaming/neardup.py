@@ -185,6 +185,20 @@ def stream_near_dup_ingest(
         # PERSISTED signature stage inside ingest_batch — an eager
         # checkpoint here costs a full extra job + memory per batch
         # for re-reads that are already cheap.
+        # Block-lifecycle note: each batch persists the signature stage
+        # and localCheckpoints two id sets; relying on the GC-driven
+        # ContextCleaner lets blocks from EVERY batch pile up in the
+        # executor heap for the whole drain (measured: a 3-batch drain
+        # left enough residue to slow unrelated memory-hungry queries
+        # ~1.5x in the same JVM). Snapshot the persistent-RDD ids
+        # before the batch and drop exactly the NEW ones when done —
+        # by then all writes are on disk and the next batch re-reads
+        # from the tables, so nothing re-references the blocks.
+        # Caveat: assumes no CONCURRENT jobs persist RDDs mid-batch
+        # (true for this loop; a shared-session deployment should
+        # disable cleanup and size the heap instead).
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        before = {int(i) for i in jmap.keySet().toArray()}
         bands = _read_or_empty(bands_dir, _BANDS_SCHEMA)
         sets = _read_or_empty(sets_dir, _SETS_SCHEMA)
         # ingest_batch pins the survivor ID set internally, so all
@@ -204,6 +218,10 @@ def stream_near_dup_ingest(
         ).write.mode("append").parquet(out_dir)
         new_bands.write.mode("append").parquet(bands_dir)
         new_sets.write.mode("append").parquet(sets_dir)
+        jmap2 = spark.sparkContext._jsc.getPersistentRDDs()
+        for rid in list(jmap2.keySet().toArray()):
+            if int(rid) not in before:
+                jmap2.get(rid).unpersist(False)
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:
