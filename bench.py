@@ -135,6 +135,19 @@ def main() -> None:
         # one load-average reading per sweep boundary (n_sweeps + 1):
         # a contaminated run shows elevated/rising values here.
         "load_avg": load_avgs,
+        # self-describing contamination flag: warm sweeps (sweep 0 is
+        # cold by design) whose total exceeds the fastest warm sweep by
+        # >15% — the r12 finding is that the box's periodic monitoring
+        # tick (every ~15 min) lands inside most full runs and inflates
+        # a CONTIGUOUS window of one sweep; a reader comparing totals
+        # should fall back to value_trimmed_min when this is non-empty.
+        "contaminated_sweeps": [
+            i
+            for i in range(1, len(sweep_totals))
+            if sweep_totals[i] > 1.15 * min(sweep_totals[1:], default=0)
+        ]
+        if len(sweep_totals) > 2
+        else [],
     }
 
     # Full per-query detail always lands in a file the judge can read.
