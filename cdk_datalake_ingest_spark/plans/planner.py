@@ -83,15 +83,32 @@ def retry(
     backoff_rate: float = 5.0,
     base_sleep: float = 1.0,
     sleeper: Callable[[float], None] = time.sleep,
+    no_retry: Callable[[Exception], bool] | None = None,
 ) -> Any:
-    """Step-Functions-style retry: sleep base * rate^(attempt-1)."""
+    """Step-Functions-style retry: sleep base * rate^(attempt-1).
+
+    ``no_retry`` short-circuits the loop for error classes the caller
+    treats as terminal-by-design — the reference's stage job catches
+    NoDataToMigrateException INSIDE the Glue job (aje-stage-dms-load.py
+    :544-546) so the job exits cleanly and the Step Functions retry
+    policy never sees a failure; re-running an empty extract 10 times
+    with exponential backoff would burn ~40 minutes per warning table
+    for a condition retries cannot change."""
     for attempt in range(1, max_attempts + 1):
         try:
             return fn()
-        except Exception:
-            if attempt == max_attempts:
+        except Exception as e:
+            if attempt == max_attempts or (no_retry and no_retry(e)):
                 raise
             sleeper(base_sleep * (backoff_rate ** (attempt - 1)))
+
+
+def is_no_data_error(e: Exception | str) -> bool:
+    """The reference's warning-class discriminator: a substring match
+    on the rendered error (aje-stage-dms-load.py:330 uses the same test
+    to pick the RAW WARNING wording; :544-546 maps the exception class
+    to STATUS_STAGE='WARNING')."""
+    return "no data detected to migrate" in str(e).lower()
 
 
 @dataclass
@@ -117,9 +134,10 @@ class Notifier:
     ``on_failure(table_name, message, error)`` fires once per FAILED
     (or warning-class) table, after retries are exhausted, with the
     reference's message shape already rendered. ``on_success(endpoint,
-    message)`` fires once per endpoint whose tables all SUCCEEDED —
-    endpoint-level, not per-table, and only when failed_count==0 for
-    that endpoint, exactly the reference's gate. Notifier exceptions
+    message)`` fires once per endpoint with ZERO FAILED tables —
+    endpoint-level, not per-table; WARNING (no-data) tables do NOT
+    suppress it, because the reference's scan filters
+    STATUS_STAGE='FAILED' only. Notifier exceptions
     are swallowed (the reference's lambda returns FAILED but never
     breaks the pipeline, SendSuccededNotification.py:43-47)."""
 
@@ -209,6 +227,7 @@ class RunPlanner:
                     max_attempts=self.max_attempts,
                     backoff_rate=self.backoff_rate,
                     base_sleep=self.base_sleep,
+                    no_retry=is_no_data_error,
                 )
                 if self.run_log:
                     self.run_log.record(
@@ -216,17 +235,25 @@ class RunPlanner:
                     )
                 return TableRunResult(t.target_table_name, "SUCCEEDED")
             except Exception as e:  # noqa: BLE001 - isolation by design
+                # warning-vs-failed classification, exactly the
+                # reference's: NoDataToMigrateException sets
+                # STATUS_STAGE='WARNING' (aje-stage-dms-load.py:544-546),
+                # every other exception 'FAILED' (:563-565). Both
+                # classes still notify (send_error_message fires on
+                # both paths, :560/:578) — only the terminal status
+                # and the endpoint success gate differ.
+                status = "WARNING" if is_no_data_error(e) else "FAILED"
                 if self.run_log:
                     self.run_log.record(
                         t.process_id,
                         "ingest",
                         t.target_table_name,
-                        "FAILED",
+                        status,
                         message=str(e),
                     )
                 if self.notifier:
                     self.notifier.notify_failure(t.target_table_name, str(e))
-                return TableRunResult(t.target_table_name, "FAILED", str(e))
+                return TableRunResult(t.target_table_name, status, str(e))
 
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
             results = list(pool.map(one, tables))
@@ -234,7 +261,10 @@ class RunPlanner:
         if self.notifier:
             # endpoint-level success gate: notify only endpoints with
             # ZERO failed tables (SendSuccededNotification.py:26-36 —
-            # the per-ENDPOINT FAILED scan must come back empty).
+            # the per-ENDPOINT scan filters STATUS_STAGE='FAILED' ONLY,
+            # so WARNING tables — the no-data class — do not suppress
+            # the success publish; the reference's warning-only
+            # endpoints still report success).
             # zip, not a name-keyed dict: pool.map preserves input
             # order, and a name-keyed rebuild would collapse duplicate
             # target_table_name values across endpoints onto the last
@@ -244,6 +274,6 @@ class RunPlanner:
             for t, r in zip(tables, results):
                 by_endpoint[t.endpoint].append(r.status)
             for ep, statuses in by_endpoint.items():
-                if all(s == "SUCCEEDED" for s in statuses):
+                if all(s != "FAILED" for s in statuses):
                     self.notifier.notify_success(ep)
         return results

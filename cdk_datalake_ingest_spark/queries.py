@@ -2911,13 +2911,18 @@ GROUP BY window_start, window_end, event_type
 
 
 def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1/R2/R4/R5 through the gate: a 3-table catalog planned and
+    """R1/R2/R4/R5 through the gate: a 4-table catalog planned and
     executed by RunPlanner with bounded concurrency — two real per-table
-    dataflows (orders flag count, events W1-dedup count) and one table
+    dataflows (orders flag count, events W1-dedup count), one table
     whose source is missing, which must FAIL in isolation (retried
-    3×, logged, not propagated — StartWorkFlow Map semantics). Output =
-    the run-report (table, status, n_rows); the oracle recomputes each
-    table's count in SQL and pins the statuses.
+    3×, logged, not propagated — StartWorkFlow Map semantics), and one
+    no-data table, which must land as WARNING (not FAILED, exactly
+    aje-stage-dms-load.py:544-546), skip retries (the reference's job
+    catches it and exits cleanly), and NOT suppress its endpoint's
+    success publish (SendSuccededNotification.py:26-36 scans
+    STATUS_STAGE='FAILED' only). Output = the run-report (table,
+    status, n_rows); the oracle recomputes each table's count in SQL
+    and pins the statuses.
 
     Scale note: the planner is control-plane (threads dispatching Spark
     jobs); each runner's count is a distributed action, and concurrent
@@ -2938,6 +2943,7 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             TableSpec(target_table_name="orders_flags", endpoint="fs-a"),
             TableSpec(target_table_name="events_latest", endpoint="fs-a"),
             TableSpec(target_table_name="missing_src", endpoint="fs-b"),
+            TableSpec(target_table_name="empty_window", endpoint="fs-c"),
             TableSpec(
                 target_table_name="inactive_tbl", endpoint="fs-a", active_flag="N"
             ),
@@ -2945,6 +2951,7 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         endpoints=[
             EndpointSpec(endpoint_name="fs-a", bd_type="file"),
             EndpointSpec(endpoint_name="fs-b", bd_type="file"),
+            EndpointSpec(endpoint_name="fs-c", bd_type="file"),
         ],
     )
     counts: dict[str, int] = {}
@@ -2960,6 +2967,12 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             n = latest_record_dedup(
                 _events(spark, sf_dir), _EVENT_KEYS, _EVENT_ORDER
             ).count()
+        elif t.target_table_name == "empty_window":
+            from cdk_datalake_ingest_spark.operators.table import (
+                NoDataToMigrateException,
+            )
+
+            raise NoDataToMigrateException()
         else:
             raise FileNotFoundError(f"no source for {t.target_table_name}")
         counts[t.target_table_name] = n
@@ -2977,14 +2990,19 @@ def planner_multi_table_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     results = planner.run(runner)
-    if log.failed_count() != 1:  # R5: failure logged, run continued
+    if log.failed_count() != 1:  # R5: the WARNING table must NOT count
         raise RuntimeError(
             f"run log recorded {log.failed_count()} failures, expected 1"
         )
-    # R5 notification seam: endpoint-level success ONLY for the clean
-    # endpoint (fs-a), per-table failure for the isolated FAILED table;
-    # fs-b must NOT get a success (SendSuccededNotification gate).
-    if sorted(successes) != ["fs-a"] or failures != ["missing_src"]:
+    # R5 notification seam: endpoint-level success for the clean
+    # endpoint (fs-a) AND the warning-only endpoint (fs-c) — the
+    # reference's success scan filters STATUS_STAGE='FAILED' only;
+    # fs-b must NOT get one. Per-table notifications fire for BOTH the
+    # FAILED and the WARNING table (send_error_message on both paths).
+    if sorted(successes) != ["fs-a", "fs-c"] or sorted(failures) != [
+        "empty_window",
+        "missing_src",
+    ]:
         raise RuntimeError(
             f"notifier mis-fired: successes={successes} failures={failures}"
         )
@@ -3009,6 +3027,8 @@ SELECT 'events_latest', 'SUCCEEDED',
        ORDER BY epoch_us(ts) DESC, event_id DESC) = 1))
 UNION ALL
 SELECT 'missing_src', 'FAILED', 0
+UNION ALL
+SELECT 'empty_window', 'WARNING', 0
 """
 
 

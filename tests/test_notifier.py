@@ -148,3 +148,74 @@ def test_duplicate_table_names_across_endpoints_do_not_mask_failure():
 
     _run(catalog, notifier, runner)
     assert successes == ["EP_B"]  # EP_A must NOT get a success
+
+
+def test_warning_table_does_not_suppress_endpoint_success():
+    """NoDataToMigrateException → STATUS 'WARNING', not 'FAILED'
+    (aje-stage-dms-load.py:544-546), and SendSuccededNotification.py
+    :26-36 scans STATUS_STAGE='FAILED' only — so an endpoint whose only
+    problem tables are no-data warnings still gets the success publish.
+    The warning still fires the per-table notification (both except
+    branches call send_error_message, :560/:578) with the RAW WARNING
+    wording."""
+    from cdk_datalake_ingest_spark.operators.table import (
+        NoDataToMigrateException,
+    )
+
+    successes: list[str] = []
+    failures: list[tuple[str, str, str]] = []
+    notifier = Notifier(
+        on_success=lambda ep, msg: successes.append(ep),
+        on_failure=lambda tbl, msg, err: failures.append((tbl, msg, err)),
+    )
+    attempts: list[str] = []
+
+    def runner(t: TableSpec) -> None:
+        attempts.append(t.target_table_name)
+        if t.target_table_name == "t_bad":
+            raise NoDataToMigrateException()
+
+    results, log = _run(_catalog(), notifier, runner)
+    assert {r.table: r.status for r in results}["t_bad"] == "WARNING"
+    # BOTH endpoints succeed: EP_B's only problem table is a warning
+    assert sorted(successes) == ["EP_A", "EP_B"]
+    # the per-table notification fired with the warning wording
+    assert len(failures) == 1
+    assert failures[0][0] == "t_bad"
+    assert failures[0][1].startswith("RAW WARNING in table: t_bad")
+    # the run log records WARNING (not FAILED): the A8 crawler gate
+    # (failed_count) must not count it
+    assert log.failed_count() == 0
+    statuses = {r["task_name"]: r["task_status"] for r in log.records()}
+    assert statuses["t_bad"] == "WARNING"
+    # no-data is terminal-by-design: exactly ONE attempt, no retries
+    # (the reference's job catches it and exits cleanly — Step
+    # Functions never re-runs it)
+    assert attempts.count("t_bad") == 1
+
+
+def test_failed_and_warning_mix_still_suppresses_success():
+    # a genuinely FAILED table on the same endpoint as a WARNING table
+    # still suppresses the endpoint's success publish
+    catalog = ConfigCatalog(
+        tables=[
+            TableSpec("t_warn", endpoint="EP_A"),
+            TableSpec("t_fail", endpoint="EP_A"),
+        ],
+        endpoints=[EndpointSpec("EP_A", bd_type="file")],
+    )
+    successes: list[str] = []
+    notifier = Notifier(on_success=lambda ep, msg: successes.append(ep))
+
+    def runner(t: TableSpec) -> None:
+        if t.target_table_name == "t_warn":
+            raise RuntimeError("no data detected to migrate")
+        raise RuntimeError("boom")
+
+    results, log = _run(catalog, notifier, runner)
+    assert successes == []
+    assert {r.table: r.status for r in results} == {
+        "t_warn": "WARNING",
+        "t_fail": "FAILED",
+    }
+    assert log.failed_count() == 1
