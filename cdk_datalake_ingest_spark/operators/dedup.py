@@ -245,6 +245,7 @@ def _minhash_banded(
     seed: int,
     prime: int,
     cache: bool,
+    persisted: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared signature stage of the MinHash family: ``(banded,
     sets)`` where banded = (id, band, band_hash) — the LSH probe
@@ -284,8 +285,15 @@ def _minhash_banded(
         # are released by the ContextCleaner once the returned plans
         # are garbage-collected (same contract as semantic_dedup's
         # checkpoint) — long sessions should drop finished results
-        # rather than accumulate them.
+        # rather than accumulate them. Callers that need DETERMINISTIC
+        # release (the streaming ingest loop: one persist per
+        # micro-batch would otherwise pile up for the whole drain) pass
+        # ``persisted``, collect the appended DataFrames, and call
+        # ``df.unpersist()`` when their consumers are done — the public
+        # API that drops both the blocks and the CacheManager entry.
         shingled = shingled.persist()
+        if persisted is not None:
+            persisted.append(shingled)
     sig = shingled.select(
         F.col(id_col),
         _minhash_signature(F.col("__h"), num_hashes, prime, seed).alias("__sig"),

@@ -781,24 +781,35 @@ class ManagedTable:
             return False
 
         touched_df = source.select(*pby)
-        # partitions holding a matched key: an update may move a row's
-        # partition value, so the OLD copy's partition must be
-        # rewritten. Null-safe conditions: a NULL-keyed row whose
-        # update moves partitions would otherwise leave its old copy in
-        # a linked-forward (unrewritten) partition — a duplicate.
-        src_keys = source.select(*keys).dropDuplicates(keys)
-        semi = functools.reduce(
-            lambda a, b: a & b,
-            [
-                F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
-                for k in keys
-            ],
-        )
-        touched_df = touched_df.unionByName(
-            target.alias("__t")
-            .join(src_keys.alias("__s"), semi, "left_semi")
-            .select(*pby)
-        )
+        if not set(pby) <= set(keys):
+            # partitions holding a matched key: an update may move a
+            # row's partition value, so the OLD copy's partition must
+            # be rewritten. Null-safe conditions: a NULL-keyed row
+            # whose update moves partitions would otherwise leave its
+            # old copy in a linked-forward (unrewritten) partition — a
+            # duplicate. SKIPPED when every partition column is itself
+            # a merge key: then a matched target row agrees with its
+            # source row on all of pby by definition (rows "can't move
+            # partitions"), so the matched partitions are already in
+            # source.select(pby) — and the skip removes the one
+            # O(target) column scan from the scoped path, making each
+            # merge O(touched partitions) outright. The streaming
+            # ingest sinks (batch-partitioned, batch-keyed) rely on
+            # this: their per-batch merge cost must not grow with the
+            # table.
+            src_keys = source.select(*keys).dropDuplicates(keys)
+            semi = functools.reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__t.{k}").eqNullSafe(F.col(f"__s.{k}"))
+                    for k in keys
+                ],
+            )
+            touched_df = touched_df.unionByName(
+                target.alias("__t")
+                .join(src_keys.alias("__s"), semi, "left_semi")
+                .select(*pby)
+            )
         if delete_predicate is not None:
             touched_df = touched_df.unionByName(
                 target.filter(delete_predicate).select(*pby)

@@ -4905,12 +4905,15 @@ WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
 
 def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup dedup-on-ingest (streaming/neardup.py — new
-    in round 12): the documents corpus arrives as THREE time-ordered
-    micro-batches (doc_id % 3 slices); each batch is deduped within
-    itself (smaller-id domination) and against the signature index of
-    everything kept so far, survivors land tagged with their batch and
-    their signatures append to the index the NEXT batch probes. Output
-    = (doc_id, ingest_batch) of every kept document.
+    in round 12, transactional sink r13): the documents corpus arrives
+    as THREE time-ordered micro-batches (doc_id % 3 slices); each batch
+    is deduped within itself (smaller-id domination) and against the
+    signature index of everything kept so far, survivors land tagged
+    with their batch and their signatures append to the index the NEXT
+    batch probes. Output = (doc_id, ingest_batch) of every kept
+    document. All three sinks are ManagedTable MERGEs keyed per
+    (batch, id) — idempotent under foreachBatch redelivery (replay
+    tests in tests/test_streaming_neardup.py).
 
     The oracle unrolls the three ingest levels over the exact 3-gram
     Jaccard pair relation (the LSH recall-1 tripwire contract of
@@ -4922,6 +4925,7 @@ def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     picks up from the tables."""
     import tempfile
 
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
     from cdk_datalake_ingest_spark.streaming.neardup import (
         stream_near_dup_ingest,
     )
@@ -4951,7 +4955,11 @@ def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{tmp}/ckpt",
         shuffle_partitions=8,
     )
-    return spark.read.parquet(f"{tmp}/kept").select("doc_id", "ingest_batch")
+    return (
+        ManagedTable(spark, f"{tmp}/kept")
+        .read()
+        .select("doc_id", "ingest_batch")
+    )
 
 
 # Three unrolled ingest levels over the exact pair relation: kept(i) =

@@ -111,6 +111,20 @@ def require_non_null_ids(df, id_col: str, caller: str) -> None:
         )
 
 
+#: session-scoped verified-keys memo for require_unique_non_null_ids:
+#: semanticHash -> [(DataFrame, id_col), ...] of plans already probed
+#: clean. Holds analyzed-plan references only (no data); bounded below.
+_VERIFIED_IDS: dict[int, list] = {}
+_VERIFIED_IDS_CAP = 256
+
+
+def verified_ids_cache_clear() -> None:
+    """Drop the verified-keys memo — call after mutating files UNDER a
+    previously-probed relation (same plan, different data: the memo
+    keys on plan semantics, the one thing it cannot see through)."""
+    _VERIFIED_IDS.clear()
+
+
 def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
     """Probe that a row-identity column is non-NULL AND unique, and
     raise — the guard for operators that REASSEMBLE results by
@@ -129,13 +143,37 @@ def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
     answered from parquet footers (uniqueness is a cross-row
     property), so it scans the key column once; callers composing
     mid-pipeline pass their operator's ``check_ids=False`` when the
-    key is already guaranteed."""
+    key is already guaranteed.
+
+    Paid ONCE per (plan, column) per session (r12 verdict task #2): a
+    probe that comes back clean is memoized on the plan's
+    ``semanticHash``, confirmed by ``sameSemantics`` (both public
+    DataFrame API), so a composed pipeline whose operators each guard
+    the SAME id relation — or a gate suite probing the same table
+    plan query after query — runs the scan once instead of per call.
+    The memo sees plan semantics, not file contents: re-probing the
+    same plan over files mutated in place would wrongly skip — call
+    :func:`verified_ids_cache_clear` after such mutations (the
+    engine's own tables are immutable-snapshot ManagedTables, where
+    this cannot happen)."""
+    key = None
+    try:
+        key = df.semanticHash()
+        for cached_df, cached_col in _VERIFIED_IDS.get(key, ()):
+            if cached_col == id_col and df.sameSemantics(cached_df):
+                return
+    except Exception:  # pragma: no cover - hash unavailable: just probe
+        key = None
     bad = (
         df.groupBy(F.col(id_col).alias("__id"))
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__id").isNull() | (F.col("__n") > 1))
         .take(1)
     )
+    if not bad and key is not None:
+        if len(_VERIFIED_IDS) >= _VERIFIED_IDS_CAP:
+            _VERIFIED_IDS.clear()
+        _VERIFIED_IDS.setdefault(key, []).append((df, id_col))
     if bad:
         row = bad[0]
         if row["__id"] is None:

@@ -32,11 +32,26 @@ the corpus), one broadcast-pinned candidate join against the band index
 (incremental_near_dup's contract, batch size capped), one within-batch
 banded self-join; index appends are survivor-sized.
 
-Idempotency note: the gate runs availableNow with a fresh checkpoint and
-plain parquet appends; a PRODUCTION deployment must make the foreachBatch
-body idempotent under replay (the standard contract) — write survivors
-and index appends through a transactional table keyed by batch_id
-(ManagedTable/Delta MERGE on (batch_id, id)), not blind appends.
+Replay idempotency (r13 — the transactional sink the r12 docstring
+prescribed): survivors and index signatures land through ManagedTable
+MERGE keyed on (ingest_batch, id) into tables PARTITIONED by
+ingest_batch, so foreachBatch's at-least-once redelivery converges —
+a replayed batch rewrites exactly its own partition and nothing
+duplicates. The recomputation itself is made deterministic under
+partial prior writes by excluding the replayed batch's OWN index rows
+from the probe (filter ingest_batch != batch_id — partition-pruned):
+without it, a batch whose signatures reached the index before a crash
+would see itself on replay, drop every survivor as its own duplicate,
+and the output rows lost to the crash would never land. Because the
+partition columns are merge keys, the scoped merge skips the
+matched-key table scan entirely (operators/table.py), keeping the
+per-batch write cost O(batch), not O(table).
+
+Long-run maintenance note: one partition per micro-batch means commit
+linking cost grows with the number of past batches (hard links, no
+data copy). A deployment running thousands of batches should
+periodically `compact_hot_partitions`/`vacuum` the three tables —
+the same hygiene any high-commit-rate Delta table needs (OPTIMIZE).
 """
 
 from __future__ import annotations
@@ -51,22 +66,39 @@ from cdk_datalake_ingest_spark.operators.dedup import (
     pairs_from_signatures,
     probe_signatures,
 )
+from cdk_datalake_ingest_spark.operators.table import ManagedTable
 
-#: schema of the band-index table (minhash_signature_index bands_df)
-_BANDS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("band_hash", T.LongType()),
-    ]
-)
-#: schema of the shingle-set table (sets_df)
-_SETS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("__set", T.ArrayType(T.StringType())),
-    ]
-)
+#: batch-tag column appended to all three sink tables; also their
+#: partition column and the leading merge key
+BATCH_COL = "ingest_batch"
+
+
+def _bands_schema(id_col: str) -> T.StructType:
+    """Schema of the band-index relation (minhash_signature_index
+    bands_df shape) as `ingest_batch` probes it — WITHOUT the batch
+    tag, which is sink-level bookkeeping."""
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("band_hash", T.LongType()),
+        ]
+    )
+
+
+def _sets_schema(id_col: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("__set", T.ArrayType(T.StringType())),
+        ]
+    )
+
+
+#: default-id-col schemas kept as module constants (test fixtures use
+#: them to build empty indexes)
+_BANDS_SCHEMA = _bands_schema("doc_id")
+_SETS_SCHEMA = _sets_schema("doc_id")
 
 
 def ingest_batch(
@@ -76,6 +108,8 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    persisted: list[DataFrame] | None = None,
+    eager_pin: bool = True,
     **sig_params,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest step as pure batch logic (unit-testable without a
@@ -89,10 +123,29 @@ def ingest_batch(
     within-batch pair join, the index probe, the appended signatures)
     derive from one shared, persisted ``_minhash_banded`` stage — the
     r12 restructure that took the gate from ~22 s to ~<10 s at sf0.1
-    (the naive composition re-shingled per consumer). The survivor ID
-    set is pinned (localCheckpoint — ids only, tiny) so every returned
-    relation agrees and none re-probes the index after the caller
-    mutates it (the appends-then-lazy-re-read divergence)."""
+    (the naive composition re-shingled per consumer).
+
+    Block lifecycle (r13, public API only): every DataFrame this call
+    persists is appended to ``persisted`` when the caller provides it —
+    ``df.unpersist()`` them once the returned relations are consumed,
+    which drops both the executor blocks and the CacheManager entries.
+    Without the list, release falls to the GC-driven ContextCleaner
+    (fine for one-shot callers; a long drain must not rely on it).
+
+    ``eager_pin`` (default True) materializes the survivor ID sets at
+    call time, so every returned relation agrees even if the caller
+    MUTATES the index paths (appends) before consuming them — the
+    contract the r12 localCheckpoint provided, now via persist+count so
+    release stays public-API. Callers whose index reads are pinned
+    snapshots (the streaming sink: ManagedTable versions are immutable)
+    pass False and save two scheduler round-trips per batch; their
+    recompute-under-eviction is deterministic by construction. Residual
+    caveat vs a true checkpoint: persist keeps lineage, so an evicted
+    block of an ``eager_pin`` id-set could in principle recompute
+    against a caller-mutated NON-snapshot index — the id-sets are tiny
+    (ids only) and MEMORY_AND_DISK, so eviction does not occur in
+    practice; snapshot-read callers are immune outright."""
+    track: list[DataFrame] = [] if persisted is None else persisted
     banded, sets = _minhash_banded(
         batch_df,
         id_col,
@@ -103,6 +156,7 @@ def ingest_batch(
         sig_params.get("seed", 42),
         sig_params.get("prime", MINHASH_PRIME),
         cache=sig_params.get("cache", True),
+        persisted=track,
     )
     # (a) within-batch domination: every id_b of a within-batch pair
     # has a smaller near-dup id_a (the pair tail emits id_a < id_b)
@@ -114,12 +168,15 @@ def ingest_batch(
     # consumers (the probe's bands + sets semi-joins and the survivor
     # anti-join), and without the pin each consumer re-executes the
     # whole pair self-join + exact-verify pipeline — profiled at ~3x
-    # the drain's compute before this checkpoint landed.
+    # the drain's compute before this landed.
     und_ids = (
         batch_df.select(id_col)
         .join(dominated, id_col, "left_anti")
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    track.append(und_ids)
+    if eager_pin:
+        und_ids.count()
     # (b) probe the persisted index with the undominated remainder only
     # (same survivor set, strictly less probe work) — signatures come
     # from the SHARED stage via an id semi-join, never a re-shingle
@@ -130,13 +187,138 @@ def ingest_batch(
         jaccard_threshold,
     )
     dup_new = index_hits.select(F.col("new_id").alias(id_col)).distinct()
-    surv_ids = und_ids.join(dup_new, id_col, "left_anti").localCheckpoint(
-        eager=True
-    )
+    surv_ids = und_ids.join(dup_new, id_col, "left_anti").persist()
+    track.append(surv_ids)
+    if eager_pin:
+        surv_ids.count()
     survivors = batch_df.join(surv_ids, id_col, "left_semi")
     surv_bands = banded.join(surv_ids, id_col, "left_semi")
     surv_sets = sets.join(surv_ids, id_col, "left_semi")
     return survivors, surv_bands, surv_sets
+
+
+#: stream-identity column on the index tables — BATCH_COL alone cannot
+#: discriminate "this batch's own rows" because a fresh checkpoint
+#: restarts batch numbering at 0 (pinned by the restart test: drain 2's
+#: batch 0 must still probe drain 1's batch-0 signatures)
+RUN_COL = "run_key"
+
+
+def _tagged_merge(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    batch_id: int,
+    keys: list[str],
+    run_key: str | None = None,
+) -> None:
+    """Idempotent landing of one batch's slice of a sink table: MERGE
+    keyed on (BATCH_COL, *keys) into a table partitioned by BATCH_COL.
+    First write creates the partitioned table; replays of the same
+    batch rewrite exactly its own partition (pby ⊆ keys → the scoped
+    merge skips the matched-key table scan; cost O(batch)). Index
+    tables additionally carry ``run_key`` (probe bookkeeping, not a
+    merge key — a re-ingested id converges onto one row)."""
+    tagged = df.withColumn(BATCH_COL, F.lit(batch_id).cast("int"))
+    if run_key is not None:
+        tagged = tagged.withColumn(RUN_COL, F.lit(run_key))
+    tbl = ManagedTable(spark, path)
+    if not tbl.exists:
+        tbl.write(tagged, partition_by=[BATCH_COL])
+        return
+    tbl.merge_upsert(tagged, keys=[BATCH_COL, *keys])
+
+
+def apply_ingest_step(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    bands_path: str,
+    sets_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.5,
+    run_key: str = "",
+    **sig_params,
+) -> None:
+    """The foreachBatch body as a module-level function (directly
+    replayable in tests — call it twice with the same (batch_df,
+    batch_id) and the tables must not change the second time).
+
+    Probe scope: the index is read at its CURRENT ManagedTable version
+    (an immutable snapshot — appends create new versions, so lazy
+    re-reads of this plan can never see them), restricted to rows NOT
+    written by this same (run_key, batch_id) step. The self-step
+    exclusion is what makes replay-after-partial-failure lossless: if
+    a crash landed this batch's signatures but not its survivors, an
+    unfiltered replay would find each survivor in the index as its own
+    near-duplicate and drop it — the crashed-away output rows would be
+    lost forever. Excluding the step loses nothing legitimate:
+    batch-mates are already handled by the deterministic within-batch
+    rule (a). ``run_key`` scopes the exclusion to THIS stream: batch
+    ids restart at 0 under a fresh checkpoint, so batch_id alone would
+    also exclude a PREVIOUS drain's batch-0 signatures — silently
+    un-deduping the new drain against the oldest slice of the corpus.
+    The streaming sink derives run_key from the checkpoint path
+    (stable across restarts of the same checkpoint — replayed batches
+    keep their identity; distinct for a fresh one). A whole-source
+    re-ingest under a fresh checkpoint therefore converges: every
+    already-kept document matches its own prior-run signatures
+    (different run_key → included in the probe) and is dropped.
+    """
+    persisted: list[DataFrame] = []
+    try:
+        bands_tbl = ManagedTable(spark, bands_path)
+        sets_tbl = ManagedTable(spark, sets_path)
+        not_self = ~(
+            (F.col(RUN_COL) == F.lit(run_key))
+            & (F.col(BATCH_COL) == F.lit(batch_id))
+        )
+        if bands_tbl.exists:
+            index_bands = (
+                bands_tbl.read()
+                .filter(not_self)
+                .select(id_col, "band", "band_hash")
+            )
+            index_sets = (
+                sets_tbl.read().filter(not_self).select(id_col, "__set")
+            )
+        else:
+            index_bands = spark.createDataFrame([], _bands_schema(id_col))
+            index_sets = spark.createDataFrame([], _sets_schema(id_col))
+        survivors, new_bands, new_sets = ingest_batch(
+            batch_df,
+            index_bands,
+            index_sets,
+            id_col,
+            text_col,
+            jaccard_threshold,
+            persisted=persisted,
+            # snapshot reads above: lazy recompute is deterministic, so
+            # skip the two pinning jobs (fixed-cost floor, r12 verdict)
+            eager_pin=False,
+            **sig_params,
+        )
+        # write order is free under the self-step probe filter (any
+        # partial prefix replays losslessly); survivors first keeps the
+        # user-visible zone freshest
+        _tagged_merge(spark, out_path, survivors, batch_id, [id_col])
+        _tagged_merge(
+            spark, bands_path, new_bands, batch_id, [id_col, "band"],
+            run_key=run_key,
+        )
+        _tagged_merge(
+            spark, sets_path, new_sets, batch_id, [id_col],
+            run_key=run_key,
+        )
+    finally:
+        # deterministic release per batch (public API — drops blocks
+        # AND the CacheManager entries): by now all three merges are
+        # committed and the next batch re-reads from the tables, so
+        # nothing references the blocks.
+        for df in persisted:
+            df.unpersist()
 
 
 def stream_near_dup_ingest(
@@ -154,10 +336,14 @@ def stream_near_dup_ingest(
 ) -> None:
     """Drain ``source_stream`` (availableNow) through the ingest loop:
     per micro-batch, dedup against the index tables AS THEY EXIST,
-    append survivors (tagged with ``ingest_batch`` = the micro-batch
-    id) to ``out_dir`` and their signatures to the index dirs. The
-    index starts empty; batch 0's probe sees zero rows and only the
-    within-batch rule applies — no special-casing.
+    merge survivors (tagged with ``ingest_batch`` = the micro-batch
+    id) into the ``out_dir`` ManagedTable and their signatures into
+    the index tables. The index starts empty; batch 0's probe sees
+    zero rows and only the within-batch rule applies — no
+    special-casing. All three sinks are ManagedTables keyed per batch,
+    so the drain is idempotent under foreachBatch redelivery (see
+    ``apply_ingest_step``); read results with ``ManagedTable.read()``,
+    not a raw parquet scan of the directory.
 
     ``shuffle_partitions`` sizes the foreachBatch joins (latched into
     the stream's cloned session at start, caller conf restored
@@ -168,60 +354,32 @@ def stream_near_dup_ingest(
     tables), so unlike a stateful query the number is NOT pinned by
     the checkpoint — restarts may resize freely."""
 
-    def _read_or_empty(path: str, schema: T.StructType) -> DataFrame:
-        # existence probe, not try/except: the first batch's missing
-        # index would otherwise log a loud py4j FileNotFound trace
-        # inside the stream thread (caught but noisy). Local paths
-        # only — an object-store deployment passes pre-created tables.
-        import os
+    import hashlib
+    import os
 
-        if not os.path.exists(path):
-            return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(path)
+    # stream identity for the probe's self-step exclusion: stable
+    # across restarts of the same checkpoint (replayed batches keep
+    # their identity), distinct for a fresh one (batch numbering
+    # restarts, see apply_ingest_step). abspath so a cwd change between
+    # restarts doesn't silently mint a new identity.
+    run_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:16]
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        # no batch_df checkpoint: the file-source batch relation is a
-        # column-pruned parquet scan whose three consumers share the
-        # PERSISTED signature stage inside ingest_batch — an eager
-        # checkpoint here costs a full extra job + memory per batch
-        # for re-reads that are already cheap.
-        # Block-lifecycle note: each batch persists the signature stage
-        # and localCheckpoints two id sets; relying on the GC-driven
-        # ContextCleaner lets blocks from EVERY batch pile up in the
-        # executor heap for the whole drain (measured: a 3-batch drain
-        # left enough residue to slow unrelated memory-hungry queries
-        # ~1.5x in the same JVM). Snapshot the persistent-RDD ids
-        # before the batch and drop exactly the NEW ones when done —
-        # by then all writes are on disk and the next batch re-reads
-        # from the tables, so nothing re-references the blocks.
-        # Caveat: assumes no CONCURRENT jobs persist RDDs mid-batch
-        # (true for this loop; a shared-session deployment should
-        # disable cleanup and size the heap instead).
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        before = {int(i) for i in jmap.keySet().toArray()}
-        bands = _read_or_empty(bands_dir, _BANDS_SCHEMA)
-        sets = _read_or_empty(sets_dir, _SETS_SCHEMA)
-        # ingest_batch pins the survivor ID set internally, so all
-        # three relations below agree and none re-probes the index
-        # after the appends mutate it.
-        survivors, new_bands, new_sets = ingest_batch(
+        apply_ingest_step(
+            spark,
             batch_df,
-            bands,
-            sets,
+            batch_id,
+            out_dir,
+            bands_dir,
+            sets_dir,
             id_col,
             text_col,
             jaccard_threshold,
+            run_key=run_key,
             **sig_params,
         )
-        survivors.withColumn(
-            "ingest_batch", F.lit(batch_id).cast("int")
-        ).write.mode("append").parquet(out_dir)
-        new_bands.write.mode("append").parquet(bands_dir)
-        new_sets.write.mode("append").parquet(sets_dir)
-        jmap2 = spark.sparkContext._jsc.getPersistentRDDs()
-        for rid in list(jmap2.keySet().toArray()):
-            if int(rid) not in before:
-                jmap2.get(rid).unpersist(False)
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

@@ -614,3 +614,55 @@ def test_id_keyed_reassembly_refuses_duplicate_ids(spark):
     )
     with pytest.raises(ValueError, match="not unique"):
         semantic_dedup(emb, k=1, iters=0, dim=2)
+
+
+def test_unique_id_probe_memoizes_clean_plans_per_session(spark):
+    """r13: a clean (plan, column) probe is paid once per session —
+    the memo keys on semanticHash + sameSemantics (public API), so a
+    composed pipeline guarding the same relation N times scans once.
+    A dirty plan is never memoized, and clearing the cache restores
+    the probe."""
+    from cdk_datalake_ingest_spark import session as S
+
+    S.verified_ids_cache_clear()
+    clean = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    S.require_unique_non_null_ids(clean, "doc_id", "t")
+    assert len(S._VERIFIED_IDS) == 1
+    # second call must return from the memo WITHOUT running the probe:
+    # poison groupBy so an actual probe would blow up
+    import pytest
+
+    class _Boom:
+        def __getattr__(self, name):  # pragma: no cover
+            raise AssertionError("probe re-ran on a memoized plan")
+
+    orig = type(clean).groupBy
+    type(clean).groupBy = lambda self, *a, **k: _Boom()
+    try:
+        # an equivalent plan (same semantics) also hits the memo
+        clean2 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, text string"
+        )
+        S.require_unique_non_null_ids(clean, "doc_id", "t")
+        if clean.sameSemantics(clean2):  # createDataFrame may differ
+            S.require_unique_non_null_ids(clean2, "doc_id", "t")
+    finally:
+        type(clean).groupBy = orig
+    # a DIFFERENT column on the same plan still probes (and raises on
+    # the non-unique text? no — text is unique here; use a dup frame)
+    dup = spark.createDataFrame(
+        [(7, "x"), (7, "y")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        S.require_unique_non_null_ids(dup, "doc_id", "t")
+    # failures are never memoized: same dirty plan raises again
+    with pytest.raises(ValueError, match="not unique"):
+        S.require_unique_non_null_ids(dup, "doc_id", "t")
+    # cache_clear restores the probe for the clean plan
+    S.verified_ids_cache_clear()
+    assert len(S._VERIFIED_IDS) == 0
+    S.require_unique_non_null_ids(clean, "doc_id", "t")
+    assert len(S._VERIFIED_IDS) == 1
+    S.verified_ids_cache_clear()

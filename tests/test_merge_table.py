@@ -665,3 +665,38 @@ def test_scoped_merge_null_key_moves_partition(spark, tmp_path):
     )
     got = {(r.id, int(r.p), r.v) for r in t.read().collect()}
     assert got == {(None, 2, "new"), (7, 1, "keep"), (8, 2, "keep2")}
+
+
+def test_scoped_merge_partition_keys_skip_table_scan_and_stay_correct(
+    spark, tmp_path
+):
+    """pby ⊆ keys fast path (r13, the streaming sink's shape): when
+    every partition column is a merge key, matched rows cannot move
+    partitions, so touched = the source's own partitions — correctness
+    must be identical to the general path (update-in-place, insert
+    into a new partition, untouched partitions hard-linked)."""
+    t = ManagedTable(spark, tmp_path / "bykey")
+    t.write(
+        spark.createDataFrame(
+            [Row(b=0, k=1, v="a"), Row(b=0, k=2, v="b"),
+             Row(b=1, k=3, v="c")]
+        ),
+        partition_by=["b"],
+    )
+    old = _inode_map(t.path / "v00001")
+    # update (0,2) in place + insert a brand-new partition (2,9)
+    t.merge_upsert(
+        spark.createDataFrame([Row(b=0, k=2, v="B2"), Row(b=2, k=9, v="i")]),
+        keys=["b", "k"],
+    )
+    got = {(r.b, r.k): r.v for r in t.read().collect()}
+    assert got == {(0, 1): "a", (0, 2): "B2", (1, 3): "c", (2, 9): "i"}
+    new = _inode_map(t.path / "v00002")
+    # b=1 untouched -> hard-linked forward, not rewritten
+    for rel, ino in old.items():
+        if rel.startswith("b=1/"):
+            assert new[rel] == ino, f"{rel} was rewritten, expected link"
+    # b=0 rewritten
+    assert not any(
+        r for r, i in new.items() if r.startswith("b=0/") and old.get(r) == i
+    )

@@ -89,11 +89,13 @@ def test_no_shingle_docs_always_survive(spark):
     assert surv_bands.count() == 0
 
 
-def test_stream_matches_sequential_batches_and_index_grows(spark):
-    from cdk_datalake_ingest_spark.streaming.neardup import (
-        _BANDS_SCHEMA,
-    )
+def _read_table(spark, path):
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
 
+    return ManagedTable(spark, path).read()
+
+
+def test_stream_matches_sequential_batches_and_index_grows(spark):
     rows = [
         (0, _NEAR),      # batch 0 (id%3==0): kept
         (3, _NEAR2),     # batch 0: dominated by 0
@@ -129,14 +131,13 @@ def test_stream_matches_sequential_batches_and_index_grows(spark):
     )
     got = {
         r["doc_id"]: r["ingest_batch"]
-        for r in spark.read.parquet(f"{tmp}/kept").collect()
+        for r in _read_table(spark, f"{tmp}/kept").collect()
     }
     assert got == {0: 0, 6: 0, 4: 1, 8: 2}
     # the index holds exactly the survivors' signatures
     idx_ids = {
         r["doc_id"]
-        for r in spark.read.schema(_BANDS_SCHEMA)
-        .parquet(f"{tmp}/bands")
+        for r in _read_table(spark, f"{tmp}/bands")
         .select("doc_id")
         .distinct()
         .collect()
@@ -174,6 +175,136 @@ def test_restart_resumes_from_the_index_tables(spark):
         f"{tmp}/ckpt2", cache=False,
     )
     kept = sorted(
-        r["doc_id"] for r in spark.read.parquet(f"{tmp}/kept").collect()
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
     )
     assert kept == [10, 11, 21]  # 20 deduped against drain-1's index
+
+
+def _table_fingerprint(spark, path):
+    """(version-independent) content fingerprint of a sink table."""
+    df = _read_table(spark, path)
+    rows = sorted(
+        tuple(str(r[c]) for c in sorted(df.columns)) for r in df.collect()
+    )
+    return rows
+
+
+def test_replay_of_a_batch_is_idempotent(spark):
+    """foreachBatch at-least-once contract: re-delivering a completed
+    batch (same batch_id, same rows) must leave all three sink tables
+    content-identical — zero duplicate survivors, zero duplicate index
+    signatures (the r12 verdict's missing #2)."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        apply_ingest_step,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_replay_")
+    b0 = _docs(spark, [(1, _NEAR), (2, _NEAR2), (9, _OTHER)])
+    b1 = _docs(spark, [(11, _NEAR3), (12, "fresh content five six seven")])
+    args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
+    apply_ingest_step(spark, b0, 0, *args, cache=False)
+    apply_ingest_step(spark, b1, 1, *args, cache=False)
+    before = [_table_fingerprint(spark, p) for p in args]
+    # replay the LAST batch (the standard redelivery case)...
+    apply_ingest_step(spark, b1, 1, *args, cache=False)
+    # ...and an EARLIER one (paranoid: out-of-order redelivery)
+    apply_ingest_step(spark, b0, 0, *args, cache=False)
+    after = [_table_fingerprint(spark, p) for p in args]
+    assert after == before
+    # and the survivor set is the expected one: 1 dominates 2; 11 is a
+    # near-dup of kept 1; 12 fresh
+    kept = {
+        r["doc_id"]: r["ingest_batch"]
+        for r in _read_table(spark, f"{tmp}/kept").collect()
+    }
+    assert kept == {1: 0, 9: 0, 12: 1}
+
+
+def test_replay_after_partial_failure_recovers_survivors(spark):
+    """Worst-case crash: the batch's SIGNATURES reached the index but
+    its survivors never landed. The replay must still keep the batch's
+    documents — the probe excludes the batch's own index rows, so they
+    are not dropped as duplicates of themselves (data loss)."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        apply_ingest_step,
+        ingest_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_partial_")
+    args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
+    b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
+    apply_ingest_step(spark, b0, 0, *args, cache=False)
+    # simulate the crash for batch 1: signatures written, survivors NOT
+    b1 = _docs(spark, [(21, "unique fresh content eight nine ten")])
+    bands0 = _read_table(spark, f"{tmp}/bands").select(
+        "doc_id", "band", "band_hash"
+    )
+    sets0 = _read_table(spark, f"{tmp}/sets").select("doc_id", "__set")
+    _, sb, ss = ingest_batch(b1, bands0, sets0, cache=False)
+    # same tags apply_ingest_step(run_key="") would write: the crash
+    # happened INSIDE that step, so its partial rows carry its identity
+    ManagedTable(spark, f"{tmp}/bands").merge_upsert(
+        sb.withColumn("ingest_batch", F.lit(1).cast("int"))
+        .withColumn("run_key", F.lit("")),
+        keys=["ingest_batch", "doc_id", "band"],
+    )
+    ManagedTable(spark, f"{tmp}/sets").merge_upsert(
+        ss.withColumn("ingest_batch", F.lit(1).cast("int"))
+        .withColumn("run_key", F.lit("")),
+        keys=["ingest_batch", "doc_id"],
+    )
+    # replay batch 1 through the real step: doc 21 must survive even
+    # though its own signatures already sit in the index
+    apply_ingest_step(spark, b1, 1, *args, cache=False)
+    kept = sorted(
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
+    )
+    assert kept == [1, 9, 21]
+    # and the index did not duplicate batch 1's signatures
+    n_sig = (
+        _read_table(spark, f"{tmp}/bands")
+        .filter(F.col("doc_id") == 21)
+        .count()
+    )
+    assert n_sig == 8  # one row per band, default bands=8
+
+
+def test_fresh_checkpoint_reingest_converges(spark):
+    """Operator error-recovery case: re-draining the SAME drop with a
+    fresh checkpoint (batch ids restart at 0) against the populated
+    tables must converge — every already-kept doc matches its own
+    prior-run signatures (different run_key) and is dropped; nothing
+    duplicates."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ndup_reing_")
+    from cdk_datalake_ingest_spark.queries import _stage_time_ordered_drop
+
+    docs = _docs(spark, [(10, _NEAR), (11, _OTHER)])
+    drop = _stage_time_ordered_drop([docs], "ndup_reing_drop_", 2)
+
+    def drain(ckpt):
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(drop)
+        )
+        stream_near_dup_ingest(
+            spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+            ckpt, cache=False,
+        )
+
+    drain(f"{tmp}/ckpt1")
+    before = _table_fingerprint(spark, f"{tmp}/kept")
+    drain(f"{tmp}/ckpt2")  # fresh checkpoint, same files
+    after = _table_fingerprint(spark, f"{tmp}/kept")
+    assert after == before
+    kept = sorted(
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
+    )
+    assert kept == [10, 11]
