@@ -27,6 +27,16 @@ comparison. Sweep 0's cold time stays in first_run, every raw sample in
 "runs" (sweep order), and os.getloadavg() is recorded at each sweep
 boundary so a contaminated run is self-evident from the committed
 artifact. Set SPARK_GRAFT_BENCH_REPEATS=1 for single-shot.
+
+SELF-HEALING (r13): a warm sweep whose total exceeds the fastest warm
+sweep by >15% is flagged as contaminated (`flag_contaminated`); the
+harness then runs up to 2 replacement sweeps and computes every
+reported statistic from the CLEAN sweeps only, disclosing
+contaminated_sweeps / replacement_sweeps / could_not_heal in the
+artifact — a polluted headline is never silently shipped again.
+busy_at_start records the load average before the run generates any
+load of its own: the one reading that can expose uniform external
+contention the sweep-relative flag cannot see.
 """
 
 from __future__ import annotations
@@ -80,7 +90,8 @@ def main() -> None:
     all_runs: dict[str, list[float]] = {name: [] for name in order}
     load_avgs: list[float] = []
     sweep_totals: list[float] = []
-    for _sweep in range(repeats):
+
+    def run_sweep() -> None:
         load_avgs.append(round(os.getloadavg()[0], 2))
         t_sweep = time.perf_counter()
         for name in order:
@@ -90,25 +101,53 @@ def main() -> None:
             ).save()
             all_runs[name].append(round(time.perf_counter() - t0, 3))
         sweep_totals.append(round(time.perf_counter() - t_sweep, 3))
+
+    def contaminated() -> list[int]:
+        return flag_contaminated(sweep_totals)
+
+    busy_at_start = round(os.getloadavg()[0], 2)
+    for _sweep in range(repeats):
+        run_sweep()
+    # SELF-HEALING (r12 verdict task #3): when a warm sweep is flagged
+    # as contaminated, run up to 2 replacement sweeps instead of
+    # shipping a polluted headline; the statistics below then exclude
+    # the flagged sweeps (disclosed in the artifact). Sweep count and
+    # layout stay comparable: the median is still over 1 cold + clean
+    # warm samples.
+    extra_sweeps = 0
+    while repeats > 1 and contaminated() and extra_sweeps < 2:
+        run_sweep()
+        extra_sweeps += 1
+    flagged = contaminated()
+    could_not_heal = bool(flagged) and extra_sweeps == 2 and (
+        len(sweep_totals) - 1 - len(flagged) < repeats - 1
+    )
     load_avgs.append(round(os.getloadavg()[0], 2))  # end-of-run reading
+
+    # clean sample indices: sweep 0 (cold, medians need it for
+    # methodology continuity) + unflagged warm sweeps
+    clean_idx = [0] + [
+        i for i in range(1, len(sweep_totals)) if i not in flagged
+    ]
 
     timings: dict[str, float] = {}
     trimmed_min: dict[str, float] = {}
     first_run: dict[str, float] = {}
     for name, runs in all_runs.items():
         first_run[name] = runs[0]
-        # median of all sweeps — robust to one outlier in EITHER
+        clean = [runs[i] for i in clean_idx]
+        # median of clean sweeps — robust to one outlier in EITHER
         # direction, unlike min (under-reports genuine cost) or mean
         # (one 1.7x noise spike drags it); sweep 0 is usually the max
         # (JIT/codegen/footer warmup), so the median lands warm.
-        srt = sorted(runs)
+        srt = sorted(clean)
         mid = len(srt) // 2
         med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
         timings[name] = round(med, 3)
-        # min over WARM sweeps: the contention-insensitive statistic
-        # for same-code cross-round comparison (single-shot runs have
-        # no warm sweep — fall back to the only sample).
-        warm = runs[1:] or runs
+        # min over clean WARM sweeps: the contention-insensitive
+        # statistic for same-code cross-round comparison (single-shot
+        # runs have no warm sweep — fall back to the only sample).
+        warm = [runs[i] for i in clean_idx[1:]] or runs
         trimmed_min[name] = round(min(warm), 3)
 
     total = round(sum(timings.values()), 3)
@@ -133,21 +172,26 @@ def main() -> None:
         ),
         "value_trimmed_min": round(sum(trimmed_min.values()), 3),
         # one load-average reading per sweep boundary (n_sweeps + 1):
-        # a contaminated run shows elevated/rising values here.
+        # a contaminated run shows elevated/rising values here. These
+        # mid-run readings include the bench's OWN local[32] load and
+        # cannot flag uniform external contention — busy_at_start (the
+        # reading taken before this process did any work) is the one
+        # reading that can.
         "load_avg": load_avgs,
-        # self-describing contamination flag: warm sweeps (sweep 0 is
-        # cold by design) whose total exceeds the fastest warm sweep by
-        # >15% — the r12 finding is that the box's periodic monitoring
-        # tick (every ~15 min) lands inside most full runs and inflates
-        # a CONTIGUOUS window of one sweep; a reader comparing totals
-        # should fall back to value_trimmed_min when this is non-empty.
-        "contaminated_sweeps": [
-            i
-            for i in range(1, len(sweep_totals))
-            if sweep_totals[i] > 1.15 * min(sweep_totals[1:], default=0)
-        ]
-        if len(sweep_totals) > 2
-        else [],
+        # sweeps excluded from the reported statistics (see
+        # contaminated() in main): non-empty means replacement sweeps
+        # ran and the headline is computed from clean sweeps only.
+        "contaminated_sweeps": flagged,
+        "replacement_sweeps": extra_sweeps,
+        # healing gave up: even after +2 replacement sweeps, fewer
+        # than repeats-1 clean warm sweeps exist — treat value with
+        # suspicion and prefer value_trimmed_min.
+        "could_not_heal": could_not_heal,
+        # load average BEFORE the run generated any of its own load —
+        # an elevated value here (> ~2 on this 32-cpu box) means the
+        # box was already busy and EVERY sweep is suspect in a way the
+        # sweep-relative flag cannot see.
+        "busy_at_start": busy_at_start,
     }
 
     # Full per-query detail always lands in a file the judge can read.
@@ -181,6 +225,30 @@ def main() -> None:
     # \r-frames to stdout and must not land after the summary line.
     spark.stop()
     print(line, flush=True)
+
+
+def flag_contaminated(sweep_totals: list[float]) -> list[int]:
+    """Warm sweeps (sweep 0 is cold by design) whose total exceeds the
+    fastest warm sweep by >15% — the r12 finding is that the box's
+    periodic monitoring tick (every ~15 min) lands inside most full
+    runs and inflates a CONTIGUOUS window of one sweep.
+
+    LIMITATION (self-relative by construction): contention that
+    inflates EVERY warm sweep uniformly has no fast sweep to stand out
+    against and stays invisible here; ``busy_at_start`` in the payload
+    (the pre-run load reading, taken before this process has generated
+    any load of its own) is the committed signal for that case —
+    mid-run load readings can't serve, because the bench's own
+    local[32] execution dominates them. Needs >= 2 warm sweeps to have
+    anything to compare."""
+    if len(sweep_totals) < 3:
+        return []
+    floor = min(sweep_totals[1:])
+    return [
+        i
+        for i in range(1, len(sweep_totals))
+        if sweep_totals[i] > 1.15 * floor
+    ]
 
 
 def fit_summary_line(payload: dict, budget: int = 1800) -> str:

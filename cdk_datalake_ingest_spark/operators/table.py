@@ -668,9 +668,32 @@ class ManagedTable:
         order_by: list[str] | None = None,
         delete_predicate: Column | None = None,
         broadcast_source: bool = False,
+        source_unique: bool = False,
+        touched_partitions: list[tuple] | None = None,
     ) -> None:
         """Delta-MERGE-equivalent upsert (S10/A6) with optional
-        delete-window (A7)."""
+        delete-window (A7).
+
+        ``source_unique``: caller asserts the source is already
+        one-row-per-key, letting the scoped insert-only fast path skip
+        the defensive dropDuplicates shuffle (the streaming sinks'
+        per-batch merges — their relations are key-unique by
+        construction). Only an optimization hint: paths that join
+        against the target ignore it.
+
+        ``touched_partitions``: caller asserts every source row's
+        partition-column values are among these tuples (value order =
+        the table's partition_by), sparing the scoped path its
+        touched-partition aggregation — which otherwise EVALUATES the
+        whole source plan once before the write evaluates it again.
+        Worth it exactly when the source is an expensive computed
+        relation with a statically-known partition tag (the streaming
+        sinks: everything is lit(batch_id)-tagged). Requires every
+        partition column to also be a merge key (otherwise matched
+        target rows outside the declared set could exist and the hint
+        is UNSOUND — rejected with ValueError). Rows outside the
+        declared set would be silently mis-merged — that's the
+        contract the caller signs."""
         if not self.exists:
             self.write(
                 source.dropDuplicates(keys)
@@ -704,9 +727,19 @@ class ManagedTable:
             )
             return
         m, target = self._pinned_snapshot()
+        if touched_partitions is not None and not (
+            m.get("partition_by")
+            and set(m["partition_by"]) <= set(keys)
+        ):
+            raise ValueError(
+                "touched_partitions requires a partitioned table whose "
+                "partition columns are all merge keys — otherwise a "
+                "matched row outside the declared partitions could "
+                "exist and the hint would silently corrupt the merge"
+            )
         if m.get("partition_by") and self._merge_partition_scoped(
             m, target, source, keys, order_by, delete_predicate,
-            broadcast_source,
+            broadcast_source, source_unique, touched_partitions,
         ):
             return
         merged = merge_dataframes(
@@ -738,6 +771,8 @@ class ManagedTable:
         order_by: list[str] | None,
         delete_predicate: Column | None,
         broadcast_source: bool,
+        source_unique: bool = False,
+        touched_partitions: list[tuple] | None = None,
     ) -> bool:
         """O(touched-partitions) merge for hive-partitioned tables —
         the versioned-parquet analogue of Delta's file-level MERGE
@@ -780,6 +815,36 @@ class ManagedTable:
         ):
             return False
 
+        if touched_partitions is not None:
+            # trusted hint (validated pby ⊆ keys in merge_upsert): the
+            # source plan is not evaluated at all before the write.
+            if any(len(t) != len(pby) for t in touched_partitions):
+                raise ValueError(
+                    f"touched_partitions tuples must match partition_by "
+                    f"{pby} in width"
+                )
+            touched = [tuple(t) for t in touched_partitions]
+            if delete_predicate is not None:
+                touched += [
+                    tuple(r[c] for c in pby)
+                    for r in target.filter(delete_predicate)
+                    .select(*pby)
+                    .dropDuplicates(pby)
+                    .limit(self.MAX_SCOPED_PARTITIONS + 1)
+                    .collect()
+                ]
+            if len(set(touched)) > self.MAX_SCOPED_PARTITIONS:
+                return False
+            if any(
+                v is None or v == self.HIVE_DEFAULT
+                for t in touched
+                for v in t
+            ):
+                return False
+            return self._merge_scoped_finish(
+                m, target, source, keys, order_by, delete_predicate,
+                broadcast_source, source_unique, pby, by_name, touched,
+            )
         touched_df = source.select(*pby)
         if not set(pby) <= set(keys):
             # partitions holding a matched key: an update may move a
@@ -828,11 +893,62 @@ class ManagedTable:
             # to "always link forward", which would duplicate the
             # rewritten rows. Full rewrite instead of corrupting.
             return False
+        return self._merge_scoped_finish(
+            m, target, source, keys, order_by, delete_predicate,
+            broadcast_source, source_unique, pby, by_name, touched,
+        )
+
+    def _merge_scoped_finish(
+        self,
+        m: dict,
+        target: DataFrame,
+        source: DataFrame,
+        keys: list[str],
+        order_by: list[str] | None,
+        delete_predicate: Column | None,
+        broadcast_source: bool,
+        source_unique: bool,
+        pby: list[str],
+        by_name: dict[str, str],
+        touched: list[tuple],
+    ) -> bool:
+        """Shared tail of the scoped merge once ``touched`` is known
+        (computed from the data or declared by the caller): pick the
+        insert-only or target-join plan and write the new snapshot."""
         touched_set = {tuple(str(v) for v in t) for t in touched}
 
         cond = self._partition_cond(pby, touched)
         if cond is None:  # empty source and no delete hits: no-op merge
             return True
+        # insert-only fast path (r13, the streaming sinks' common
+        # case): if NONE of the touched partitions exist in the pinned
+        # snapshot, no target row can be matched, deleted, or carried —
+        # the merge result for those partitions IS the (deduped)
+        # source, so skip the target-join plan outright. The leaf probe
+        # is a driver-side dir walk of the snapshot (no Spark job);
+        # leaves whose canonical form is unknown (None) can never equal
+        # a collected touched tuple, so they don't affect disjointness.
+        if delete_predicate is None:
+            existing = {
+                c
+                for _, vals in self._leaf_partitions(
+                    self.path / m["data_dir"], pby
+                )
+                if (c := self._canon_vals(pby, by_name, vals)) is not None
+            }
+            if touched_set.isdisjoint(existing):
+                if order_by:
+                    merged = merge_dataframes(
+                        source.limit(0), source, keys, order_by=order_by
+                    )
+                elif source_unique:
+                    merged = source
+                else:
+                    merged = source.dropDuplicates(keys)
+                self._write_scoped(
+                    m, pby, touched_set, merged, by_name, op="merge"
+                )
+                return True
         merged = merge_dataframes(
             target.filter(cond),
             source,

@@ -158,6 +158,16 @@ def ingest_batch(
         cache=sig_params.get("cache", True),
         persisted=track,
     )
+    if sig_params.get("cache", True):
+        # the banded relation is consumed ~4x (pair join left+right,
+        # probe, survivor-signature write); each use would re-run the
+        # 32-permutation signature expression from the cached shingle
+        # blocks. banded is (id, band, hash) — docs x bands rows of
+        # three ints, far smaller than the shingle stage — so pinning
+        # it trades trivial memory for computing the signatures once
+        # per batch.
+        banded = banded.persist()
+        track.append(banded)
     # (a) within-batch domination: every id_b of a within-batch pair
     # has a smaller near-dup id_a (the pair tail emits id_a < id_b)
     batch_pairs = pairs_from_signatures(
@@ -226,7 +236,19 @@ def _tagged_merge(
     if not tbl.exists:
         tbl.write(tagged, partition_by=[BATCH_COL])
         return
-    tbl.merge_upsert(tagged, keys=[BATCH_COL, *keys])
+    # source_unique: survivors are one row per id, bands one per
+    # (id, band), sets one per id — key-unique by construction, so the
+    # insert-only fast path (fresh partition, the common case) skips
+    # the defensive dedup shuffle. touched_partitions: every row is
+    # lit(batch_id)-tagged, so the merge needn't evaluate the (
+    # expensive, computed) source once just to discover its one
+    # partition — the write's evaluation is the only one.
+    tbl.merge_upsert(
+        tagged,
+        keys=[BATCH_COL, *keys],
+        source_unique=True,
+        touched_partitions=[(batch_id,)],
+    )
 
 
 def apply_ingest_step(

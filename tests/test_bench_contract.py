@@ -66,3 +66,21 @@ def test_caller_payload_not_mutated():
     before = dict(p["queries"])
     fit_summary_line(p)
     assert p["queries"] == before and "queries_omitted" not in p
+
+
+def test_flag_contaminated_rule():
+    from bench import flag_contaminated
+
+    # too few warm sweeps to compare
+    assert flag_contaminated([]) == []
+    assert flag_contaminated([100.0]) == []
+    assert flag_contaminated([100.0, 90.0]) == []
+    # the r12 driver-run shape: monotonically falling warm totals =
+    # contention in the early warm sweep
+    assert flag_contaminated([296.1, 241.3, 200.4]) == [1]
+    # clean run: warm spread under 15%
+    assert flag_contaminated([150.0, 101.0, 100.0]) == []
+    # replacement sweep appended after a flagged one: the flag
+    # recomputes over ALL warm sweeps, so the slow one stays flagged
+    # and the replacement is clean
+    assert flag_contaminated([150.0, 130.0, 100.0, 101.0]) == [1]
