@@ -242,6 +242,28 @@ def check_flow_status(
     return FLOW_FAILED
 
 
+def require_flow_ready(
+    describe: Callable[[str], str], flow_name: str
+) -> str:
+    """Planner-envelope variant of the wait loop (r13): one poll; a
+    CREATING answer raises FlowNotReadyError so RunPlanner requeues the
+    table on its wait heap — the slot-releasing composition of
+    check_flow_status with the R4 Map+Wait semantics
+    (salesforce_ingestion_stack.py:475-481). SUCCESS and FAILED both
+    RETURN (the reference's Choice state routes both to the job;
+    the caller decides what a FAILED landing means for its table).
+    Use poll_flow instead when blocking in place is acceptable
+    (single-table scripts, tests)."""
+    from cdk_datalake_ingest_spark.plans.planner import FlowNotReadyError
+
+    status = check_flow_status(describe, flow_name)
+    if status == FLOW_CREATING:
+        raise FlowNotReadyError(
+            f"AppFlow flow {flow_name!r} is still CREATING"
+        )
+    return status
+
+
 def poll_flow(
     describe: Callable[[str], str],
     flow_name: str,

@@ -16,7 +16,11 @@ import json
 import threading
 import time
 from collections import defaultdict
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import (
+    FIRST_COMPLETED,
+    ThreadPoolExecutor,
+    wait as futures_wait,
+)
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Callable
@@ -101,6 +105,21 @@ def retry(
             if attempt == max_attempts or (no_retry and no_retry(e)):
                 raise
             sleeper(base_sleep * (backoff_rate ** (attempt - 1)))
+
+
+class FlowNotReadyError(Exception):
+    """Raised by a table runner to signal "the upstream feed for this
+    table is still materializing — requeue me, don't fail me": the
+    engine twin of the reference's Wait-state loop around the AppFlow
+    poll (salesforce_ingestion_stack.py:475-481 — the Choice state
+    routes result == 'CREATING' back through a Wait, while SUCCESS and
+    FAILED both proceed to the job). The planner treats it as neither
+    success nor failure: the table goes back on the wait heap and its
+    pool slot is RELEASED to other tables, consuming wait-budget
+    (``max_flow_waits``) instead of retry attempts or a concurrency
+    slot. Exhausting the budget lands as FAILED, the same effect the
+    reference's state-machine execution timeout has on a flow stuck
+    InProgress."""
 
 
 def is_no_data_error(e: Exception | str) -> bool:
@@ -189,6 +208,12 @@ class RunPlanner:
     backoff_rate: float = 5.0
     base_sleep: float = 0.0
     notifier: Notifier | None = None
+    #: Wait-state envelope for FlowNotReadyError (the AppFlow poll
+    #: loop, R4 Map+Wait): seconds between requeues and how many
+    #: requeues a table gets before its stuck feed counts as FAILED.
+    #: 16 mirrors landing.poll_flow's default budget.
+    flow_wait_seconds: float = 0.0
+    max_flow_waits: int = 16
     results: list[TableRunResult] = field(default_factory=list)
 
     def plan(
@@ -227,13 +252,24 @@ class RunPlanner:
                     max_attempts=self.max_attempts,
                     backoff_rate=self.backoff_rate,
                     base_sleep=self.base_sleep,
-                    no_retry=is_no_data_error,
+                    # no-data is terminal-by-design; a not-ready flow
+                    # must reach the WAIT envelope below, not burn
+                    # exponential-backoff attempts in the slot
+                    no_retry=lambda e: is_no_data_error(e)
+                    or isinstance(e, FlowNotReadyError),
                 )
                 if self.run_log:
                     self.run_log.record(
                         t.process_id, "ingest", t.target_table_name, "SUCCEEDED"
                     )
                 return TableRunResult(t.target_table_name, "SUCCEEDED")
+            except FlowNotReadyError as e:
+                # NOT a failure: the scheduler loop below requeues the
+                # table after flow_wait_seconds, releasing this slot
+                # (the reference's Wait-state loop, iterator slot
+                # notwithstanding — max_concurrency=100 there makes
+                # slots a non-resource; here they are the resource).
+                return TableRunResult(t.target_table_name, "WAITING", str(e))
             except Exception as e:  # noqa: BLE001 - isolation by design
                 # warning-vs-failed classification, exactly the
                 # reference's: NoDataToMigrateException sets
@@ -255,8 +291,80 @@ class RunPlanner:
                     self.notifier.notify_failure(t.target_table_name, str(e))
                 return TableRunResult(t.target_table_name, status, str(e))
 
+        # Scheduler loop instead of a bare pool.map (r13, the AppFlow
+        # poll wiring): WAITING results go on a due-time heap and are
+        # re-submitted after flow_wait_seconds; everything else lands
+        # in its slot-order position. A waiting table holds NO pool
+        # slot, so five not-ready Salesforce flows cannot starve the
+        # JDBC tables sharing the run (the failure mode of polling
+        # inside the runner).
+        import heapq
+
+        slots: list[TableRunResult | None] = [None] * len(tables)
+        waits_used = [0] * len(tables)
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
-            results = list(pool.map(one, tables))
+            futures = {
+                pool.submit(one, t): i for i, t in enumerate(tables)
+            }
+            wait_heap: list[tuple[float, int]] = []
+            while futures or wait_heap:
+                if not futures:
+                    # nothing in flight: sleep out the nearest requeue
+                    delay = wait_heap[0][0] - time.monotonic()
+                    if delay > 0:
+                        time.sleep(delay)
+                else:
+                    timeout = None
+                    if wait_heap:
+                        timeout = max(
+                            0.0, wait_heap[0][0] - time.monotonic()
+                        )
+                    done, _ = futures_wait(
+                        futures, timeout=timeout,
+                        return_when=FIRST_COMPLETED,
+                    )
+                    for fut in done:
+                        i = futures.pop(fut)
+                        r = fut.result()
+                        if r.status != "WAITING":
+                            slots[i] = r
+                            continue
+                        waits_used[i] += 1
+                        if waits_used[i] > self.max_flow_waits:
+                            # stuck feed: the reference's execution
+                            # timeout — FAILED, logged, notified
+                            msg = (
+                                f"upstream flow still not ready after "
+                                f"{self.max_flow_waits} waits: {r.error}"
+                            )
+                            if self.run_log:
+                                self.run_log.record(
+                                    tables[i].process_id,
+                                    "ingest",
+                                    tables[i].target_table_name,
+                                    "FAILED",
+                                    message=msg,
+                                )
+                            if self.notifier:
+                                self.notifier.notify_failure(
+                                    tables[i].target_table_name, msg
+                                )
+                            slots[i] = TableRunResult(
+                                tables[i].target_table_name, "FAILED", msg
+                            )
+                            continue
+                        heapq.heappush(
+                            wait_heap,
+                            (
+                                time.monotonic() + self.flow_wait_seconds,
+                                i,
+                            ),
+                        )
+                now = time.monotonic()
+                while wait_heap and wait_heap[0][0] <= now:
+                    _, i = heapq.heappop(wait_heap)
+                    futures[pool.submit(one, tables[i])] = i
+        results = [r for r in slots if r is not None]
         self.results = results
         if self.notifier:
             # endpoint-level success gate: notify only endpoints with

@@ -7234,7 +7234,8 @@ WHERE r_name = 'AMERICA'
 # have disjoint output schemas (date/timestamp_ntz/period decode at
 # lineitem grain vs string-flag decode at orders grain), so a
 # variant-tagged union would stringify away exactly the type
-# fidelity the gates pin.  Registry 113 -> 114, inside the <=120
+# fidelity the gates pin.  Registry 113 -> 114 that round; round 12's
+# streaming_neardup_ingest_docs gate made it 115 — inside the <=120
 # bound.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ROUND-12 WINDOW (positions 1-50, FIFO rotation per COVERAGE.md):

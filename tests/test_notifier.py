@@ -219,3 +219,96 @@ def test_failed_and_warning_mix_still_suppresses_success():
         "t_fail": "FAILED",
     }
     assert log.failed_count() == 1
+
+
+def test_flow_not_ready_requeues_without_burning_a_slot_or_retries():
+    """R4 Map+Wait wiring (r12 verdict task #8): a runner raising
+    FlowNotReadyError (the AppFlow CREATING answer) is requeued on the
+    wait heap — it must not burn retry attempts, must not be FAILED,
+    and must not hold a pool slot while waiting (other tables proceed
+    even at max_concurrency=1)."""
+    from cdk_datalake_ingest_spark.plans.planner import (
+        FlowNotReadyError,
+        Notifier,
+        RunLog,
+        RunPlanner,
+    )
+
+    catalog = ConfigCatalog(
+        tables=[
+            TableSpec("sf_slow", endpoint="EP_SF"),
+            TableSpec("t_fast", endpoint="EP_SF"),
+        ],
+        endpoints=[EndpointSpec("EP_SF", bd_type="file")],
+    )
+    polls = {"n": 0}
+    order: list[str] = []
+
+    def runner(t: TableSpec) -> None:
+        order.append(t.target_table_name)
+        if t.target_table_name == "sf_slow":
+            polls["n"] += 1
+            if polls["n"] <= 3:  # CREATING for the first three polls
+                raise FlowNotReadyError("flow ajedtlk-accounthr CREATING")
+
+    successes: list[str] = []
+    log = RunLog(tempfile.mkdtemp(prefix="cdk_flow_") + "/log.jsonl")
+    planner = RunPlanner(
+        catalog,
+        run_log=log,
+        base_sleep=0.0,
+        max_attempts=2,
+        max_concurrency=1,  # one slot: a blocked poll would serialize
+        flow_wait_seconds=0.0,
+        notifier=Notifier(on_success=lambda ep, msg: successes.append(ep)),
+    )
+    results = planner.run(runner)
+    assert {r.table: r.status for r in results} == {
+        "sf_slow": "SUCCEEDED",
+        "t_fast": "SUCCEEDED",
+    }
+    # the fast table ran while the slow flow was waiting (slot released:
+    # with max_concurrency=1, a blocking poll would have forced t_fast
+    # after ALL sf_slow polls; requeueing lets it interleave)
+    assert order.index("t_fast") < len(order) - 1
+    assert polls["n"] == 4  # 3 CREATING answers + the success run
+    assert successes == ["EP_SF"]
+    assert log.failed_count() == 0
+
+
+def test_flow_wait_budget_exhaustion_fails_the_table():
+    from cdk_datalake_ingest_spark.plans.planner import (
+        FlowNotReadyError,
+        Notifier,
+        RunLog,
+        RunPlanner,
+    )
+
+    catalog = ConfigCatalog(
+        tables=[TableSpec("sf_stuck", endpoint="EP_SF")],
+        endpoints=[EndpointSpec("EP_SF", bd_type="file")],
+    )
+
+    def runner(t: TableSpec) -> None:
+        raise FlowNotReadyError("still CREATING")
+
+    failures: list[str] = []
+    successes: list[str] = []
+    log = RunLog(tempfile.mkdtemp(prefix="cdk_flowx_") + "/log.jsonl")
+    planner = RunPlanner(
+        catalog,
+        run_log=log,
+        base_sleep=0.0,
+        flow_wait_seconds=0.0,
+        max_flow_waits=2,
+        notifier=Notifier(
+            on_success=lambda ep, msg: successes.append(ep),
+            on_failure=lambda tbl, msg, err: failures.append(tbl),
+        ),
+    )
+    results = planner.run(runner)
+    assert results[0].status == "FAILED"
+    assert "after 2 waits" in results[0].error
+    assert failures == ["sf_stuck"]
+    assert successes == []  # a stuck flow suppresses endpoint success
+    assert log.failed_count() == 1

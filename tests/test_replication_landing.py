@@ -621,3 +621,26 @@ def test_poll_flow_budget_exhaustion_is_failed():
     # N polls sleep only BETWEEN polls: the exhausted path must not
     # pay one final wasted interval after the last check
     assert naps == [0.5] * 3
+
+
+def test_require_flow_ready_raises_on_creating_returns_on_terminal():
+    """r13 planner-envelope poll: CREATING raises FlowNotReadyError
+    (the planner requeues), SUCCESS and FAILED both return (the
+    reference's Choice state routes both onward)."""
+    import pytest
+
+    from cdk_datalake_ingest_spark.operators.landing import (
+        require_flow_ready,
+    )
+    from cdk_datalake_ingest_spark.plans.planner import FlowNotReadyError
+
+    with pytest.raises(FlowNotReadyError, match="CREATING"):
+        require_flow_ready(lambda f: "InProgress", "ajedtlk-accounthr")
+    assert (
+        require_flow_ready(lambda f: "Successful", "ajedtlk-accounthr")
+        == "SUCCESS"
+    )
+    assert (
+        require_flow_ready(lambda f: "Error", "ajedtlk-accounthr")
+        == "FAILED"
+    )
