@@ -7238,11 +7238,96 @@ WHERE r_name = 'AMERICA'
 # streaming_neardup_ingest_docs gate made it 115 — inside the <=120
 # bound.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ROUND-12 WINDOW (positions 1-50, FIFO rotation per COVERAGE.md):
-    # (a) the 29 r9-fresh leftovers lead (3-round staleness bound —
-    # pre-positioned at tail 51-79 by the r11 rotation; COVERAGE's
-    # '31' miscounted q02/q07, which are r10-fresh per CORRECTNESS_r10
-    # and backfill below instead),
+    # ROUND-13 WINDOW (positions 1-50, FIFO rotation per COVERAGE.md):
+    # (a) the 23 r10-fresh leftovers lead (3-round staleness bound —
+    # pre-positioned at tail 51-73 by the r12 rotation; conveniently
+    # including the whole merge/restore/CDF table family, whose
+    # merge_upsert code changed this round: insert-only fast path +
+    # source_unique/touched_partitions hints),
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "events_value_percentiles": events_value_percentiles,
+    "dq_validate_orders": dq_validate_orders,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "events_pivot_by_type": events_pivot_by_type,
+    "table_change_feed_events": table_change_feed_events,
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "schema_evolution_merge": schema_evolution_merge,
+    "zorder_layout_events": zorder_layout_events,
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "customers_with_open_orders": customers_with_open_orders,
+    "returned_vs_finished_setops": returned_vs_finished_setops,
+    "table_restore_roundtrip_events": table_restore_roundtrip_events,
+    "sql_interface_q13": sql_interface_q13,
+    "embedding_near_dup": embedding_near_dup,
+    "simhash_near_dup_docs": simhash_near_dup_docs,
+    # (b) the 12 code/gate-changed entries of round 13: the planner
+    # gate (WARNING endpoint + wait-envelope scheduler), the
+    # streaming near-dup gate (transactional ManagedTable sink),
+    # salesforce_incremental_upsert (planner/flow-poll integration),
+    # the five unique-id-probe consumers (session-scoped memoization
+    # — curate/scrub/substring/semantic pair/bpe_tokenize), and the
+    # three _minhash_banded consumers (persisted-tracking signature
+    # change: minhash pairs / incremental ingest / clusters),
+    "planner_multi_table_run": planner_multi_table_run,
+    "streaming_neardup_ingest_docs": streaming_neardup_ingest_docs,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "curate_documents": curate_documents,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "substring_dedup_docs": substring_dedup_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "minhash_near_dup_docs": minhash_near_dup_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
+    # (c) 15 oldest r11-fresh backfill to 50 (standing order)
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "kmeans_train_hash_docs": kmeans_train_hash_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "decontaminate_multi_docs": decontaminate_multi_docs,
+    "multimodal_media_pipeline": multimodal_media_pipeline,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_cosine_topk": ann_cosine_topk,
+    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
+    "watermark_events": watermark_events,
+    "incremental_between_events": incremental_between_events,
+    "continuous_rollup_events": continuous_rollup_events,
+    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
+    "temperature_mixture_docs": temperature_mixture_docs,
+    "sql_interface_window": sql_interface_window,
+    # TAIL 51-70: the 20 r11-fresh leftovers at their 3-round bound —
+    # they MUST lead the r14 window. Every tail entry is locally
+    # re-attested this round in PARITY_LOCAL_r13.json (full-registry
+    # oracle at sf0.01).
+    "sql_interface_setops": sql_interface_setops,
+    "dsl_flags_orders": dsl_flags_orders,
+    "salesforce_stage_orders": salesforce_stage_orders,
+    "dsl_magic_codes": dsl_magic_codes,
+    "w1_latest_event": w1_latest_event,
+    "events_hourly_rollup": events_hourly_rollup,
+    "exact_dedup_docs": exact_dedup_docs,
+    "ngram_jaccard_docs": ngram_jaccard_docs,
+    "events_props_json": events_props_json,
+    "hash_embed_docs": hash_embed_docs,
+    "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
+    "ann_lsh_suite_topk": ann_lsh_suite_topk,
+    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
+    "pack_sequences_docs": pack_sequences_docs,
+    "window_rank_suite_events": window_rank_suite_events,
+    "user_value_analytics": user_value_analytics,
+    "gap_fill_user_hours": gap_fill_user_hours,
+    "sessionize_events": sessionize_events,
+    "q04_priority_exists": q04_priority_exists,
+    # r12-fresh (due r15):
     "q06_forecast_revenue": q06_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
@@ -7268,27 +7353,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skew_salted_join_events": skew_salted_join_events,
     "stage_pipeline_lineitem": stage_pipeline_lineitem,
     "dms_full_load_pipeline_orders": dms_full_load_pipeline_orders,
-    "planner_multi_table_run": planner_multi_table_run,
     "streaming_dedup_ingest": streaming_dedup_ingest,
     "user_engagement_approx": user_engagement_approx,
     "events_daily_rollup_sets": events_daily_rollup_sets,
-    # (b) the 10 code/gate-changed entries of round 12: curate (staged
-    # enrich rewrite), salesforce_incremental_upsert (AppFlow poll
-    # wiring), bpe_train (batch warning), streaming_windowed_counts
-    # (state_partitions path), and the text-family delegation refactor
-    # consumers (bpe_tokenize/fingerprint/text_metrics/lang_id/
-    # vocab_top_tokens/repetition — trees identical, code changed),
-    "curate_documents": curate_documents,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
     "bpe_train_merges_docs": bpe_train_merges_docs,
-    "bpe_tokenize_docs": bpe_tokenize_docs,
     "streaming_windowed_counts": streaming_windowed_counts,
     "fingerprint_docs": fingerprint_docs,
     "text_metrics_docs": text_metrics_docs,
     "lang_id_docs": lang_id_docs,
     "vocab_top_tokens": vocab_top_tokens,
     "repetition_docs": repetition_docs,
-    # (c) 11 oldest r10-fresh backfill to 50 (standing order)
     "q02_min_cost_supplier": q02_min_cost_supplier,
     "q07_volume_shipping": q07_volume_shipping,
     "q08_market_share": q08_market_share,
@@ -7299,80 +7373,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_promotion_suppliers": q20_promotion_suppliers,
-    # (d) NEW gate of round 12 (streaming near-dup ingest) takes the
-    # 50th slot; q21_waiting_suppliers (r10-fresh, due r13 regardless)
-    # moves to the tail's r13-lead block
-    "streaming_neardup_ingest_docs": streaming_neardup_ingest_docs,
-    # TAIL 51-73: the 23 r10-fresh leftovers at their 3-round bound —
-    # they MUST lead the r13 window; then the r11-fresh entries
-    # (due r14). Every tail entry is locally re-attested this round in
-    # PARITY_LOCAL_r12.json (full-registry oracle at sf0.01).
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_dormant_customers": q22_dormant_customers,
-    "events_unpivot_metrics": events_unpivot_metrics,
-    "events_value_percentiles": events_value_percentiles,
-    "dq_validate_orders": dq_validate_orders,
-    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
-    "events_pivot_by_type": events_pivot_by_type,
-    "table_change_feed_events": table_change_feed_events,
-    "merge_upsert_events": merge_upsert_events,
-    "merge_delete_window_events": merge_delete_window_events,
-    "schema_evolution_merge": schema_evolution_merge,
-    "zorder_layout_events": zorder_layout_events,
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_top_orders": q03_top_orders,
-    "q05_region_revenue": q05_region_revenue,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "orders_without_lineitems": orders_without_lineitems,
-    "customers_with_open_orders": customers_with_open_orders,
-    "returned_vs_finished_setops": returned_vs_finished_setops,
-    "table_restore_roundtrip_events": table_restore_roundtrip_events,
-    "sql_interface_q13": sql_interface_q13,
-    "embedding_near_dup": embedding_near_dup,
-    "simhash_near_dup_docs": simhash_near_dup_docs,
-    # r11-fresh (due r14):
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "kmeans_train_hash_docs": kmeans_train_hash_docs,
-    "decontaminate_docs": decontaminate_docs,
-    "decontaminate_multi_docs": decontaminate_multi_docs,
-    "multimodal_media_pipeline": multimodal_media_pipeline,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "ann_cosine_topk": ann_cosine_topk,
-    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
-    "watermark_events": watermark_events,
-    "incremental_between_events": incremental_between_events,
-    "continuous_rollup_events": continuous_rollup_events,
-    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "sql_interface_window": sql_interface_window,
-    "sql_interface_setops": sql_interface_setops,
-    "dsl_flags_orders": dsl_flags_orders,
-    "salesforce_stage_orders": salesforce_stage_orders,
-    "dsl_magic_codes": dsl_magic_codes,
-    "w1_latest_event": w1_latest_event,
-    "events_hourly_rollup": events_hourly_rollup,
-    "exact_dedup_docs": exact_dedup_docs,
-    "ngram_jaccard_docs": ngram_jaccard_docs,
-    "events_props_json": events_props_json,
-    "hash_embed_docs": hash_embed_docs,
-    "substring_dedup_docs": substring_dedup_docs,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
-    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_ivf_kmeans_topk": ann_ivf_kmeans_topk,
-    "ann_lsh_suite_topk": ann_lsh_suite_topk,
-    "minhash_near_dup_docs": minhash_near_dup_docs,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
-    "near_dup_clusters_docs": near_dup_clusters_docs,
-    "boilerplate_ngrams_docs": boilerplate_ngrams_docs,
-    "pack_sequences_docs": pack_sequences_docs,
-    "window_rank_suite_events": window_rank_suite_events,
-    "user_value_analytics": user_value_analytics,
-    "gap_fill_user_hours": gap_fill_user_hours,
-    "sessionize_events": sessionize_events,
-    "q04_priority_exists": q04_priority_exists,
 }
 
 ORACLES: dict[str, str] = {

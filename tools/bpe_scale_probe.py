@@ -24,10 +24,16 @@ double multi-minute points; the job-count story is deterministic).
 Usage:
   python tools/bpe_scale_probe.py [lengths...]          # apply side
   python tools/bpe_scale_probe.py --train [lengths...]  # train side
-Apply defaults: 6 32 128 512 (r10 table) — pass e.g. 2048 8192 to
-extend the curve.  Train defaults: 64 256 1024.  Paste the rows into
-PLANS.md / SCALE.md (tools/scale_rehearsal.py:_bpe_apply_section
-keeps the static apply table surviving rehearsal rewrites).
+  python tools/bpe_scale_probe.py --dir DIR [lengths...]  # other corpus
+Apply defaults: 6 32 128 512 (r10 table) — pass e.g. 4096 32768 to
+extend the curve to production model sizes (r12 verdict task #7: the
+4k/32k points on the 10x corpus, --dir /tmp/spark_graft_scale10, pin
+whether the BPE_EAGER_EVERY checkpoint cadence holds past 512).
+Models >= 2048 merges run ONCE per point instead of min-of-2 (a 32k
+apply is minutes; the stage-count story is deterministic).  Train
+defaults: 64 256 1024.  Paste the rows into PLANS.md / SCALE.md
+(tools/scale_rehearsal.py:_bpe_apply_section keeps the static apply
+table surviving rehearsal rewrites).
 """
 
 from __future__ import annotations
@@ -55,13 +61,16 @@ def main() -> None:
 
     args = sys.argv[1:]
     train_mode = "--train" in args
+    sf_dir = SF_DIR
+    if "--dir" in args:
+        sf_dir = args[args.index("--dir") + 1]
     lengths = [int(a) for a in args if a.isdigit()] or (
         TRAIN_LENGTHS if train_mode else APPLY_LENGTHS
     )
 
     spark = get_spark("bpe-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     if train_mode:
         for n in lengths:
@@ -104,8 +113,9 @@ def main() -> None:
         return (trained + pad)[:n]
 
     def timed(mode: str, merges) -> float:
+        reps = 1 if len(merges) >= 2048 else 2
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             bpe_tokenize(docs, merges, mode=mode).write.format(
                 "noop"

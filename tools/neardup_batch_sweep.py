@@ -42,7 +42,14 @@ def main() -> None:
         apply_ingest_step,
     )
 
-    spark = get_spark()
+    # 16g driver like the other scale tools (tools/scale_rehearsal.py):
+    # at the 1g default, the grown index-sets relation auto-broadcasts
+    # (under the 64 MB on-disk threshold, >1g inflated) and the build
+    # OOMs around batch 25 of the smallest-batch config.
+    spark = get_spark(
+        "neardup-batch-sweep", extra_conf={"spark.driver.memory": "16g"}
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     src = f"{SCALE_DIR}/documents.parquet"
     if not Path(src).exists():
         print("10x corpus missing — run tools/scale_rehearsal.py first")
