@@ -358,6 +358,7 @@ def scrub_boilerplate(
     text_col: str = "text",
     id_col: str = "doc_id",
     check_ids: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Boilerplate REMOVAL (the scrub half of C4's repeated-span
     dedup, Raffel et al. 2020 §2.2 — there spans are three-sentence
@@ -365,19 +366,40 @@ def scrub_boilerplate(
     token covered by an occurrence of a corpus-frequent n-gram (the
     ``boilerplate_ngrams`` census), then reassemble the text.
 
-    Dataflow: the frequency-filtered n-gram relation is Zipf-small and
-    broadcast; positions are recovered with one posexplode pass,
-    covered positions aggregated per doc (shuffle keyed by doc id),
-    and the rewrite is a native filter-by-position + array_join — no
-    UDFs. Documents with no flagged spans pass through unchanged
-    (left join). Output: ``(id_col, clean_text, n_removed_tokens)``.
+    Dataflow (r13 single-tokenize restructure): the corpus is
+    tokenized ONCE into a shared ``(id, __toks)`` projection — the
+    census, the position recovery, and the reassembly all derive from
+    it, where the previous shape ran the normalize/tokenize regex in
+    three separate corpus passes (census + posexplode + rebuild). At
+    fixture scale the gate's warm cost is aggregation-bound and
+    unchanged (~3 s at sf0.1, measured both shapes); the win is the
+    scan count — at 100 TB three full corpus reads become one read
+    plus cached (or, uncached, cheap array-typed) reuse, and the
+    normalize regex — the dominant narrow cost on real documents —
+    runs once per row instead of three times. The frequency-filtered
+    n-gram relation is Zipf-small and broadcast; positions are
+    recovered with one posexplode, covered positions aggregated per
+    doc (shuffle keyed by doc id), and the rewrite is a native
+    filter-by-position + array_join — no UDFs. Documents with no
+    flagged spans pass through unchanged (left join). Output:
+    ``(id_col, clean_text, n_removed_tokens)``.
+
+    ``cache`` (default True) persists the token projection so the two
+    consumers share one tokenize; blocks release via the
+    ContextCleaner once the result is dropped (the _minhash_banded
+    contract) — pass False for a corpus too large to persist and pay
+    the second tokenize instead.
 
     ``id_col`` must be UNIQUE and non-NULL (the covered-position
     rejoin is name-keyed: a NULL id would come back UNSCRUBBED, and a
     duplicated id would merge two documents' covered positions and
     cross-scrub both) — probed by default, see
-    session.require_unique_non_null_ids (one key-pruned groupBy job;
+    session.require_unique_non_null_ids (memoized per session;
     ``check_ids=False`` skips it when the key is guaranteed)."""
+    from cdk_datalake_ingest_spark.functions.text import tokens
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        word_shingles_of_tokens,
+    )
     from cdk_datalake_ingest_spark.session import (
         ensure_parallelism,
         require_unique_non_null_ids,
@@ -386,23 +408,29 @@ def scrub_boilerplate(
     if check_ids:
         require_unique_non_null_ids(docs, id_col, "scrub_boilerplate")
     docs = ensure_parallelism(docs)
-    frequent = F.broadcast(
-        boilerplate_ngrams(
-            docs,
-            n=n,
-            min_doc_freq=min_doc_freq,
-            text_col=text_col,
-            id_col=id_col,
-        ).select("ngram")
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    toks = docs.select(
+    if cache:
+        base = base.persist()
+    sh = base.select(
         F.col(id_col),
-        F.posexplode(word_shingles(F.col(text_col), n)).alias(
+        F.posexplode(word_shingles_of_tokens(F.col("__toks"), n)).alias(
             "pos", "ngram"
         ),
     )
+    # census over the SAME exploded relation (occurrence-grain, doc
+    # frequency by count_distinct — boilerplate_ngrams' definition,
+    # recomputed here from the shared token projection rather than
+    # re-tokenizing the corpus through the standalone operator)
+    frequent = F.broadcast(
+        sh.groupBy("ngram")
+        .agg(F.count_distinct(F.col(id_col)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .select("ngram")
+    )
     covered = (
-        toks.join(frequent, "ngram")
+        sh.join(frequent, "ngram")
         .select(
             F.col(id_col),
             F.explode(
@@ -412,7 +440,7 @@ def scrub_boilerplate(
         .groupBy(id_col)
         .agg(F.collect_set("cpos").alias("__covered"))
     )
-    return _reassemble_without(docs, covered, text_col, id_col)
+    return _reassemble_from_tokens(base, covered, id_col)
 
 
 def _reassemble_without(
@@ -424,6 +452,15 @@ def _reassemble_without(
     UDFs.  Documents with no flagged spans pass through unchanged
     (left join).  Output: (id_col, clean_text, n_removed_tokens)."""
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return _reassemble_from_tokens(base, covered, id_col)
+
+
+def _reassemble_from_tokens(
+    base: DataFrame, covered: DataFrame, id_col: str
+) -> DataFrame:
+    """:func:`_reassemble_without` over a PRE-TOKENIZED ``(id_col,
+    __toks)`` projection (r13) — the shape callers holding a shared
+    token stage use to avoid re-running the tokenize regex."""
     joined = base.join(covered, id_col, "left").withColumn(
         "__covered",
         F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
@@ -448,6 +485,7 @@ def dedup_substrings(
     text_col: str = "text",
     id_col: str = "doc_id",
     check_ids: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every length-L token
@@ -492,12 +530,26 @@ def dedup_substrings(
     if check_ids:
         require_unique_non_null_ids(docs, id_col, "dedup_substrings")
     docs = ensure_parallelism(docs)
+    # single-tokenize projection (r13, same restructure as
+    # scrub_boilerplate): windows AND reassembly derive from one
+    # (id, __toks) stage instead of re-running the normalize regex
+    # per consumer pass — at 100 TB, one corpus read instead of two.
+    from cdk_datalake_ingest_spark.functions.text import tokens
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        word_shingles_of_tokens,
+    )
+
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    if cache:
+        base = base.persist()
     wins = (
-        docs.select(
+        base.select(
             F.col(id_col),
-            F.posexplode(word_shingles(F.col(text_col), length)).alias(
-                "pos", "__w"
-            ),
+            F.posexplode(
+                word_shingles_of_tokens(F.col("__toks"), length)
+            ).alias("pos", "__w"),
         )
         .select(
             F.col(id_col),
@@ -527,7 +579,7 @@ def dedup_substrings(
         .groupBy(id_col)
         .agg(F.collect_set("cpos").alias("__covered"))
     )
-    return _reassemble_without(docs, covered, text_col, id_col)
+    return _reassemble_from_tokens(base, covered, id_col)
 
 
 def bpe_train_merges(

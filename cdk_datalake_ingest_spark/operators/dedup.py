@@ -153,6 +153,20 @@ def word_shingles(col: Column, n: int = 3) -> Column:
       with the guard semantics kept."""
     norm = normalize_text(col)
     tokens = F.array_remove(F.split(norm, " "), "")
+    return word_shingles_of_tokens(tokens, n)
+
+
+def word_shingles_of_tokens(tokens: Column, n: int = 3) -> Column:
+    """The shingling tail of :func:`word_shingles` over an ALREADY
+    tokenized array (r13): an operator that needs tokens in several
+    expression positions — scrub_boilerplate derives its census, its
+    positions, AND its reassembly from the same token array — projects
+    the tokenize ONCE and shingles the attribute reference, so the
+    normalize regex runs once per row instead of once per consumer
+    pass (the tokens_of_norm pattern from functions/text.py, extended
+    to shingles). Semantics are exactly word_shingles' given
+    ``tokens(text)`` / ``array_remove(split(normalize_text(text)))``
+    input: empty array below n tokens and for empty/NULL documents."""
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     shingle = F.slice(tokens, n, count)
     for k in reversed(range(n - 1)):

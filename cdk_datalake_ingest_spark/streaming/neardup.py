@@ -354,8 +354,9 @@ def stream_near_dup_ingest(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     shuffle_partitions: int | None = None,
+    available_now: bool = True,
     **sig_params,
-) -> None:
+) -> "object | None":
     """Drain ``source_stream`` (availableNow) through the ingest loop:
     per micro-batch, dedup against the index tables AS THEY EXIST,
     merge survivors (tagged with ``ingest_batch`` = the micro-batch
@@ -374,7 +375,13 @@ def stream_near_dup_ingest(
     batch-sized relations and want batch-sized parallelism, not the
     session default. There is no state store here (state = the index
     tables), so unlike a stateful query the number is NOT pinned by
-    the checkpoint — restarts may resize freely."""
+    the checkpoint — restarts may resize freely.
+
+    ``available_now=False`` runs the CONTINUOUS crawl shape instead of
+    a bounded drain: the default micro-batch trigger keeps consuming
+    as files arrive, and the call returns the live StreamingQuery
+    (caller owns stop/awaitTermination). Every transactional property
+    above is per-batch, so it holds identically in continuous mode."""
 
     import hashlib
     import os
@@ -409,14 +416,18 @@ def stream_near_dup_ingest(
             "spark.sql.shuffle.partitions", str(shuffle_partitions)
         )
     try:
-        q = (
+        writer = (
             source_stream.writeStream.outputMode("append")
             .foreachBatch(_apply)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prior)
+    if not available_now:
+        return q
     q.awaitTermination()
+    return None

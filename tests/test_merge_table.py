@@ -700,3 +700,38 @@ def test_scoped_merge_partition_keys_skip_table_scan_and_stay_correct(
     assert not any(
         r for r, i in new.items() if r.startswith("b=0/") and old.get(r) == i
     )
+
+
+def test_insert_only_merge_skips_the_target_join(spark, tmp_path, monkeypatch):
+    """r13 fast path: merging into partitions that don't exist in the
+    snapshot must never build the target-join plan (merge_dataframes) —
+    the deduped source IS the result. Pinned by poisoning
+    merge_dataframes for the duration."""
+    import cdk_datalake_ingest_spark.operators.table as tbl_mod
+
+    t = ManagedTable(spark, tmp_path / "insonly")
+    t.write(
+        spark.createDataFrame([Row(b=0, k=1, v="a")]), partition_by=["b"]
+    )
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("merge_dataframes called on insert-only merge")
+
+    monkeypatch.setattr(tbl_mod, "merge_dataframes", boom)
+    t.merge_upsert(
+        spark.createDataFrame([Row(b=1, k=2, v="b")]),
+        keys=["b", "k"],
+        source_unique=True,
+        touched_partitions=[(1,)],
+    )
+    got = {(r.b, r.k): r.v for r in t.read().collect()}
+    assert got == {(0, 1): "a", (1, 2): "b"}
+    # and the unsound-hint guard: partition col not among keys
+    import pytest
+
+    with pytest.raises(ValueError, match="touched_partitions"):
+        t.merge_upsert(
+            spark.createDataFrame([Row(b=2, k=3, v="c")]),
+            keys=["k"],
+            touched_partitions=[(2,)],
+        )

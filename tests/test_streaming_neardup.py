@@ -308,3 +308,34 @@ def test_fresh_checkpoint_reingest_converges(spark):
         r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
     )
     assert kept == [10, 11]
+
+
+def test_continuous_mode_returns_live_query_and_ingests(spark):
+    """available_now=False (r13): the continuous crawl shape — the
+    call returns the live StreamingQuery, batches keep draining as
+    files arrive, and the caller owns the lifecycle."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ndup_cont_")
+    from cdk_datalake_ingest_spark.queries import _stage_time_ordered_drop
+
+    docs = _docs(spark, [(1, _NEAR), (2, _OTHER)])
+    drop = _stage_time_ordered_drop([docs], "ndup_cont_drop_", 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(drop)
+    )
+    q = stream_near_dup_ingest(
+        spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        f"{tmp}/ckpt", cache=False, available_now=False,
+    )
+    assert q is not None
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    kept = sorted(
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
+    )
+    assert kept == [1, 2]
