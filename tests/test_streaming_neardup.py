@@ -339,3 +339,25 @@ def test_continuous_mode_returns_live_query_and_ingests(spark):
         r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
     )
     assert kept == [1, 2]
+
+
+def test_ingest_batch_tracks_persisted_frames_for_public_release(spark):
+    """ADVICE r12: block cleanup must go through the public API. The
+    caller-supplied `persisted` list receives every DataFrame the step
+    persists (shared shingle stage, banded relation, the two id sets);
+    unpersisting them empties their storage levels — no private JVM
+    getPersistentRDDs walking."""
+    from pyspark import StorageLevel
+
+    bands, sets = _empty_index(spark)
+    batch = _docs(spark, [(1, _NEAR), (9, _OTHER)])
+    tracked = []
+    survivors, _, _ = ingest_batch(batch, bands, sets, persisted=tracked)
+    assert survivors.count() == 2
+    assert len(tracked) >= 3  # shingled + banded + und_ids (+ surv_ids)
+    for df in tracked:
+        df.unpersist()
+    assert all(
+        df.storageLevel == StorageLevel(False, False, False, False, 1)
+        for df in tracked
+    )
