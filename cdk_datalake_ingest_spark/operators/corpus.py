@@ -512,12 +512,17 @@ def dedup_substrings(
     raw window text, so the gate cross-checks the hashed path against
     the exact one.
 
+    ``cache`` (default True) persists the shared (id, tokens)
+    projection the windows AND the reassembly derive from (the r13
+    single-tokenize restructure, same as scrub_boilerplate) — pass
+    False for a corpus too large to persist and pay a second tokenize.
+
     ``id_col`` must be UNIQUE and non-NULL (it keys both the
     MIN-survivor struct and the covered-position rejoin; a NULL id
     would come back with its duplicated spans INTACT, and a duplicated
     id would merge two documents' covered spans and rewrite both with
     the union) — probed by default via
-    session.require_unique_non_null_ids (one key-pruned groupBy job)."""
+    session.require_unique_non_null_ids (memoized per session)."""
     from cdk_datalake_ingest_spark.session import (
         ensure_parallelism,
         require_unique_non_null_ids,
