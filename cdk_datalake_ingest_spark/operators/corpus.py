@@ -52,6 +52,7 @@ def unigram_lm_scores(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     broadcast_vocab: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """Score each document by its average per-token surprisal (bits
     per token) under a corpus self-trained additively-smoothed unigram
@@ -67,8 +68,21 @@ def unigram_lm_scores(
     Low bits-per-token = repetitive/common-word documents; high =
     rare-token (often noise) documents — both tails are what quality
     filters cut.
+
+    ``cache`` (default True) persists the (id, tokens) projection the
+    vocabulary build AND the scoring pass both explode from (the r13
+    single-tokenize recipe): the normalize regex — the dominant narrow
+    cost on real documents — runs once per row instead of once per
+    pass. Pass False for a corpus too large to persist.
     """
-    toks = _exploded_tokens(docs, text_col, id_col)
+    base = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    if cache:
+        base = base.persist()
+    toks = base.select(
+        F.col(id_col), F.explode(F.col("__toks")).alias("tok")
+    )
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     # N and V are one row; attach them to the (small) vocab relation,
     # never to the exploded token stream.
@@ -100,6 +114,7 @@ def nb_quality_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """Classifier-based quality filtering (the fastText-classifier
     pattern of GPT-3 §A / DataComp-LM / FineWeb-Edu, with the gradient
@@ -134,13 +149,18 @@ def nb_quality_scores(
         )
     labeled = docs.select(
         F.col(id_col),
-        F.col(text_col),
+        tokens(F.col(text_col)).alias("__toks"),
         F.col(label_col).cast("boolean").alias("__pos"),
     )
+    if cache:
+        # shared single-tokenize projection (r13): the vocabulary
+        # build and the scoring join both explode from it, and the
+        # prior aggregate reads only __pos off the same cache
+        labeled = labeled.persist()
     toks = labeled.select(
         F.col(id_col),
         "__pos",
-        F.explode(tokens(F.col(text_col))).alias("tok"),
+        F.explode(F.col("__toks")).alias("tok"),
     )
     vocab = toks.groupBy("tok").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
