@@ -20,6 +20,14 @@ Scale notes (100 TB):
   broadcast-hash join and keep the big exploded side shuffle-free on
   the scoring pass; disable for open-vocab corpora where the token
   table itself is large (AQE then picks a sort-merge join).
+- Multi-pass operators tokenize ONCE (r13): unigram_lm_scores,
+  nb_quality_scores, scrub_boilerplate, and dedup_substrings project
+  a shared ``(id, tokens)`` stage their passes derive from (persisted
+  by default, ``cache=False`` to opt out), so the normalize regex —
+  the dominant narrow cost on real documents — runs once per row
+  instead of once per pass. Measured on the 10x rehearsal corpus:
+  10x walls fall 1.3-2.4x, scaling ratios flatten to 1.4-2.2x
+  (SCALE.md round-13 spot rows).
 - ``chunk_documents`` is a pure per-row map (sequence + explode +
   slice): no shuffle at all.
 - ``boilerplate_ngrams`` shuffles distinct (shingle, doc) pairs — the
