@@ -109,13 +109,25 @@ def main() -> None:
     for _sweep in range(repeats):
         run_sweep()
     # SELF-HEALING (r12 verdict task #3): when a warm sweep is flagged
-    # as contaminated, run up to 2 replacement sweeps instead of
-    # shipping a polluted headline; the statistics below then exclude
-    # the flagged sweeps (disclosed in the artifact). Sweep count and
-    # layout stay comparable: the median is still over 1 cold + clean
-    # warm samples.
+    # as contaminated, run replacement sweeps (cap +2) until the CLEAN
+    # warm count is back to repeats-1 — never ship a polluted headline,
+    # never run a sweep the statistics don't need (a flagged sweep
+    # stays flagged forever relative to the clean floor, so "loop while
+    # anything is flagged" would always burn the full cap). The
+    # statistics below exclude the flagged sweeps (disclosed in the
+    # artifact); sweep count and layout stay comparable: the median is
+    # still over 1 cold + repeats-1 clean warm samples.
     extra_sweeps = 0
-    while repeats > 1 and contaminated() and extra_sweeps < 2:
+
+    def _clean_warm_count() -> int:
+        return len(sweep_totals) - 1 - len(contaminated())
+
+    while (
+        repeats > 1
+        and contaminated()
+        and _clean_warm_count() < repeats - 1
+        and extra_sweeps < 2
+    ):
         run_sweep()
         extra_sweeps += 1
     flagged = contaminated()
