@@ -355,6 +355,7 @@ def stream_near_dup_ingest(
     jaccard_threshold: float = 0.5,
     shuffle_partitions: int | None = None,
     available_now: bool = True,
+    maintain_every: int | None = None,
     **sig_params,
 ) -> "object | None":
     """Drain ``source_stream`` (availableNow) through the ingest loop:
@@ -381,7 +382,18 @@ def stream_near_dup_ingest(
     a bounded drain: the default micro-batch trigger keeps consuming
     as files arrive, and the call returns the live StreamingQuery
     (caller owns stop/awaitTermination). Every transactional property
-    above is per-batch, so it holds identically in continuous mode."""
+    above is per-batch, so it holds identically in continuous mode.
+
+    ``maintain_every=N`` rides table maintenance on the loop: after
+    every Nth batch, superseded snapshot versions of all three sink
+    tables are vacuumed (each batch commits three new versions — a
+    long drain otherwise accumulates thousands of snapshot dirs whose
+    hard links cost commit time and inodes). Runs BETWEEN batches,
+    when nothing references the superseded dirs; replay stays safe
+    because a replayed batch reads only the CURRENT version (the
+    self-step probe filter handles its own partial rows). Trades away
+    time travel to pre-vacuum versions — leave None to keep full
+    history and vacuum on your own schedule."""
 
     import hashlib
     import os
@@ -409,6 +421,11 @@ def stream_near_dup_ingest(
             run_key=run_key,
             **sig_params,
         )
+        if maintain_every and batch_id % maintain_every == maintain_every - 1:
+            for path in (out_dir, bands_dir, sets_dir):
+                tbl = ManagedTable(spark, path)
+                if tbl.exists:
+                    tbl.vacuum(keep_snapshots=1)
 
     prior = spark.conf.get("spark.sql.shuffle.partitions")
     if shuffle_partitions is not None:

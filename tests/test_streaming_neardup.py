@@ -361,3 +361,39 @@ def test_ingest_batch_tracks_persisted_frames_for_public_release(spark):
         df.storageLevel == StorageLevel(False, False, False, False, 1)
         for df in tracked
     )
+
+
+def test_maintain_every_vacuums_between_batches(spark):
+    """maintain_every=1 vacuums superseded snapshots after every batch:
+    the drain's RESULTS are unchanged and each sink table retains only
+    its current snapshot dir (plus the manifest)."""
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ndup_maint_")
+    from cdk_datalake_ingest_spark.queries import _stage_time_ordered_drop
+
+    rows = [(0, _NEAR), (3, _NEAR2), (1, _NEAR3), (4, _OTHER)]
+    docs = _docs(spark, rows)
+    slices = [docs.filter(F.pmod("doc_id", F.lit(3)) == k) for k in range(3)]
+    drop = _stage_time_ordered_drop(slices, "ndup_maint_drop_", 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(drop)
+    )
+    stream_near_dup_ingest(
+        spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        f"{tmp}/ckpt", cache=False, maintain_every=1,
+    )
+    kept = {
+        r["doc_id"]: r["ingest_batch"]
+        for r in _read_table(spark, f"{tmp}/kept").collect()
+    }
+    assert kept == {0: 0, 4: 1}  # 3 dominated by 0; 1 near-dup of kept 0
+    for sub in ("kept", "bands", "sets"):
+        vdirs = [
+            d for d in os.listdir(f"{tmp}/{sub}")
+            if d.startswith("v") and d[1:].isdigit()
+        ]
+        assert len(vdirs) == 1, (sub, vdirs)
