@@ -693,7 +693,9 @@ class ManagedTable:
         target rows outside the declared set could exist and the hint
         is UNSOUND — rejected with ValueError). Rows outside the
         declared set would be silently mis-merged — that's the
-        contract the caller signs."""
+        contract the caller signs. On a Delta-backed table both hints
+        are no-ops: DeltaTable.merge prunes files from the key
+        condition itself."""
         if not self.exists:
             self.write(
                 source.dropDuplicates(keys)
