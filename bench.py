@@ -70,6 +70,12 @@ def bench_queries() -> list[str]:
 
 
 def main() -> None:
+    # FIRST statement (review catch): the pre-run contention signal is
+    # only meaningful if sampled before this process generates any load
+    # of its own — after get_spark() + the warm-up query, the 1-minute
+    # load average is dominated by the bench itself and the field would
+    # read "busy" on every run.
+    busy_at_start = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.replace("sf", "") or 0.1)
 
@@ -105,7 +111,6 @@ def main() -> None:
     def contaminated() -> list[int]:
         return flag_contaminated(sweep_totals)
 
-    busy_at_start = round(os.getloadavg()[0], 2)
     for _sweep in range(repeats):
         run_sweep()
     # SELF-HEALING (r12 verdict task #3): when a warm sweep is flagged

@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cdk_datalake_ingest_spark.functions.text import tokens
-from cdk_datalake_ingest_spark.operators.dedup import word_shingles
+from cdk_datalake_ingest_spark.operators.dedup import (
+    word_shingles,
+    word_shingles_of_tokens,
+)
 
 
 def _exploded_tokens(
@@ -424,10 +427,6 @@ def scrub_boilerplate(
     cross-scrub both) — probed by default, see
     session.require_unique_non_null_ids (memoized per session;
     ``check_ids=False`` skips it when the key is guaranteed)."""
-    from cdk_datalake_ingest_spark.functions.text import tokens
-    from cdk_datalake_ingest_spark.operators.dedup import (
-        word_shingles_of_tokens,
-    )
     from cdk_datalake_ingest_spark.session import (
         ensure_parallelism,
         require_unique_non_null_ids,
@@ -567,11 +566,6 @@ def dedup_substrings(
     # scrub_boilerplate): windows AND reassembly derive from one
     # (id, __toks) stage instead of re-running the normalize regex
     # per consumer pass — at 100 TB, one corpus read instead of two.
-    from cdk_datalake_ingest_spark.functions.text import tokens
-    from cdk_datalake_ingest_spark.operators.dedup import (
-        word_shingles_of_tokens,
-    )
-
     base = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )

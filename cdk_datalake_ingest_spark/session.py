@@ -160,7 +160,19 @@ def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
     try:
         key = df.semanticHash()
         for cached_df, cached_col in _VERIFIED_IDS.get(key, ()):
-            if cached_col == id_col and df.sameSemantics(cached_df):
+            # SAME-SESSION only (review catch): the memo is
+            # process-global, but a verification must not outlive its
+            # SparkSession — after spark.stop(), files under the same
+            # path may be regenerated with duplicate/NULL ids and the
+            # identical plan in a NEW session would wrongly skip the
+            # probe (the exact corruption it guards against). Session
+            # identity makes "per session" true by construction;
+            # entries from dead sessions age out at the cap clear.
+            if (
+                cached_col == id_col
+                and cached_df.sparkSession is df.sparkSession
+                and df.sameSemantics(cached_df)
+            ):
                 return
     except Exception:  # pragma: no cover - hash unavailable: just probe
         key = None

@@ -234,6 +234,18 @@ def _tagged_merge(
         tagged = tagged.withColumn(RUN_COL, F.lit(run_key))
     tbl = ManagedTable(spark, path)
     if not tbl.exists:
+        import pathlib
+
+        p = pathlib.Path(path)
+        if p.exists() and any(p.rglob("*.parquet")):
+            # same format-break guard as the probe side: creating a
+            # manifest NEXT TO pre-r13 plain-parquet appends would
+            # orphan the old data under the new table's reads
+            raise ValueError(
+                f"{path} holds parquet data but no ManagedTable "
+                "manifest — migrate the pre-r13 sink output before "
+                "resuming the drain (see apply_ingest_step)"
+            )
         tbl.write(tagged, partition_by=[BATCH_COL])
         return
     # source_unique: survivors are one row per id, bands one per
@@ -282,33 +294,58 @@ def apply_ingest_step(
     ids restart at 0 under a fresh checkpoint, so batch_id alone would
     also exclude a PREVIOUS drain's batch-0 signatures — silently
     un-deduping the new drain against the oldest slice of the corpus.
-    The streaming sink derives run_key from the checkpoint path
-    (stable across restarts of the same checkpoint — replayed batches
-    keep their identity; distinct for a fresh one). A whole-source
-    re-ingest under a fresh checkpoint therefore converges: every
-    already-kept document matches its own prior-run signatures
-    (different run_key → included in the probe) and is dropped.
+    The streaming sink mints run_key as a nonce file INSIDE the
+    checkpoint dir (stable across restarts of the same checkpoint —
+    replayed batches keep their identity; a deleted-and-recreated or
+    brand-new checkpoint mints a fresh one, even at the same path). A
+    whole-source re-ingest under a fresh checkpoint therefore
+    converges: every already-kept document matches its own prior-run
+    signatures (different run_key → included in the probe) and is
+    dropped.
     """
     persisted: list[DataFrame] = []
     try:
-        bands_tbl = ManagedTable(spark, bands_path)
-        sets_tbl = ManagedTable(spark, sets_path)
         not_self = ~(
             (F.col(RUN_COL) == F.lit(run_key))
             & (F.col(BATCH_COL) == F.lit(batch_id))
         )
-        if bands_tbl.exists:
-            index_bands = (
-                bands_tbl.read()
-                .filter(not_self)
-                .select(id_col, "band", "band_hash")
-            )
-            index_sets = (
-                sets_tbl.read().filter(not_self).select(id_col, "__set")
-            )
-        else:
-            index_bands = spark.createDataFrame([], _bands_schema(id_col))
-            index_sets = spark.createDataFrame([], _sets_schema(id_col))
+
+        def _index(path: str, cols: list[str], schema) -> DataFrame:
+            # each table probed INDEPENDENTLY (review catch): a crash
+            # between the bands and sets merges of the very first batch
+            # leaves bands existing and sets not — gating both reads on
+            # bands alone made every replay raise FileNotFoundError and
+            # bricked the stream. A missing table is an empty relation;
+            # a NON-table directory holding parquet (the r12 sink's
+            # plain appends, or hand-seeded files) is a format break
+            # that must be loud, not a silently-empty index that
+            # re-keeps every previously-deduped document.
+            tbl = ManagedTable(spark, path)
+            if tbl.exists:
+                return tbl.read().filter(not_self).select(*cols)
+            import pathlib
+
+            p = pathlib.Path(path)
+            if p.exists() and any(p.rglob("*.parquet")):
+                raise ValueError(
+                    f"{path} holds parquet data but no ManagedTable "
+                    "manifest — a pre-r13 plain-parquet index (or "
+                    "hand-seeded files). Migrate it first: read the old "
+                    "files and ManagedTable(spark, path_new).write(df, "
+                    "partition_by=['ingest_batch']) after tagging rows "
+                    "with ingest_batch/run_key; probing it as empty "
+                    "would silently discard the accumulated index."
+                )
+            return spark.createDataFrame([], schema)
+
+        index_bands = _index(
+            bands_path,
+            [id_col, "band", "band_hash"],
+            _bands_schema(id_col),
+        )
+        index_sets = _index(
+            sets_path, [id_col, "__set"], _sets_schema(id_col)
+        )
         survivors, new_bands, new_sets = ingest_batch(
             batch_df,
             index_bands,
@@ -341,6 +378,34 @@ def apply_ingest_step(
         # nothing references the blocks.
         for df in persisted:
             df.unpersist()
+
+
+#: nonce file carrying the stream identity inside the checkpoint dir —
+#: lives and dies with the checkpoint, which is exactly the lifetime
+#: the self-step probe exclusion needs
+RUN_KEY_FILE = "graft_run_key"
+
+
+def _checkpoint_run_key(checkpoint_dir: str) -> str:
+    """Mint-or-read the stream's run_key nonce under the checkpoint
+    dir. Local paths (the ManagedTable deployment surface); an
+    object-store checkpoint passes an explicit run_key through
+    apply_ingest_step instead."""
+    import os
+    import uuid
+
+    path = os.path.join(checkpoint_dir, RUN_KEY_FILE)
+    if not os.path.exists(path):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        try:
+            # exclusive create: first starter wins, racers read the
+            # winner's key below
+            with open(path, "x") as f:
+                f.write(uuid.uuid4().hex[:16])
+        except FileExistsError:
+            pass
+    with open(path) as f:
+        return f.read().strip()
 
 
 def stream_near_dup_ingest(
@@ -395,17 +460,17 @@ def stream_near_dup_ingest(
     time travel to pre-vacuum versions — leave None to keep full
     history and vacuum on your own schedule."""
 
-    import hashlib
-    import os
-
     # stream identity for the probe's self-step exclusion: stable
     # across restarts of the same checkpoint (replayed batches keep
     # their identity), distinct for a fresh one (batch numbering
-    # restarts, see apply_ingest_step). abspath so a cwd change between
-    # restarts doesn't silently mint a new identity.
-    run_key = hashlib.md5(
-        os.path.abspath(checkpoint_dir).encode()
-    ).hexdigest()[:16]
+    # restarts, see apply_ingest_step). A NONCE FILE inside the
+    # checkpoint dir, not a hash of its path (review catch): the
+    # common reset `rm -rf <ckpt>` then restart REUSES the path — a
+    # path-derived key would collide with the previous drain's
+    # same-numbered batches and silently un-dedup the new drain
+    # against them. Deleting the checkpoint deletes the nonce, so a
+    # fresh checkpoint always mints a fresh identity.
+    run_key = _checkpoint_run_key(checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_ingest_step(

@@ -666,3 +666,33 @@ def test_unique_id_probe_memoizes_clean_plans_per_session(spark):
     S.require_unique_non_null_ids(clean, "doc_id", "t")
     assert len(S._VERIFIED_IDS) == 1
     S.verified_ids_cache_clear()
+
+
+def test_unique_id_probe_memo_is_session_scoped(spark):
+    """Review catch: a verification must not outlive its SparkSession —
+    a cached entry whose frame belongs to a DIFFERENT session is not a
+    hit (files under the same path may have been regenerated between
+    sessions with duplicate ids)."""
+    from cdk_datalake_ingest_spark import session as S
+
+    S.verified_ids_cache_clear()
+    clean = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    S.require_unique_non_null_ids(clean, "doc_id", "t")
+    assert len(S._VERIFIED_IDS) == 1
+    # forge a cross-session entry: same key, frame pinned to a foreign
+    # session object — the identity check must force a re-probe
+    (key, entries), = S._VERIFIED_IDS.items()
+
+    class _ForeignSession:  # stands in for a stopped/other session
+        pass
+
+    class _ForeignFrame:
+        sparkSession = _ForeignSession()
+
+    S._VERIFIED_IDS[key] = [(_ForeignFrame(), "doc_id")]
+    # the probe re-runs (and re-memoizes with the LIVE frame) instead
+    # of trusting the foreign entry
+    S.require_unique_non_null_ids(clean, "doc_id", "t")
+    live = S._VERIFIED_IDS[key]
+    assert any(df.sparkSession is clean.sparkSession for df, _ in live)
+    S.verified_ids_cache_clear()

@@ -397,3 +397,111 @@ def test_maintain_every_vacuums_between_batches(spark):
             if d.startswith("v") and d[1:].isdigit()
         ]
         assert len(vdirs) == 1, (sub, vdirs)
+
+
+def test_first_batch_partial_crash_between_index_merges_recovers(spark):
+    """Review catch: a first-batch crash BETWEEN the bands and sets
+    merges (bands table exists, sets table doesn't) must replay
+    losslessly — each index table is probed independently, a missing
+    one reading as empty."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        apply_ingest_step,
+        ingest_batch,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_fb_")
+    b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
+    bands0, sets0 = _empty_index(spark)
+    _, sb, _ = ingest_batch(b0, bands0, sets0, cache=False)
+    # simulate: kept + bands written, crash before sets
+    ManagedTable(spark, f"{tmp}/bands").write(
+        sb.withColumn("ingest_batch", F.lit(0).cast("int"))
+        .withColumn("run_key", F.lit("")),
+        partition_by=["ingest_batch"],
+    )
+    # replay batch 0 through the real step: must not raise, must land
+    # both survivors and the sets table
+    apply_ingest_step(
+        spark, b0, 0, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        cache=False,
+    )
+    kept = sorted(
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
+    )
+    assert kept == [1, 9]
+    assert _read_table(spark, f"{tmp}/sets").count() > 0
+
+
+def test_checkpoint_path_reuse_mints_fresh_run_key(spark):
+    """Review catch: `rm -rf <ckpt>` then restart at the SAME path must
+    not reuse the previous drain's identity — the nonce file lives in
+    the checkpoint, so deleting it mints a fresh key and a re-ingest of
+    the same docs converges instead of self-excluding."""
+    import shutil
+    import tempfile
+
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        _checkpoint_run_key,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_ckre_")
+    ckpt = f"{tmp}/ckpt"
+    k1 = _checkpoint_run_key(ckpt)
+    assert _checkpoint_run_key(ckpt) == k1  # restart: stable
+    shutil.rmtree(ckpt)
+    k2 = _checkpoint_run_key(ckpt)
+    assert k2 != k1  # reset at the same path: fresh identity
+    # end-to-end: drain, rm -rf the checkpoint, drain the same drop
+    # again at the SAME path — results must converge (no duplicates)
+    from cdk_datalake_ingest_spark.queries import _stage_time_ordered_drop
+
+    docs = _docs(spark, [(10, _NEAR), (11, _OTHER)])
+    drop = _stage_time_ordered_drop([docs], "ndup_ckre_drop_", 2)
+
+    def drain():
+        src = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(drop)
+        )
+        stream_near_dup_ingest(
+            spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+            f"{tmp}/ckpt2", cache=False,
+        )
+
+    drain()
+    before = _table_fingerprint(spark, f"{tmp}/kept")
+    shutil.rmtree(f"{tmp}/ckpt2")
+    drain()
+    assert _table_fingerprint(spark, f"{tmp}/kept") == before
+
+
+def test_pre_r13_plain_parquet_index_is_a_loud_error(spark):
+    """Review catch: a plain-parquet index dir (the r12 sink's appends)
+    must raise a migration error, not probe as silently empty — an
+    empty probe would discard the accumulated index and re-keep every
+    previously-deduped document."""
+    import tempfile
+
+    import pytest
+
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        apply_ingest_step,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_oldfmt_")
+    # old-format bands dir: raw parquet, no manifest
+    _docs(spark, [(5, _NEAR)]).write.parquet(f"{tmp}/bands")
+    with pytest.raises(ValueError, match="manifest"):
+        apply_ingest_step(
+            spark,
+            _docs(spark, [(1, _OTHER)]),
+            0,
+            f"{tmp}/kept",
+            f"{tmp}/bands",
+            f"{tmp}/sets",
+            cache=False,
+        )
