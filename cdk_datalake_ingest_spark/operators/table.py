@@ -62,6 +62,9 @@ COMMIT_LOCK = "_manifest.lock"
 #: per-snapshot schema pin (underscore-prefixed => invisible to the
 #: parquet reader's file listing, like _SUCCESS)
 SCHEMA_SIDECAR = "_schema.json"
+#: per-table pointer to an in-flight multi-table transaction (the
+#: prepare record of the group-commit protocol, see GroupTransaction)
+TXN_PENDING = "_txn_pending.json"
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -95,7 +98,17 @@ class ManagedTable:
     def _manifest_path(self) -> Path:
         return self.path / MANIFEST
 
-    def _read_manifest(self) -> dict | None:
+    def _read_manifest(self, recover: bool = True) -> dict | None:
+        """Current manifest (or None).  ``recover=True`` (every public
+        entry point) first resolves a crashed multi-table transaction
+        touching this table — roll forward if its group marker exists,
+        abort otherwise — so readers never observe a
+        decided-but-unapplied manifest.  The pending-pointer stat is
+        the only cost on the (overwhelmingly common) no-crash path.
+        Internal callers already inside the commit critical section
+        pass ``recover=False``."""
+        if recover and (self.path / TXN_PENDING).exists():
+            self._recover_pending()
         p = self._manifest_path()
         if not p.exists():
             return None
@@ -120,15 +133,12 @@ class ManagedTable:
             except FileExistsError:
                 version += 1
 
-    def _commit(
-        self, manifest: dict, expected_version: int, op: str = "write"
-    ) -> None:
-        """Compare-and-swap the manifest under an O_EXCL lock file.
-
-        On a shared POSIX filesystem this is a real critical section; on
-        an object store the equivalent is a conditional put / commit
-        service (what Delta's LogStore provides) — the snapshot-dir
-        layout transfers unchanged.
+    def _acquire_lock(self) -> tuple[int, int]:
+        """Take the table's commit lock (O_EXCL create, with the
+        stale-break protocol below); returns ``(fd, inode)`` for
+        :meth:`_release_lock`.  Extracted from ``_commit`` so the
+        multi-table :class:`GroupTransaction` and pending-recovery can
+        share the identical acquisition semantics.
 
         Fencing limit, stated plainly: breaking a stale lock is atomic
         (rename), but it cannot FENCE the previous holder — a writer
@@ -203,47 +213,115 @@ class ManagedTable:
                         "writer; retry from a fresh read"
                     )
                 _time.sleep(0.05)
-        my_ino = os.fstat(fd).st_ino
+        return fd, os.fstat(fd).st_ino
+
+    def _release_lock(self, fd: int, my_ino: int) -> None:
+        lock = self.path / COMMIT_LOCK
+        os.close(fd)
+        # Unlink only OUR lock incarnation: if this writer stalled
+        # past stale_after, a breaker may have replaced the path
+        # with a FRESH lock another writer now holds — blindly
+        # unlinking would evict that live holder and admit a third
+        # writer into the critical section. (Residual stat→unlink
+        # window requires a >30s stall inside these two syscalls.)
         try:
-            cur = self._read_manifest() or {"version": 0}
+            if lock.stat().st_ino == my_ino:
+                lock.unlink(missing_ok=True)
+        except OSError:
+            pass  # lock already broken/removed — nothing ours
+
+    def _apply_manifest(self, manifest: dict, op: str) -> None:
+        """Swap the manifest + append the op log — the irrevocable tail
+        of a commit.  MUST be called with the commit lock held.  The op
+        log (Delta DESCRIBE HISTORY role) is appended inside the same
+        critical section, so history order == commit order.
+        Append-only; vacuum drops snapshots, not history."""
+        self._swap_manifest(manifest)
+        with (self.path / HISTORY).open("a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "version": int(manifest["version"]),
+                        "op": op,
+                        "data_dir": manifest.get("data_dir"),
+                        "partition_by": manifest.get("partition_by")
+                        or [],
+                        "timestamp": _dt.datetime.now(
+                            _dt.timezone.utc
+                        ).isoformat(timespec="seconds"),
+                    }
+                )
+                + "\n"
+            )
+
+    def _commit(
+        self, manifest: dict, expected_version: int, op: str = "write"
+    ) -> None:
+        """Compare-and-swap the manifest under an O_EXCL lock file.
+
+        On a shared POSIX filesystem this is a real critical section; on
+        an object store the equivalent is a conditional put / commit
+        service (what Delta's LogStore provides) — the snapshot-dir
+        layout transfers unchanged.  See :meth:`_acquire_lock` for the
+        stale-break/fencing semantics.
+        """
+        # roll forward / abort any group transaction that crashed
+        # mid-commit on this table FIRST: committing over an unapplied
+        # group prepare record would half-apply that transaction
+        self._recover_pending()
+        fd, my_ino = self._acquire_lock()
+        try:
+            cur = self._read_manifest(recover=False) or {"version": 0}
             if int(cur["version"]) != expected_version:
                 raise ConcurrentWriteError(
                     f"manifest advanced v{expected_version}→v{cur['version']} "
                     "during write; retry from a fresh read"
                 )
-            self._swap_manifest(manifest)
-            # the op log (Delta DESCRIBE HISTORY role): appended inside
-            # the same critical section, so history order == commit
-            # order. Append-only; vacuum drops snapshots, not history.
-            with (self.path / HISTORY).open("a") as fh:
-                fh.write(
-                    json.dumps(
-                        {
-                            "version": int(manifest["version"]),
-                            "op": op,
-                            "data_dir": manifest.get("data_dir"),
-                            "partition_by": manifest.get("partition_by")
-                            or [],
-                            "timestamp": _dt.datetime.now(
-                                _dt.timezone.utc
-                            ).isoformat(timespec="seconds"),
-                        }
-                    )
-                    + "\n"
-                )
+            self._apply_manifest(manifest, op)
         finally:
-            os.close(fd)
-            # Unlink only OUR lock incarnation: if this writer stalled
-            # past stale_after, a breaker may have replaced the path
-            # with a FRESH lock another writer now holds — blindly
-            # unlinking would evict that live holder and admit a third
-            # writer into the critical section. (Residual stat→unlink
-            # window requires a >30s stall inside these two syscalls.)
+            self._release_lock(fd, my_ino)
+
+    def _recover_pending(self) -> None:
+        """Resolve a multi-table transaction that crashed between its
+        prepare record and this table's manifest swap (the group-commit
+        protocol, :class:`GroupTransaction`).  The group marker file is
+        the commit point: if it exists, this table's staged manifest is
+        ROLLED FORWARD (the transaction is durably decided — every
+        participant must apply); if it does not, the transaction
+        aborted before deciding and the prepare record is dropped (the
+        staged snapshot dir becomes an orphan for ``vacuum``).  Called
+        from every manifest read and from ``_commit``, so no reader
+        observes a decided-but-unapplied table and no later writer can
+        commit over one.  Takes the commit lock, so a LIVE group commit
+        (prepare records present for milliseconds) simply serializes
+        with recovery instead of racing it."""
+        ptr = self.path / TXN_PENDING
+        if not ptr.exists():
+            return
+        fd, my_ino = self._acquire_lock()
+        try:
+            if not ptr.exists():
+                return  # resolved while we waited for the lock
             try:
-                if lock.stat().st_ino == my_ino:
-                    lock.unlink(missing_ok=True)
-            except OSError:
-                pass  # lock already broken/removed — nothing ours
+                info = json.loads(ptr.read_text())
+            except (OSError, json.JSONDecodeError):
+                return
+            group = Path(info["group"])
+            if group.exists():
+                cur = self._read_manifest(recover=False) or {"version": 0}
+                if int(cur["version"]) == int(info["expected"]):
+                    self._apply_manifest(info["manifest"], info.get("op", "txn"))
+                # else: already applied (version >= target) — drop the
+                # pointer either way; the decided transaction is done
+                # as far as this table is concerned
+                ptr.unlink(missing_ok=True)
+                GroupTransaction._cleanup_group(group)
+            else:
+                # aborted before the commit point: the staged snapshot
+                # dir is an orphan (vacuum --drop-aborted reclaims it)
+                ptr.unlink(missing_ok=True)
+        finally:
+            self._release_lock(fd, my_ino)
 
     # -- public API --------------------------------------------------------
     @property
@@ -599,6 +677,7 @@ class ManagedTable:
         coalesce_single_file: bool = False,
         expected_base_version: int | None = None,
         op: str = "overwrite",
+        txn: "GroupTransaction | None" = None,
     ) -> None:
         """Full overwrite (S9): new immutable snapshot + manifest swap.
 
@@ -607,6 +686,13 @@ class ManagedTable:
         then rejects the write if any other commit landed after that
         read (without it, only commits racing *this* write's own
         manifest read are detected).
+
+        ``txn``: enlist this write in a :class:`GroupTransaction`
+        instead of committing — the snapshot is fully written but the
+        manifest swap waits for ``txn.commit()``, which applies every
+        enlisted table atomically. On a Delta-backed table ``txn`` is
+        IGNORED (immediate commit — Delta has no cross-table
+        transaction), disclosed here like the merge-hint no-ops.
 
         Partition-value fidelity (probed, pinned in
         tests/test_table_maintenance.py): Unicode, spaces, slashes,
@@ -648,15 +734,15 @@ class ManagedTable:
             w = w.partitionBy(*partition_by)
         w.parquet(str(self.path / data_dir))
         self._write_schema_sidecar(data_dir, df)
-        self._commit(
-            {
-                "version": version,
-                "data_dir": data_dir,
-                "partition_by": partition_by or [],
-            },
-            expected_version=base_version,
-            op=op,
-        )
+        manifest = {
+            "version": version,
+            "data_dir": data_dir,
+            "partition_by": partition_by or [],
+        }
+        if txn is not None:
+            txn.enlist(self, manifest, base_version, op)
+            return
+        self._commit(manifest, expected_version=base_version, op=op)
 
     def _write_schema_sidecar(self, data_dir: str, df: DataFrame) -> None:
         (self.path / data_dir / SCHEMA_SIDECAR).write_text(df.schema.json())
@@ -670,9 +756,15 @@ class ManagedTable:
         broadcast_source: bool = False,
         source_unique: bool = False,
         touched_partitions: list[tuple] | None = None,
+        txn: "GroupTransaction | None" = None,
     ) -> None:
         """Delta-MERGE-equivalent upsert (S10/A6) with optional
         delete-window (A7).
+
+        ``txn``: enlist the merge's new snapshot in a
+        :class:`GroupTransaction` instead of committing (see
+        :meth:`write`); ignored on a Delta-backed table, which commits
+        the merge immediately through its own log.
 
         ``source_unique``: caller asserts the source is already
         one-row-per-key, letting the scoped insert-only fast path skip
@@ -704,6 +796,7 @@ class ManagedTable:
                     source.limit(0), source, keys, order_by=order_by
                 ),
                 op="merge",
+                txn=txn,
             )
             return
         if HAS_DELTA and DeltaTable.isDeltaTable(self.spark, str(self.path)):
@@ -741,7 +834,7 @@ class ManagedTable:
             )
         if m.get("partition_by") and self._merge_partition_scoped(
             m, target, source, keys, order_by, delete_predicate,
-            broadcast_source, source_unique, touched_partitions,
+            broadcast_source, source_unique, touched_partitions, txn,
         ):
             return
         merged = merge_dataframes(
@@ -757,6 +850,7 @@ class ManagedTable:
             partition_by=m.get("partition_by") or None,
             expected_base_version=int(m["version"]),
             op="merge",
+            txn=txn,
         )
 
     #: Fast-path ceiling: above this many touched partitions a pruned
@@ -775,6 +869,7 @@ class ManagedTable:
         broadcast_source: bool,
         source_unique: bool = False,
         touched_partitions: list[tuple] | None = None,
+        txn: "GroupTransaction | None" = None,
     ) -> bool:
         """O(touched-partitions) merge for hive-partitioned tables —
         the versioned-parquet analogue of Delta's file-level MERGE
@@ -846,6 +941,7 @@ class ManagedTable:
             return self._merge_scoped_finish(
                 m, target, source, keys, order_by, delete_predicate,
                 broadcast_source, source_unique, pby, by_name, touched,
+                txn,
             )
         touched_df = source.select(*pby)
         if not set(pby) <= set(keys):
@@ -897,7 +993,7 @@ class ManagedTable:
             return False
         return self._merge_scoped_finish(
             m, target, source, keys, order_by, delete_predicate,
-            broadcast_source, source_unique, pby, by_name, touched,
+            broadcast_source, source_unique, pby, by_name, touched, txn,
         )
 
     def _merge_scoped_finish(
@@ -913,6 +1009,7 @@ class ManagedTable:
         pby: list[str],
         by_name: dict[str, str],
         touched: list[tuple],
+        txn: "GroupTransaction | None" = None,
     ) -> bool:
         """Shared tail of the scoped merge once ``touched`` is known
         (computed from the data or declared by the caller): pick the
@@ -948,7 +1045,8 @@ class ManagedTable:
                 else:
                     merged = source.dropDuplicates(keys)
                 self._write_scoped(
-                    m, pby, touched_set, merged, by_name, op="merge"
+                    m, pby, touched_set, merged, by_name, op="merge",
+                    txn=txn,
                 )
                 return True
         merged = merge_dataframes(
@@ -959,7 +1057,9 @@ class ManagedTable:
             delete_predicate=delete_predicate,
             broadcast_source=broadcast_source,
         )
-        self._write_scoped(m, pby, touched_set, merged, by_name, op="merge")
+        self._write_scoped(
+            m, pby, touched_set, merged, by_name, op="merge", txn=txn
+        )
         return True
 
     def _delete_partition_scoped(
@@ -1066,11 +1166,13 @@ class ManagedTable:
         df: DataFrame,
         by_name: dict[str, str] | None = None,
         op: str = "write",
+        txn: "GroupTransaction | None" = None,
     ) -> None:
         """Write ``df`` (the rewritten touched partitions) as a new
         snapshot, carry every untouched partition forward by hard link
         (O(#files) metadata, zero data movement), and CAS-commit
-        anchored on the pinned read version. ``touched_set`` holds
+        anchored on the pinned read version (or enlist in ``txn``, see
+        :meth:`write`). ``touched_set`` holds
         CANONICAL value tuples (``str(collected)``); leaf dirs are
         canonicalized through ``_canon_vals`` before the membership
         test so dir-text variants of the same value never slip into
@@ -1087,11 +1189,15 @@ class ManagedTable:
             if canon is not None and canon in touched_set:
                 continue
             self._link_tree(leaf, new_dir / leaf.relative_to(old_dir))
-        self._commit(
-            {"version": version, "data_dir": data_dir, "partition_by": pby},
-            expected_version=base_version,
-            op=op,
-        )
+        manifest = {
+            "version": version,
+            "data_dir": data_dir,
+            "partition_by": pby,
+        }
+        if txn is not None:
+            txn.enlist(self, manifest, base_version, op)
+            return
+        self._commit(manifest, expected_version=base_version, op=op)
 
     @staticmethod
     def _leaf_partitions(
@@ -1727,3 +1833,165 @@ class ManagedTable:
         from cdk_datalake_ingest_spark.sql import invalidate_view
 
         invalidate_view(self.spark, view)
+
+
+class GroupTransaction:
+    """Atomic commit spanning several :class:`ManagedTable` writes —
+    the multi-table transaction the streaming near-dup ingest loop
+    needs (its three sinks per micro-batch: survivors + two index
+    tables; a crash between their commits previously left a partial
+    batch that only the probe's self-step exclusion could paper over).
+
+    Usage::
+
+        txn = GroupTransaction()
+        tbl_a.merge_upsert(df_a, keys=[...], txn=txn)   # stages only
+        tbl_b.write(df_b, txn=txn)                      # stages only
+        txn.commit()                                    # all or nothing
+
+    Staged writes do ALL the expensive work immediately (snapshot dir
+    claimed, parquet written, untouched partitions linked) but defer
+    the manifest swap; ``commit()`` then decides the whole group with
+    one atomic marker-file creation. The protocol is a two-phase
+    commit with roll-forward recovery:
+
+    1. take every participant's commit lock, in sorted-path order
+       (deadlock-free);
+    2. CAS-verify each table's manifest still sits at the version its
+       staged write was based on — any conflict aborts the whole group
+       with nothing applied (staged dirs become vacuumable orphans);
+    3. write a prepare record (``_txn_pending.json``) into each table
+       dir naming the group marker and the staged manifest;
+    4. atomically create the group marker file — THE commit point;
+    5. swap each manifest + append history; remove the prepare records
+       and the marker; release the locks.
+
+    A crash before step 4 aborts: the next reader/writer of any
+    participant sees a prepare record whose marker is absent and drops
+    it (``ManagedTable._recover_pending``). A crash after step 4 rolls
+    forward: the marker's existence proves the decision, so each
+    participant applies its staged manifest the next time anything
+    reads or writes it — no reader can observe a mix of old and new
+    across the group, because every read path runs recovery first.
+
+    Scale note: on an object store the marker-file creation maps to
+    one conditional put (the same primitive the per-table CAS needs);
+    prepare records and manifests are per-table small objects. The
+    parquet data movement is identical to independent commits — the
+    transaction adds only metadata operations.
+
+    Delta-backed tables cannot enlist (Delta owns its own log and
+    offers no cross-table transaction): their ``write``/``merge_upsert``
+    ignore ``txn`` and commit immediately, disclosed in those
+    docstrings — on a Delta deployment the ingest loop degrades to
+    per-table commits with the probe-side exclusion still providing
+    replay losslessness.
+    """
+
+    def __init__(self) -> None:
+        self._staged: list[tuple[ManagedTable, dict, int, str]] = []
+        self._done = False
+
+    def enlist(
+        self,
+        table: ManagedTable,
+        manifest: dict,
+        expected_version: int,
+        op: str,
+    ) -> None:
+        """Record one table's staged (written but uncommitted) snapshot.
+        Called by ``ManagedTable.write``/``_write_scoped`` when a txn is
+        passed; not part of the public surface."""
+        if self._done:
+            raise RuntimeError("GroupTransaction already committed")
+        if any(t.path == table.path for t, *_ in self._staged):
+            raise ValueError(
+                f"table {table.path} enlisted twice in one transaction "
+                "— a group commits at most one new version per table"
+            )
+        self._staged.append((table, manifest, expected_version, op))
+
+    # test seam: the atomic marker creation (monkeypatched to simulate
+    # a crash exactly before / after the commit point)
+    @staticmethod
+    def _write_marker(path: Path, payload: dict) -> None:
+        tmp = path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(payload))
+        os.replace(tmp, path)
+
+    @staticmethod
+    def _cleanup_group(group: Path) -> None:
+        """Remove a group marker once no participant still carries its
+        prepare record (all rolled forward / already applied). Best
+        effort — a marker that lingers only costs one small file."""
+        try:
+            info = json.loads(group.read_text())
+        except (OSError, json.JSONDecodeError):
+            return
+        for p in info.get("tables", []):
+            if (Path(p) / TXN_PENDING).exists():
+                return
+        group.unlink(missing_ok=True)
+
+    def commit(self) -> None:
+        """Atomically commit every staged write (see class docstring).
+        Raises :class:`ConcurrentWriteError` — with NOTHING applied —
+        if any participant's manifest moved since its staged read."""
+        if self._done:
+            raise RuntimeError("GroupTransaction already committed")
+        self._done = True
+        staged = sorted(self._staged, key=lambda e: str(e[0].path))
+        if not staged:
+            return
+        if len(staged) == 1:
+            tbl, manifest, expected, op = staged[0]
+            tbl._commit(manifest, expected, op=op)
+            return
+        for tbl, *_ in staged:
+            tbl._recover_pending()
+        import uuid as _uuid
+
+        locks: list[tuple[ManagedTable, int, int]] = []
+        try:
+            for tbl, *_ in staged:
+                fd, ino = tbl._acquire_lock()
+                locks.append((tbl, fd, ino))
+            for tbl, _manifest, expected, _op in staged:
+                cur = tbl._read_manifest(recover=False) or {"version": 0}
+                if int(cur["version"]) != expected:
+                    raise ConcurrentWriteError(
+                        f"group commit: {tbl.path} advanced "
+                        f"v{expected}→v{cur['version']} during the "
+                        "transaction; nothing was applied — retry the "
+                        "whole read→transform→write cycle"
+                    )
+            group = (
+                staged[0][0].path
+                / f"_txn_group.{_uuid.uuid4().hex[:12]}.json"
+            )
+            for tbl, manifest, expected, op in staged:
+                ptr = tbl.path / TXN_PENDING
+                tmp = ptr.with_suffix(".json.tmp")
+                tmp.write_text(
+                    json.dumps(
+                        {
+                            "group": str(group),
+                            "expected": expected,
+                            "manifest": manifest,
+                            "op": op,
+                        }
+                    )
+                )
+                os.replace(tmp, ptr)
+            # ---- commit point: one atomic file creation ----
+            self._write_marker(
+                group, {"tables": [str(t.path) for t, *_ in staged]}
+            )
+            for tbl, manifest, _expected, op in staged:
+                tbl._apply_manifest(manifest, op)
+            for tbl, *_ in staged:
+                (tbl.path / TXN_PENDING).unlink(missing_ok=True)
+            group.unlink(missing_ok=True)
+        finally:
+            for tbl, fd, ino in reversed(locks):
+                tbl._release_lock(fd, ino)

@@ -32,20 +32,24 @@ the corpus), one broadcast-pinned candidate join against the band index
 (incremental_near_dup's contract, batch size capped), one within-batch
 banded self-join; index appends are survivor-sized.
 
-Replay idempotency (r13 — the transactional sink the r12 docstring
-prescribed): survivors and index signatures land through ManagedTable
-MERGE keyed on (ingest_batch, id) into tables PARTITIONED by
-ingest_batch, so foreachBatch's at-least-once redelivery converges —
-a replayed batch rewrites exactly its own partition and nothing
-duplicates. The recomputation itself is made deterministic under
-partial prior writes by excluding the replayed batch's OWN index rows
-from the probe (filter ingest_batch != batch_id — partition-pruned):
-without it, a batch whose signatures reached the index before a crash
-would see itself on replay, drop every survivor as its own duplicate,
-and the output rows lost to the crash would never land. Because the
-partition columns are merge keys, the scoped merge skips the
-matched-key table scan entirely (operators/table.py), keeping the
-per-batch write cost O(batch), not O(table).
+Replay idempotency (r13) + atomicity (r14): survivors and index
+signatures land through ManagedTable MERGE keyed on (ingest_batch, id)
+into tables PARTITIONED by ingest_batch, so foreachBatch's
+at-least-once redelivery converges — a replayed batch rewrites exactly
+its own partition and nothing duplicates. Since r14 all three sinks
+commit through ONE GroupTransaction (operators/table.py): the merges
+stage their snapshots, then a single atomic group commit applies the
+three manifests together — a crash anywhere in the step leaves either
+all three tables advanced or none, so the partial states r13 had to
+recover from (signatures landed but survivors lost; bands without
+sets) cannot arise through this path. The probe still excludes the
+replayed batch's OWN index rows (filter on (run_key, ingest_batch) —
+partition-pruned) as defense in depth: it keeps replays of a
+COMMITTED batch recomputing the identical survivor set, and protects
+direct apply_ingest_step callers against hand-rolled partial index
+state. Because the partition columns are merge keys, the scoped merge
+skips the matched-key table scan entirely (operators/table.py),
+keeping the per-batch write cost O(batch), not O(table).
 
 Long-run maintenance note: one partition per micro-batch means commit
 linking cost grows with the number of past batches (hard links, no
@@ -66,7 +70,10 @@ from cdk_datalake_ingest_spark.operators.dedup import (
     pairs_from_signatures,
     probe_signatures,
 )
-from cdk_datalake_ingest_spark.operators.table import ManagedTable
+from cdk_datalake_ingest_spark.operators.table import (
+    GroupTransaction,
+    ManagedTable,
+)
 
 #: batch-tag column appended to all three sink tables; also their
 #: partition column and the leading merge key
@@ -221,6 +228,7 @@ def _tagged_merge(
     batch_id: int,
     keys: list[str],
     run_key: str | None = None,
+    txn: GroupTransaction | None = None,
 ) -> None:
     """Idempotent landing of one batch's slice of a sink table: MERGE
     keyed on (BATCH_COL, *keys) into a table partitioned by BATCH_COL.
@@ -228,7 +236,9 @@ def _tagged_merge(
     batch rewrite exactly its own partition (pby ⊆ keys → the scoped
     merge skips the matched-key table scan; cost O(batch)). Index
     tables additionally carry ``run_key`` (probe bookkeeping, not a
-    merge key — a re-ingested id converges onto one row)."""
+    merge key — a re-ingested id converges onto one row). With ``txn``
+    the snapshot is staged only; the caller's ``txn.commit()`` lands
+    every sink of the batch in one atomic group commit."""
     tagged = df.withColumn(BATCH_COL, F.lit(batch_id).cast("int"))
     if run_key is not None:
         tagged = tagged.withColumn(RUN_COL, F.lit(run_key))
@@ -246,7 +256,7 @@ def _tagged_merge(
                 "manifest — migrate the pre-r13 sink output before "
                 "resuming the drain (see apply_ingest_step)"
             )
-        tbl.write(tagged, partition_by=[BATCH_COL])
+        tbl.write(tagged, partition_by=[BATCH_COL], txn=txn)
         return
     # source_unique: survivors are one row per id, bands one per
     # (id, band), sets one per id — key-unique by construction, so the
@@ -260,6 +270,7 @@ def _tagged_merge(
         keys=[BATCH_COL, *keys],
         source_unique=True,
         touched_partitions=[(batch_id,)],
+        txn=txn,
     )
 
 
@@ -273,36 +284,54 @@ def apply_ingest_step(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
-    run_key: str = "",
+    run_key: str | None = None,
     **sig_params,
 ) -> None:
     """The foreachBatch body as a module-level function (directly
     replayable in tests — call it twice with the same (batch_df,
-    batch_id) and the tables must not change the second time).
+    batch_id, run_key) and the tables must not change the second time).
+
+    Atomicity (r14): all three sinks land through ONE
+    :class:`GroupTransaction` — the survivors merge and both index
+    merges stage their snapshots, then a single group commit applies
+    them together. A crash anywhere in the step leaves either all
+    three tables advanced or none; the partial states the r13 design
+    had to recover from (signatures landed, survivors lost; bands
+    without sets) are structurally impossible through this path.
 
     Probe scope: the index is read at its CURRENT ManagedTable version
     (an immutable snapshot — appends create new versions, so lazy
     re-reads of this plan can never see them), restricted to rows NOT
-    written by this same (run_key, batch_id) step. The self-step
-    exclusion is what makes replay-after-partial-failure lossless: if
-    a crash landed this batch's signatures but not its survivors, an
-    unfiltered replay would find each survivor in the index as its own
-    near-duplicate and drop it — the crashed-away output rows would be
-    lost forever. Excluding the step loses nothing legitimate:
-    batch-mates are already handled by the deterministic within-batch
-    rule (a). ``run_key`` scopes the exclusion to THIS stream: batch
-    ids restart at 0 under a fresh checkpoint, so batch_id alone would
-    also exclude a PREVIOUS drain's batch-0 signatures — silently
-    un-deduping the new drain against the oldest slice of the corpus.
-    The streaming sink mints run_key as a nonce file INSIDE the
-    checkpoint dir (stable across restarts of the same checkpoint —
-    replayed batches keep their identity; a deleted-and-recreated or
+    written by this same (run_key, batch_id) step. With the atomic
+    sink the self-step exclusion is defense in depth rather than the
+    recovery mechanism: it still makes replays of a COMMITTED batch
+    recompute the identical survivor set (instead of an empty one),
+    and it keeps direct callers safe against hand-rolled partial
+    index state. ``run_key`` scopes the exclusion to THIS stream:
+    batch ids restart at 0 under a fresh checkpoint, so batch_id alone
+    would also exclude a PREVIOUS drain's batch-0 signatures —
+    silently un-deduping the new drain against the oldest slice of the
+    corpus. The streaming sink mints run_key as a nonce file INSIDE
+    the checkpoint dir (stable across restarts of the same checkpoint
+    — replayed batches keep their identity; a deleted-and-recreated or
     brand-new checkpoint mints a fresh one, even at the same path). A
     whole-source re-ingest under a fresh checkpoint therefore
     converges: every already-kept document matches its own prior-run
     signatures (different run_key → included in the probe) and is
     dropped.
+
+    A DIRECT caller that omits ``run_key`` gets a fresh uuid nonce per
+    call (ADVICE r13): two independent callers draining into the same
+    index tables must not share an identity — under the old shared ""
+    default, caller 2's batch N silently self-excluded caller 1's
+    batch-N signatures and under-deduped. Replay-style callers that
+    NEED a stable identity (the streaming sink; tests) pass one
+    explicitly.
     """
+    if run_key is None:
+        import uuid
+
+        run_key = uuid.uuid4().hex[:16]
     persisted: list[DataFrame] = []
     try:
         not_self = ~(
@@ -359,18 +388,23 @@ def apply_ingest_step(
             eager_pin=False,
             **sig_params,
         )
-        # write order is free under the self-step probe filter (any
-        # partial prefix replays losslessly); survivors first keeps the
-        # user-visible zone freshest
-        _tagged_merge(spark, out_path, survivors, batch_id, [id_col])
+        # one atomic commit across the three sinks (r14): each merge
+        # stages its snapshot (all the Spark work happens here), the
+        # group commit below applies the manifests together — all
+        # three tables advance or none do
+        txn = GroupTransaction()
+        _tagged_merge(
+            spark, out_path, survivors, batch_id, [id_col], txn=txn
+        )
         _tagged_merge(
             spark, bands_path, new_bands, batch_id, [id_col, "band"],
-            run_key=run_key,
+            run_key=run_key, txn=txn,
         )
         _tagged_merge(
             spark, sets_path, new_sets, batch_id, [id_col],
-            run_key=run_key,
+            run_key=run_key, txn=txn,
         )
+        txn.commit()
     finally:
         # deterministic release per batch (public API — drops blocks
         # AND the CacheManager entries): by now all three merges are
@@ -388,9 +422,10 @@ RUN_KEY_FILE = "graft_run_key"
 
 def _checkpoint_run_key(checkpoint_dir: str) -> str:
     """Mint-or-read the stream's run_key nonce under the checkpoint
-    dir. Local paths (the ManagedTable deployment surface); an
-    object-store checkpoint passes an explicit run_key through
-    apply_ingest_step instead."""
+    dir. Local paths only (os.makedirs/open); an object-store
+    checkpoint passes an explicit ``run_key=`` to
+    ``stream_near_dup_ingest`` instead — that path never reaches this
+    function."""
     import os
     import uuid
 
@@ -421,6 +456,7 @@ def stream_near_dup_ingest(
     shuffle_partitions: int | None = None,
     available_now: bool = True,
     maintain_every: int | None = None,
+    run_key: str | None = None,
     **sig_params,
 ) -> "object | None":
     """Drain ``source_stream`` (availableNow) through the ingest loop:
@@ -458,7 +494,16 @@ def stream_near_dup_ingest(
     because a replayed batch reads only the CURRENT version (the
     self-step probe filter handles its own partial rows). Trades away
     time travel to pre-vacuum versions — leave None to keep full
-    history and vacuum on your own schedule."""
+    history and vacuum on your own schedule.
+
+    ``run_key`` overrides the stream identity used by the probe's
+    self-step exclusion. Leave None for local checkpoints (a nonce
+    file inside the checkpoint dir carries it, exactly matching the
+    checkpoint's lifetime). REQUIRED for object-store checkpoints
+    (s3://, abfss://, ...), where the nonce file cannot live: pass any
+    string with the checkpoint's lifetime — mint it when creating the
+    checkpoint, reuse it across restarts, replace it only when the
+    checkpoint is recreated."""
 
     # stream identity for the probe's self-step exclusion: stable
     # across restarts of the same checkpoint (replayed batches keep
@@ -470,7 +515,23 @@ def stream_near_dup_ingest(
     # same-numbered batches and silently un-dedup the new drain
     # against them. Deleting the checkpoint deletes the nonce, so a
     # fresh checkpoint always mints a fresh identity.
-    run_key = _checkpoint_run_key(checkpoint_dir)
+    # The nonce file is POSIX-only; an object-store checkpoint
+    # (s3://..., abfss://...) passes `run_key` explicitly — the caller
+    # owns giving it the checkpoint's lifetime (r13 missing #2).
+    if run_key is None:
+        import urllib.parse as _up
+
+        scheme = _up.urlparse(checkpoint_dir).scheme
+        if scheme not in ("", "file"):
+            raise ValueError(
+                f"checkpoint {checkpoint_dir!r} is not a local path: "
+                "the run_key nonce file cannot be minted there — pass "
+                "run_key= explicitly (any string with the checkpoint's "
+                "lifetime: mint it when you create the checkpoint, "
+                "store it alongside, and reuse it on restarts; change "
+                "it if and only if the checkpoint is recreated)"
+            )
+        run_key = _checkpoint_run_key(checkpoint_dir)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         apply_ingest_step(

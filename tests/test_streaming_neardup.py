@@ -204,13 +204,16 @@ def test_replay_of_a_batch_is_idempotent(spark):
     b0 = _docs(spark, [(1, _NEAR), (2, _NEAR2), (9, _OTHER)])
     b1 = _docs(spark, [(11, _NEAR3), (12, "fresh content five six seven")])
     args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
-    apply_ingest_step(spark, b0, 0, *args, cache=False)
-    apply_ingest_step(spark, b1, 1, *args, cache=False)
+    # a REPLAY shares the original's stream identity (the streaming
+    # sink's checkpoint-scoped run_key); an omitted run_key now mints
+    # a fresh nonce per call (ADVICE r13) — not a replay
+    apply_ingest_step(spark, b0, 0, *args, run_key="rk", cache=False)
+    apply_ingest_step(spark, b1, 1, *args, run_key="rk", cache=False)
     before = [_table_fingerprint(spark, p) for p in args]
     # replay the LAST batch (the standard redelivery case)...
-    apply_ingest_step(spark, b1, 1, *args, cache=False)
+    apply_ingest_step(spark, b1, 1, *args, run_key="rk", cache=False)
     # ...and an EARLIER one (paranoid: out-of-order redelivery)
-    apply_ingest_step(spark, b0, 0, *args, cache=False)
+    apply_ingest_step(spark, b0, 0, *args, run_key="rk", cache=False)
     after = [_table_fingerprint(spark, p) for p in args]
     assert after == before
     # and the survivor set is the expected one: 1 dominates 2; 11 is a
@@ -238,29 +241,32 @@ def test_replay_after_partial_failure_recovers_survivors(spark):
     tmp = tempfile.mkdtemp(prefix="ndup_partial_")
     args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
     b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
-    apply_ingest_step(spark, b0, 0, *args, cache=False)
+    apply_ingest_step(spark, b0, 0, *args, run_key="rk", cache=False)
     # simulate the crash for batch 1: signatures written, survivors NOT
+    # (structurally impossible through the r14 atomic group commit;
+    # kept as the defense-in-depth contract for direct callers with
+    # hand-rolled partial index state)
     b1 = _docs(spark, [(21, "unique fresh content eight nine ten")])
     bands0 = _read_table(spark, f"{tmp}/bands").select(
         "doc_id", "band", "band_hash"
     )
     sets0 = _read_table(spark, f"{tmp}/sets").select("doc_id", "__set")
     _, sb, ss = ingest_batch(b1, bands0, sets0, cache=False)
-    # same tags apply_ingest_step(run_key="") would write: the crash
+    # same tags apply_ingest_step(run_key="rk") would write: the crash
     # happened INSIDE that step, so its partial rows carry its identity
     ManagedTable(spark, f"{tmp}/bands").merge_upsert(
         sb.withColumn("ingest_batch", F.lit(1).cast("int"))
-        .withColumn("run_key", F.lit("")),
+        .withColumn("run_key", F.lit("rk")),
         keys=["ingest_batch", "doc_id", "band"],
     )
     ManagedTable(spark, f"{tmp}/sets").merge_upsert(
         ss.withColumn("ingest_batch", F.lit(1).cast("int"))
-        .withColumn("run_key", F.lit("")),
+        .withColumn("run_key", F.lit("rk")),
         keys=["ingest_batch", "doc_id"],
     )
     # replay batch 1 through the real step: doc 21 must survive even
     # though its own signatures already sit in the index
-    apply_ingest_step(spark, b1, 1, *args, cache=False)
+    apply_ingest_step(spark, b1, 1, *args, run_key="rk", cache=False)
     kept = sorted(
         r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
     )
@@ -416,17 +422,19 @@ def test_first_batch_partial_crash_between_index_merges_recovers(spark):
     b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
     bands0, sets0 = _empty_index(spark)
     _, sb, _ = ingest_batch(b0, bands0, sets0, cache=False)
-    # simulate: kept + bands written, crash before sets
+    # simulate: kept + bands written, crash before sets (structurally
+    # impossible through the r14 atomic group commit; kept as the
+    # direct-caller defense contract)
     ManagedTable(spark, f"{tmp}/bands").write(
         sb.withColumn("ingest_batch", F.lit(0).cast("int"))
-        .withColumn("run_key", F.lit("")),
+        .withColumn("run_key", F.lit("rk")),
         partition_by=["ingest_batch"],
     )
     # replay batch 0 through the real step: must not raise, must land
     # both survivors and the sets table
     apply_ingest_step(
         spark, b0, 0, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
-        cache=False,
+        run_key="rk", cache=False,
     )
     kept = sorted(
         r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
@@ -505,3 +513,106 @@ def test_pre_r13_plain_parquet_index_is_a_loud_error(spark):
             f"{tmp}/sets",
             cache=False,
         )
+
+
+def test_batch_sinks_commit_atomically(spark, monkeypatch):
+    """r14: the three sink merges land through ONE GroupTransaction —
+    a crash anywhere before the group commit point leaves NO table
+    advanced (previously a crash between merges left a partial batch
+    only the probe exclusion could recover)."""
+    import tempfile
+
+    from cdk_datalake_ingest_spark.operators.table import (
+        GroupTransaction,
+        ManagedTable,
+    )
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        apply_ingest_step,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_atomic_")
+    args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
+    b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
+    apply_ingest_step(spark, b0, 0, *args, run_key="rk", cache=False)
+    versions_before = [
+        ManagedTable(spark, p).versions() for p in args
+    ]
+    # crash the batch-1 group commit before its decision point
+    monkeypatch.setattr(
+        GroupTransaction,
+        "_write_marker",
+        staticmethod(
+            lambda path, payload: (_ for _ in ()).throw(
+                RuntimeError("crash before commit point")
+            )
+        ),
+    )
+    b1 = _docs(spark, [(21, "unique fresh content eight nine ten")])
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="crash before commit point"):
+        apply_ingest_step(spark, b1, 1, *args, run_key="rk", cache=False)
+    monkeypatch.undo()
+    # NOTHING advanced — no partial batch to recover from
+    assert [
+        ManagedTable(spark, p).versions() for p in args
+    ] == versions_before
+    # the replay lands batch 1 whole
+    apply_ingest_step(spark, b1, 1, *args, run_key="rk", cache=False)
+    kept = sorted(
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
+    )
+    assert kept == [1, 9, 21]
+
+
+def test_object_store_checkpoint_requires_explicit_run_key(spark):
+    """r13 missing #2: a non-local checkpoint cannot host the run_key
+    nonce file — the call must fail fast with a clear message instead
+    of os.makedirs-ing a literal 's3://...' directory."""
+    import pytest as _pytest
+
+    # the guard fires before the stream (or any sink path) is touched,
+    # so a placeholder source suffices — nothing is read or written
+    with _pytest.raises(ValueError, match="run_key"):
+        stream_near_dup_ingest(
+            spark,
+            None,
+            "/tmp/x/kept",
+            "/tmp/x/bands",
+            "/tmp/x/sets",
+            "s3://bucket/ckpt",
+        )
+
+
+def test_explicit_run_key_threads_through_the_stream(spark):
+    """run_key= passthrough (r14): the drain uses the caller's key as
+    the stream identity — index rows carry it, and a restart with the
+    SAME key keeps replay identity without any nonce file."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="ndup_rk_")
+    from cdk_datalake_ingest_spark.queries import _stage_time_ordered_drop
+
+    docs = _docs(spark, [(10, _NEAR), (11, _OTHER)])
+    drop = _stage_time_ordered_drop([docs], "ndup_rk_drop_", 2)
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(drop)
+    )
+    stream_near_dup_ingest(
+        spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        f"{tmp}/ckpt", run_key="caller-owned-key", cache=False,
+    )
+    keys = {
+        r["run_key"]
+        for r in _read_table(spark, f"{tmp}/bands")
+        .select("run_key").distinct().collect()
+    }
+    assert keys == {"caller-owned-key"}
+    # no nonce file was minted — the caller owns the identity
+    import os
+
+    from cdk_datalake_ingest_spark.streaming.neardup import RUN_KEY_FILE
+
+    assert not os.path.exists(f"{tmp}/ckpt/{RUN_KEY_FILE}")
