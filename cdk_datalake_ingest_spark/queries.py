@@ -4905,15 +4905,16 @@ WHERE n_inter::DOUBLE / (na.n + nb.n - n_inter) >= 0.5
 
 def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming near-dup dedup-on-ingest (streaming/neardup.py — new
-    in round 12, transactional sink r13): the documents corpus arrives
-    as THREE time-ordered micro-batches (doc_id % 3 slices); each batch
-    is deduped within itself (smaller-id domination) and against the
+    in round 12, transactional sink r13, atomic group commit + folded
+    index table r14): the documents corpus arrives as THREE
+    time-ordered micro-batches (doc_id % 3 slices); each batch is
+    deduped within itself (smaller-id domination) and against the
     signature index of everything kept so far, survivors land tagged
     with their batch and their signatures append to the index the NEXT
     batch probes. Output = (doc_id, ingest_batch) of every kept
-    document. All three sinks are ManagedTable MERGEs keyed per
-    (batch, id) — idempotent under foreachBatch redelivery (replay
-    tests in tests/test_streaming_neardup.py).
+    document. Both sinks are ManagedTable MERGEs keyed per (batch, id)
+    committed atomically per batch — idempotent under foreachBatch
+    redelivery (replay tests in tests/test_streaming_neardup.py).
 
     The oracle unrolls the three ingest levels over the exact 3-gram
     Jaccard pair relation (the LSH recall-1 tripwire contract of
@@ -4950,8 +4951,7 @@ def streaming_neardup_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame
         spark,
         src,
         f"{tmp}/kept",
-        f"{tmp}/index_bands",
-        f"{tmp}/index_sets",
+        f"{tmp}/index",
         f"{tmp}/ckpt",
         shuffle_partitions=8,
     )

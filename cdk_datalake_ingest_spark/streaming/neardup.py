@@ -36,13 +36,16 @@ Replay idempotency (r13) + atomicity (r14): survivors and index
 signatures land through ManagedTable MERGE keyed on (ingest_batch, id)
 into tables PARTITIONED by ingest_batch, so foreachBatch's
 at-least-once redelivery converges — a replayed batch rewrites exactly
-its own partition and nothing duplicates. Since r14 all three sinks
-commit through ONE GroupTransaction (operators/table.py): the merges
-stage their snapshots, then a single atomic group commit applies the
-three manifests together — a crash anywhere in the step leaves either
-all three tables advanced or none, so the partial states r13 had to
-recover from (signatures landed but survivors lost; bands without
-sets) cannot arise through this path. The probe still excludes the
+its own partition and nothing duplicates. Since r14 the sinks are TWO
+tables — survivors, plus ONE folded index table holding band rows and
+shingle-set rows under `kind` partitions (half the per-batch write
+jobs of the r13 three-table layout) — and both commit through ONE
+GroupTransaction (operators/table.py): the merges stage their
+snapshots, then a single atomic group commit applies the manifests
+together — a crash anywhere in the step leaves either both tables
+advanced or neither, so the partial states r13 had to recover from
+(signatures landed but survivors lost; bands without sets) cannot
+arise through this path. The probe still excludes the
 replayed batch's OWN index rows (filter on (run_key, ingest_batch) —
 partition-pruned) as defense in depth: it keeps replays of a
 COMMITTED batch recomputing the identical survivor set, and protects
@@ -54,7 +57,7 @@ keeping the per-batch write cost O(batch), not O(table).
 Long-run maintenance note: one partition per micro-batch means commit
 linking cost grows with the number of past batches (hard links, no
 data copy). A deployment running thousands of batches should
-periodically `compact_hot_partitions`/`vacuum` the three tables —
+periodically `compact_hot_partitions`/`vacuum` both tables —
 the same hygiene any high-commit-rate Delta table needs (OPTIMIZE).
 """
 
@@ -75,9 +78,21 @@ from cdk_datalake_ingest_spark.operators.table import (
     ManagedTable,
 )
 
-#: batch-tag column appended to all three sink tables; also their
+#: batch-tag column appended to both sink tables; also their
 #: partition column and the leading merge key
 BATCH_COL = "ingest_batch"
+
+#: row-kind partition column of the folded index table (r14): the
+#: band-index rows and the shingle-set rows share ONE table — one
+#: merge, one commit, one maintenance surface per batch instead of
+#: two — and the probe's two projections stay partition-pruned scans
+#: of disjoint kind=... directories
+KIND_COL = "kind"
+KIND_BANDS = "bands"
+KIND_SETS = "sets"
+#: band value marking a shingle-set row (keeps the merge key
+#: (batch, kind, id, band) NULL-free; set rows are one-per-id)
+SET_BAND = -1
 
 
 def _bands_schema(id_col: str) -> T.StructType:
@@ -229,16 +244,22 @@ def _tagged_merge(
     keys: list[str],
     run_key: str | None = None,
     txn: GroupTransaction | None = None,
+    partition_by: list[str] | None = None,
+    touched: list[tuple] | None = None,
 ) -> None:
     """Idempotent landing of one batch's slice of a sink table: MERGE
-    keyed on (BATCH_COL, *keys) into a table partitioned by BATCH_COL.
-    First write creates the partitioned table; replays of the same
-    batch rewrite exactly its own partition (pby ⊆ keys → the scoped
-    merge skips the matched-key table scan; cost O(batch)). Index
-    tables additionally carry ``run_key`` (probe bookkeeping, not a
-    merge key — a re-ingested id converges onto one row). With ``txn``
-    the snapshot is staged only; the caller's ``txn.commit()`` lands
-    every sink of the batch in one atomic group commit."""
+    keyed on (BATCH_COL, *keys) into a table partitioned by
+    ``partition_by`` (default [BATCH_COL]; the folded index adds
+    KIND_COL). First write creates the partitioned table; replays of
+    the same batch rewrite exactly its own partitions (pby ⊆ keys →
+    the scoped merge skips the matched-key table scan; cost
+    O(batch)). The index table additionally carries ``run_key`` (probe
+    bookkeeping, not a merge key — a re-ingested id converges onto one
+    row). With ``txn`` the snapshot is staged only; the caller's
+    ``txn.commit()`` lands every sink of the batch in one atomic group
+    commit."""
+    partition_by = partition_by or [BATCH_COL]
+    touched = touched or [(batch_id,)]
     tagged = df.withColumn(BATCH_COL, F.lit(batch_id).cast("int"))
     if run_key is not None:
         tagged = tagged.withColumn(RUN_COL, F.lit(run_key))
@@ -256,21 +277,80 @@ def _tagged_merge(
                 "manifest — migrate the pre-r13 sink output before "
                 "resuming the drain (see apply_ingest_step)"
             )
-        tbl.write(tagged, partition_by=[BATCH_COL], txn=txn)
+        tbl.write(tagged, partition_by=partition_by, txn=txn)
         return
-    # source_unique: survivors are one row per id, bands one per
-    # (id, band), sets one per id — key-unique by construction, so the
-    # insert-only fast path (fresh partition, the common case) skips
-    # the defensive dedup shuffle. touched_partitions: every row is
-    # lit(batch_id)-tagged, so the merge needn't evaluate the (
-    # expensive, computed) source once just to discover its one
-    # partition — the write's evaluation is the only one.
+    # source_unique: survivors are one row per id, band rows one per
+    # (id, band), set rows one per id (band=SET_BAND) — key-unique by
+    # construction, so the insert-only fast path (fresh partition, the
+    # common case) skips the defensive dedup shuffle.
+    # touched_partitions: every row is lit-tagged, so the merge
+    # needn't evaluate the (expensive, computed) source once just to
+    # discover its partitions — the write's evaluation is the only one.
     tbl.merge_upsert(
         tagged,
         keys=[BATCH_COL, *keys],
         source_unique=True,
-        touched_partitions=[(batch_id,)],
+        touched_partitions=touched,
         txn=txn,
+    )
+
+
+def fold_index_rows(
+    bands_df: DataFrame, sets_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Union the two signature relations into the folded index-table
+    shape: band rows carry (band, band_hash), set rows carry __set
+    under ``band = SET_BAND`` — one relation, so the sink is ONE merge
+    and one write job per batch instead of two."""
+    b = bands_df.select(
+        F.col(id_col),
+        F.col("band"),
+        F.col("band_hash"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("__set"),
+        F.lit(KIND_BANDS).alias(KIND_COL),
+    )
+    s = sets_df.select(
+        F.col(id_col),
+        F.lit(SET_BAND).cast("int").alias("band"),
+        F.lit(None).cast("long").alias("band_hash"),
+        F.col("__set"),
+        F.lit(KIND_SETS).alias(KIND_COL),
+    )
+    return b.unionByName(s)
+
+
+def migrate_split_index(
+    spark: SparkSession,
+    bands_path: str,
+    sets_path: str,
+    index_path: str,
+) -> None:
+    """One-shot migration of an r13 TWO-TABLE index (separate bands /
+    sets ManagedTables) into the r14 folded single-table layout at
+    ``index_path``, preserving the ingest_batch / run_key bookkeeping
+    so replay identity survives the migration.  Run it with the drain
+    stopped; then resume with ``index_dir=index_path``."""
+    bands = ManagedTable(spark, bands_path).read()
+    sets = ManagedTable(spark, sets_path).read()
+    id_col = [
+        c
+        for c in bands.columns
+        if c not in (BATCH_COL, RUN_COL, "band", "band_hash")
+    ][0]
+    b = bands.select(
+        F.col(id_col), F.col("band"), F.col("band_hash"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("__set"),
+        F.lit(KIND_BANDS).alias(KIND_COL),
+        *[F.col(c) for c in (BATCH_COL, RUN_COL) if c in bands.columns],
+    )
+    s = sets.select(
+        F.col(id_col), F.lit(SET_BAND).cast("int").alias("band"),
+        F.lit(None).cast("long").alias("band_hash"), F.col("__set"),
+        F.lit(KIND_SETS).alias(KIND_COL),
+        *[F.col(c) for c in (BATCH_COL, RUN_COL) if c in sets.columns],
+    )
+    ManagedTable(spark, index_path).write(
+        b.unionByName(s), partition_by=[BATCH_COL, KIND_COL]
     )
 
 
@@ -279,8 +359,7 @@ def apply_ingest_step(
     batch_df: DataFrame,
     batch_id: int,
     out_path: str,
-    bands_path: str,
-    sets_path: str,
+    index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
@@ -291,13 +370,17 @@ def apply_ingest_step(
     replayable in tests — call it twice with the same (batch_df,
     batch_id, run_key) and the tables must not change the second time).
 
-    Atomicity (r14): all three sinks land through ONE
-    :class:`GroupTransaction` — the survivors merge and both index
+    Atomicity (r14): both sinks — the survivors table and the folded
+    index table — land through ONE :class:`GroupTransaction`: the
     merges stage their snapshots, then a single group commit applies
-    them together. A crash anywhere in the step leaves either all
-    three tables advanced or none; the partial states the r13 design
-    had to recover from (signatures landed, survivors lost; bands
-    without sets) are structurally impossible through this path.
+    them together. A crash anywhere in the step leaves either both
+    tables advanced or neither; the partial states the r13 design had
+    to recover from (signatures landed, survivors lost; bands without
+    sets) are structurally impossible through this path. Folding the
+    two signature relations into one table (band rows + set rows under
+    ``kind`` partitions, set rows at ``band = SET_BAND``) also halves
+    the per-batch sink work: one merge, one write job, one table to
+    vacuum.
 
     Probe scope: the index is read at its CURRENT ManagedTable version
     (an immutable snapshot — appends create new versions, so lazy
@@ -339,42 +422,49 @@ def apply_ingest_step(
             & (F.col(BATCH_COL) == F.lit(batch_id))
         )
 
-        def _index(path: str, cols: list[str], schema) -> DataFrame:
-            # each table probed INDEPENDENTLY (review catch): a crash
-            # between the bands and sets merges of the very first batch
-            # leaves bands existing and sets not — gating both reads on
-            # bands alone made every replay raise FileNotFoundError and
-            # bricked the stream. A missing table is an empty relation;
-            # a NON-table directory holding parquet (the r12 sink's
-            # plain appends, or hand-seeded files) is a format break
-            # that must be loud, not a silently-empty index that
-            # re-keeps every previously-deduped document.
-            tbl = ManagedTable(spark, path)
-            if tbl.exists:
-                return tbl.read().filter(not_self).select(*cols)
+        tbl = ManagedTable(spark, index_path)
+        if tbl.exists:
+            idx = tbl.read()
+            if KIND_COL not in idx.columns:
+                raise ValueError(
+                    f"{index_path} is an r13 split-layout index table "
+                    "(no 'kind' column) — the r14 loop folds bands and "
+                    "sets into one table. Migrate once with "
+                    "migrate_split_index(spark, bands_path, sets_path, "
+                    "index_path) and resume with index_dir="
+                    "index_path; probing it unfiltered would "
+                    "misclassify every row."
+                )
+            idx = idx.filter(not_self)
+            # two partition-pruned projections of ONE snapshot read:
+            # kind is a partition column, so the bands projection scans
+            # only kind=bands directories (and never deserializes the
+            # heavy __set arrays), symmetrically for sets
+            index_bands = idx.filter(
+                F.col(KIND_COL) == KIND_BANDS
+            ).select(id_col, "band", "band_hash")
+            index_sets = idx.filter(F.col(KIND_COL) == KIND_SETS).select(
+                id_col, "__set"
+            )
+        else:
             import pathlib
 
-            p = pathlib.Path(path)
+            p = pathlib.Path(index_path)
             if p.exists() and any(p.rglob("*.parquet")):
+                # a NON-table directory holding parquet (the r12
+                # sink's plain appends, or hand-seeded files) is a
+                # format break that must be loud, not a silently-empty
+                # index that re-keeps every previously-deduped document
                 raise ValueError(
-                    f"{path} holds parquet data but no ManagedTable "
-                    "manifest — a pre-r13 plain-parquet index (or "
-                    "hand-seeded files). Migrate it first: read the old "
-                    "files and ManagedTable(spark, path_new).write(df, "
-                    "partition_by=['ingest_batch']) after tagging rows "
-                    "with ingest_batch/run_key; probing it as empty "
-                    "would silently discard the accumulated index."
+                    f"{index_path} holds parquet data but no "
+                    "ManagedTable manifest — a pre-r13 plain-parquet "
+                    "index (or hand-seeded files). Migrate it first "
+                    "(see migrate_split_index for the r13 two-table "
+                    "layout); probing it as empty would silently "
+                    "discard the accumulated index."
                 )
-            return spark.createDataFrame([], schema)
-
-        index_bands = _index(
-            bands_path,
-            [id_col, "band", "band_hash"],
-            _bands_schema(id_col),
-        )
-        index_sets = _index(
-            sets_path, [id_col, "__set"], _sets_schema(id_col)
-        )
+            index_bands = spark.createDataFrame([], _bands_schema(id_col))
+            index_sets = spark.createDataFrame([], _sets_schema(id_col))
         survivors, new_bands, new_sets = ingest_batch(
             batch_df,
             index_bands,
@@ -388,27 +478,30 @@ def apply_ingest_step(
             eager_pin=False,
             **sig_params,
         )
-        # one atomic commit across the three sinks (r14): each merge
-        # stages its snapshot (all the Spark work happens here), the
-        # group commit below applies the manifests together — all
-        # three tables advance or none do
+        # one atomic commit across both sinks (r14): each merge stages
+        # its snapshot (all the Spark work happens here), the group
+        # commit below applies the manifests together — both tables
+        # advance or neither does
         txn = GroupTransaction()
         _tagged_merge(
             spark, out_path, survivors, batch_id, [id_col], txn=txn
         )
         _tagged_merge(
-            spark, bands_path, new_bands, batch_id, [id_col, "band"],
-            run_key=run_key, txn=txn,
-        )
-        _tagged_merge(
-            spark, sets_path, new_sets, batch_id, [id_col],
-            run_key=run_key, txn=txn,
+            spark,
+            index_path,
+            fold_index_rows(new_bands, new_sets, id_col),
+            batch_id,
+            [KIND_COL, id_col, "band"],
+            run_key=run_key,
+            txn=txn,
+            partition_by=[BATCH_COL, KIND_COL],
+            touched=[(batch_id, KIND_BANDS), (batch_id, KIND_SETS)],
         )
         txn.commit()
     finally:
         # deterministic release per batch (public API — drops blocks
-        # AND the CacheManager entries): by now all three merges are
-        # committed and the next batch re-reads from the tables, so
+        # AND the CacheManager entries): by now the group commit has
+        # landed and the next batch re-reads from the tables, so
         # nothing references the blocks.
         for df in persisted:
             df.unpersist()
@@ -447,8 +540,7 @@ def stream_near_dup_ingest(
     spark: SparkSession,
     source_stream: DataFrame,
     out_dir: str,
-    bands_dir: str,
-    sets_dir: str,
+    index_dir: str,
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -460,15 +552,18 @@ def stream_near_dup_ingest(
     **sig_params,
 ) -> "object | None":
     """Drain ``source_stream`` (availableNow) through the ingest loop:
-    per micro-batch, dedup against the index tables AS THEY EXIST,
-    merge survivors (tagged with ``ingest_batch`` = the micro-batch
-    id) into the ``out_dir`` ManagedTable and their signatures into
-    the index tables. The index starts empty; batch 0's probe sees
-    zero rows and only the within-batch rule applies — no
-    special-casing. All three sinks are ManagedTables keyed per batch,
-    so the drain is idempotent under foreachBatch redelivery (see
-    ``apply_ingest_step``); read results with ``ManagedTable.read()``,
-    not a raw parquet scan of the directory.
+    per micro-batch, dedup against the index table AS IT EXISTS, merge
+    survivors (tagged with ``ingest_batch`` = the micro-batch id) into
+    the ``out_dir`` ManagedTable and their signatures into the folded
+    ``index_dir`` table (band rows + shingle-set rows under ``kind``
+    partitions — one table since r14; ``migrate_split_index`` converts
+    an r13 two-table index). The index starts empty; batch 0's probe
+    sees zero rows and only the within-batch rule applies — no
+    special-casing. Both sinks are ManagedTables keyed per batch and
+    committed atomically per batch, so the drain is idempotent under
+    foreachBatch redelivery (see ``apply_ingest_step``); read results
+    with ``ManagedTable.read()``, not a raw parquet scan of the
+    directory.
 
     ``shuffle_partitions`` sizes the foreachBatch joins (latched into
     the stream's cloned session at start, caller conf restored
@@ -486,9 +581,9 @@ def stream_near_dup_ingest(
     above is per-batch, so it holds identically in continuous mode.
 
     ``maintain_every=N`` rides table maintenance on the loop: after
-    every Nth batch, superseded snapshot versions of all three sink
-    tables are vacuumed (each batch commits three new versions — a
-    long drain otherwise accumulates thousands of snapshot dirs whose
+    every Nth batch, superseded snapshot versions of both sink tables
+    are vacuumed (each batch commits a new version per sink — a long
+    drain otherwise accumulates thousands of snapshot dirs whose
     hard links cost commit time and inodes). Runs BETWEEN batches,
     when nothing references the superseded dirs; replay stays safe
     because a replayed batch reads only the CURRENT version (the
@@ -539,8 +634,7 @@ def stream_near_dup_ingest(
             batch_df,
             batch_id,
             out_dir,
-            bands_dir,
-            sets_dir,
+            index_dir,
             id_col,
             text_col,
             jaccard_threshold,
@@ -548,7 +642,7 @@ def stream_near_dup_ingest(
             **sig_params,
         )
         if maintain_every and batch_id % maintain_every == maintain_every - 1:
-            for path in (out_dir, bands_dir, sets_dir):
+            for path in (out_dir, index_dir):
                 tbl = ManagedTable(spark, path)
                 if tbl.exists:
                     tbl.vacuum(keep_snapshots=1)

@@ -124,8 +124,7 @@ def test_stream_matches_sequential_batches_and_index_grows(spark):
         spark,
         src,
         f"{tmp}/kept",
-        f"{tmp}/bands",
-        f"{tmp}/sets",
+        f"{tmp}/index",
         f"{tmp}/ckpt",
         cache=False,
     )
@@ -137,7 +136,8 @@ def test_stream_matches_sequential_batches_and_index_grows(spark):
     # the index holds exactly the survivors' signatures
     idx_ids = {
         r["doc_id"]
-        for r in _read_table(spark, f"{tmp}/bands")
+        for r in _read_table(spark, f"{tmp}/index")
+        .filter(F.col("kind") == "bands")
         .select("doc_id")
         .distinct()
         .collect()
@@ -160,7 +160,7 @@ def test_restart_resumes_from_the_index_tables(spark):
         .parquet(drop1)
     )
     stream_near_dup_ingest(
-        spark, src1, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        spark, src1, f"{tmp}/kept", f"{tmp}/index",
         f"{tmp}/ckpt1", cache=False,
     )
     second = _docs(spark, [(20, _NEAR), (21, "novel text entirely")])
@@ -171,7 +171,7 @@ def test_restart_resumes_from_the_index_tables(spark):
         .parquet(drop2)
     )
     stream_near_dup_ingest(
-        spark, src2, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        spark, src2, f"{tmp}/kept", f"{tmp}/index",
         f"{tmp}/ckpt2", cache=False,
     )
     kept = sorted(
@@ -203,7 +203,7 @@ def test_replay_of_a_batch_is_idempotent(spark):
     tmp = tempfile.mkdtemp(prefix="ndup_replay_")
     b0 = _docs(spark, [(1, _NEAR), (2, _NEAR2), (9, _OTHER)])
     b1 = _docs(spark, [(11, _NEAR3), (12, "fresh content five six seven")])
-    args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
+    args = (f"{tmp}/kept", f"{tmp}/index")
     # a REPLAY shares the original's stream identity (the streaming
     # sink's checkpoint-scoped run_key); an omitted run_key now mints
     # a fresh nonce per call (ADVICE r13) — not a replay
@@ -239,7 +239,7 @@ def test_replay_after_partial_failure_recovers_survivors(spark):
     )
 
     tmp = tempfile.mkdtemp(prefix="ndup_partial_")
-    args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
+    args = (f"{tmp}/kept", f"{tmp}/index")
     b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
     apply_ingest_step(spark, b0, 0, *args, run_key="rk", cache=False)
     # simulate the crash for batch 1: signatures written, survivors NOT
@@ -247,22 +247,21 @@ def test_replay_after_partial_failure_recovers_survivors(spark):
     # kept as the defense-in-depth contract for direct callers with
     # hand-rolled partial index state)
     b1 = _docs(spark, [(21, "unique fresh content eight nine ten")])
-    bands0 = _read_table(spark, f"{tmp}/bands").select(
+    idx = _read_table(spark, f"{tmp}/index")
+    bands0 = idx.filter(F.col("kind") == "bands").select(
         "doc_id", "band", "band_hash"
     )
-    sets0 = _read_table(spark, f"{tmp}/sets").select("doc_id", "__set")
+    sets0 = idx.filter(F.col("kind") == "sets").select("doc_id", "__set")
     _, sb, ss = ingest_batch(b1, bands0, sets0, cache=False)
     # same tags apply_ingest_step(run_key="rk") would write: the crash
     # happened INSIDE that step, so its partial rows carry its identity
-    ManagedTable(spark, f"{tmp}/bands").merge_upsert(
-        sb.withColumn("ingest_batch", F.lit(1).cast("int"))
+    from cdk_datalake_ingest_spark.streaming.neardup import fold_index_rows
+
+    ManagedTable(spark, f"{tmp}/index").merge_upsert(
+        fold_index_rows(sb, ss)
+        .withColumn("ingest_batch", F.lit(1).cast("int"))
         .withColumn("run_key", F.lit("rk")),
-        keys=["ingest_batch", "doc_id", "band"],
-    )
-    ManagedTable(spark, f"{tmp}/sets").merge_upsert(
-        ss.withColumn("ingest_batch", F.lit(1).cast("int"))
-        .withColumn("run_key", F.lit("rk")),
-        keys=["ingest_batch", "doc_id"],
+        keys=["ingest_batch", "kind", "doc_id", "band"],
     )
     # replay batch 1 through the real step: doc 21 must survive even
     # though its own signatures already sit in the index
@@ -273,8 +272,8 @@ def test_replay_after_partial_failure_recovers_survivors(spark):
     assert kept == [1, 9, 21]
     # and the index did not duplicate batch 1's signatures
     n_sig = (
-        _read_table(spark, f"{tmp}/bands")
-        .filter(F.col("doc_id") == 21)
+        _read_table(spark, f"{tmp}/index")
+        .filter((F.col("doc_id") == 21) & (F.col("kind") == "bands"))
         .count()
     )
     assert n_sig == 8  # one row per band, default bands=8
@@ -301,7 +300,7 @@ def test_fresh_checkpoint_reingest_converges(spark):
             .parquet(drop)
         )
         stream_near_dup_ingest(
-            spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+            spark, src, f"{tmp}/kept", f"{tmp}/index",
             ckpt, cache=False,
         )
 
@@ -333,7 +332,7 @@ def test_continuous_mode_returns_live_query_and_ingests(spark):
         .parquet(drop)
     )
     q = stream_near_dup_ingest(
-        spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        spark, src, f"{tmp}/kept", f"{tmp}/index",
         f"{tmp}/ckpt", cache=False, available_now=False,
     )
     assert q is not None
@@ -389,7 +388,7 @@ def test_maintain_every_vacuums_between_batches(spark):
         .parquet(drop)
     )
     stream_near_dup_ingest(
-        spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        spark, src, f"{tmp}/kept", f"{tmp}/index",
         f"{tmp}/ckpt", cache=False, maintain_every=1,
     )
     kept = {
@@ -397,7 +396,7 @@ def test_maintain_every_vacuums_between_batches(spark):
         for r in _read_table(spark, f"{tmp}/kept").collect()
     }
     assert kept == {0: 0, 4: 1}  # 3 dominated by 0; 1 near-dup of kept 0
-    for sub in ("kept", "bands", "sets"):
+    for sub in ("kept", "index"):
         vdirs = [
             d for d in os.listdir(f"{tmp}/{sub}")
             if d.startswith("v") and d[1:].isdigit()
@@ -406,41 +405,47 @@ def test_maintain_every_vacuums_between_batches(spark):
 
 
 def test_first_batch_partial_crash_between_index_merges_recovers(spark):
-    """Review catch: a first-batch crash BETWEEN the bands and sets
-    merges (bands table exists, sets table doesn't) must replay
-    losslessly — each index table is probed independently, a missing
-    one reading as empty."""
+    """Direct-caller defense (the crash-between-index-merges scenario
+    this test originally pinned is structurally impossible since the
+    r14 fold + atomic group commit): a hand-seeded index table holding
+    batch 0's signatures while the survivors table never landed must
+    still replay losslessly via the self-step probe exclusion."""
     import tempfile
 
     from cdk_datalake_ingest_spark.operators.table import ManagedTable
     from cdk_datalake_ingest_spark.streaming.neardup import (
         apply_ingest_step,
+        fold_index_rows,
         ingest_batch,
     )
 
     tmp = tempfile.mkdtemp(prefix="ndup_fb_")
     b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
     bands0, sets0 = _empty_index(spark)
-    _, sb, _ = ingest_batch(b0, bands0, sets0, cache=False)
-    # simulate: kept + bands written, crash before sets (structurally
-    # impossible through the r14 atomic group commit; kept as the
-    # direct-caller defense contract)
-    ManagedTable(spark, f"{tmp}/bands").write(
-        sb.withColumn("ingest_batch", F.lit(0).cast("int"))
+    _, sb, ss = ingest_batch(b0, bands0, sets0, cache=False)
+    # simulate: index written with batch 0's signatures, survivors NOT
+    ManagedTable(spark, f"{tmp}/index").write(
+        fold_index_rows(sb, ss)
+        .withColumn("ingest_batch", F.lit(0).cast("int"))
         .withColumn("run_key", F.lit("rk")),
-        partition_by=["ingest_batch"],
+        partition_by=["ingest_batch", "kind"],
     )
     # replay batch 0 through the real step: must not raise, must land
-    # both survivors and the sets table
+    # the survivors despite their own signatures sitting in the index
     apply_ingest_step(
-        spark, b0, 0, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        spark, b0, 0, f"{tmp}/kept", f"{tmp}/index",
         run_key="rk", cache=False,
     )
     kept = sorted(
         r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
     )
     assert kept == [1, 9]
-    assert _read_table(spark, f"{tmp}/sets").count() > 0
+    assert (
+        _read_table(spark, f"{tmp}/index")
+        .filter(F.col("kind") == "sets")
+        .count()
+        > 0
+    )
 
 
 def test_checkpoint_path_reuse_mints_fresh_run_key(spark):
@@ -476,7 +481,7 @@ def test_checkpoint_path_reuse_mints_fresh_run_key(spark):
             .parquet(drop)
         )
         stream_near_dup_ingest(
-            spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+            spark, src, f"{tmp}/kept", f"{tmp}/index",
             f"{tmp}/ckpt2", cache=False,
         )
 
@@ -501,16 +506,15 @@ def test_pre_r13_plain_parquet_index_is_a_loud_error(spark):
     )
 
     tmp = tempfile.mkdtemp(prefix="ndup_oldfmt_")
-    # old-format bands dir: raw parquet, no manifest
-    _docs(spark, [(5, _NEAR)]).write.parquet(f"{tmp}/bands")
+    # old-format index dir: raw parquet, no manifest
+    _docs(spark, [(5, _NEAR)]).write.parquet(f"{tmp}/index")
     with pytest.raises(ValueError, match="manifest"):
         apply_ingest_step(
             spark,
             _docs(spark, [(1, _OTHER)]),
             0,
             f"{tmp}/kept",
-            f"{tmp}/bands",
-            f"{tmp}/sets",
+            f"{tmp}/index",
             cache=False,
         )
 
@@ -531,7 +535,7 @@ def test_batch_sinks_commit_atomically(spark, monkeypatch):
     )
 
     tmp = tempfile.mkdtemp(prefix="ndup_atomic_")
-    args = (f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets")
+    args = (f"{tmp}/kept", f"{tmp}/index")
     b0 = _docs(spark, [(1, _NEAR), (9, _OTHER)])
     apply_ingest_step(spark, b0, 0, *args, run_key="rk", cache=False)
     versions_before = [
@@ -578,8 +582,7 @@ def test_object_store_checkpoint_requires_explicit_run_key(spark):
             spark,
             None,
             "/tmp/x/kept",
-            "/tmp/x/bands",
-            "/tmp/x/sets",
+            "/tmp/x/index",
             "s3://bucket/ckpt",
         )
 
@@ -601,12 +604,12 @@ def test_explicit_run_key_threads_through_the_stream(spark):
         .parquet(drop)
     )
     stream_near_dup_ingest(
-        spark, src, f"{tmp}/kept", f"{tmp}/bands", f"{tmp}/sets",
+        spark, src, f"{tmp}/kept", f"{tmp}/index",
         f"{tmp}/ckpt", run_key="caller-owned-key", cache=False,
     )
     keys = {
         r["run_key"]
-        for r in _read_table(spark, f"{tmp}/bands")
+        for r in _read_table(spark, f"{tmp}/index")
         .select("run_key").distinct().collect()
     }
     assert keys == {"caller-owned-key"}
@@ -616,3 +619,65 @@ def test_explicit_run_key_threads_through_the_stream(spark):
     from cdk_datalake_ingest_spark.streaming.neardup import RUN_KEY_FILE
 
     assert not os.path.exists(f"{tmp}/ckpt/{RUN_KEY_FILE}")
+
+
+def test_r13_split_index_raises_and_migrates(spark):
+    """An r13 two-table index passed as index_dir must fail loudly (no
+    'kind' column), and migrate_split_index must fold it — preserving
+    batch/run_key bookkeeping — so the drain resumes deduping against
+    everything previously kept."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from cdk_datalake_ingest_spark.operators.table import ManagedTable
+    from cdk_datalake_ingest_spark.streaming.neardup import (
+        apply_ingest_step,
+        ingest_batch,
+        migrate_split_index,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ndup_migr_")
+    b0 = _docs(spark, [(10, _NEAR), (11, _OTHER)])
+    bands0, sets0 = _empty_index(spark)
+    _, sb, ss = ingest_batch(b0, bands0, sets0, cache=False)
+    # build the r13 layout: separate bands/sets tables with tags
+    for name, df, in (("bands", sb), ("sets", ss)):
+        ManagedTable(spark, f"{tmp}/{name}").write(
+            df.withColumn("ingest_batch", F.lit(0).cast("int"))
+            .withColumn("run_key", F.lit("old")),
+            partition_by=["ingest_batch"],
+        )
+    ManagedTable(spark, f"{tmp}/kept").write(
+        b0.withColumn("ingest_batch", F.lit(0).cast("int")),
+        partition_by=["ingest_batch"],
+    )
+    # the split table as index_dir: loud, actionable error
+    with _pytest.raises(ValueError, match="migrate_split_index"):
+        apply_ingest_step(
+            spark,
+            _docs(spark, [(20, _NEAR)]),
+            0,
+            f"{tmp}/kept",
+            f"{tmp}/bands",
+            cache=False,
+        )
+    migrate_split_index(
+        spark, f"{tmp}/bands", f"{tmp}/sets", f"{tmp}/index"
+    )
+    idx = _read_table(spark, f"{tmp}/index")
+    assert {r["run_key"] for r in idx.select("run_key").collect()} == {"old"}
+    # resume the drain: 20 (near-dup of migrated 10) dropped, 21 kept
+    apply_ingest_step(
+        spark,
+        _docs(spark, [(20, _NEAR), (21, "totally novel content here")]),
+        1,
+        f"{tmp}/kept",
+        f"{tmp}/index",
+        run_key="new",
+        cache=False,
+    )
+    kept = sorted(
+        r["doc_id"] for r in _read_table(spark, f"{tmp}/kept").collect()
+    )
+    assert kept == [10, 11, 21]

@@ -82,8 +82,8 @@ def main() -> None:
                 batch,
                 b,
                 f"{tmp}/kept",
-                f"{tmp}/bands",
-                f"{tmp}/sets",
+                f"{tmp}/index",
+                run_key="sweep",
             )
         wall = time.time() - t0
         from cdk_datalake_ingest_spark.operators.table import ManagedTable
