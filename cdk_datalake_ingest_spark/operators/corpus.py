@@ -64,6 +64,7 @@ def unigram_lm_scores(
     alpha: float = 0.5,
     broadcast_vocab: bool = True,
     cache: bool = True,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Score each document by its average per-token surprisal (bits
     per token) under a corpus self-trained additively-smoothed unigram
@@ -91,6 +92,8 @@ def unigram_lm_scores(
     )
     if cache:
         base = base.persist()
+        if persisted is not None:
+            persisted.append(base)
     toks = base.select(
         F.col(id_col), F.explode(F.col("__toks")).alias("tok")
     )
@@ -126,6 +129,7 @@ def nb_quality_scores(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     cache: bool = True,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Classifier-based quality filtering (the fastText-classifier
     pattern of GPT-3 §A / DataComp-LM / FineWeb-Edu, with the gradient
@@ -168,6 +172,8 @@ def nb_quality_scores(
         # build and the scoring join both explode from it, and the
         # prior aggregate reads only __pos off the same cache
         labeled = labeled.persist()
+        if persisted is not None:
+            persisted.append(labeled)
     toks = labeled.select(
         F.col(id_col),
         "__pos",
@@ -390,6 +396,7 @@ def scrub_boilerplate(
     id_col: str = "doc_id",
     check_ids: bool = True,
     cache: bool = True,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Boilerplate REMOVAL (the scrub half of C4's repeated-span
     dedup, Raffel et al. 2020 §2.2 — there spans are three-sentence
@@ -440,6 +447,8 @@ def scrub_boilerplate(
     )
     if cache:
         base = base.persist()
+        if persisted is not None:
+            persisted.append(base)
     sh = base.select(
         F.col(id_col),
         F.posexplode(word_shingles_of_tokens(F.col("__toks"), n)).alias(
@@ -513,6 +522,7 @@ def dedup_substrings(
     id_col: str = "doc_id",
     check_ids: bool = True,
     cache: bool = True,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact substring deduplication (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): every length-L token
@@ -571,6 +581,8 @@ def dedup_substrings(
     )
     if cache:
         base = base.persist()
+        if persisted is not None:
+            persisted.append(base)
     wins = (
         base.select(
             F.col(id_col),

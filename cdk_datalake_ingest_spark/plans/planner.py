@@ -244,12 +244,25 @@ class RunPlanner:
             for t in group
         ]
         results: list[TableRunResult] = []
+        # Retry budget carried ACROSS wait requeues (ADVICE r13): each
+        # WAITING cycle re-enters retry() with whatever budget the
+        # table has LEFT, not a fresh max_attempts — otherwise a runner
+        # interleaving transient failures with not-ready answers could
+        # execute max_attempts × (max_flow_waits+1) times before
+        # terminally failing. The not-ready probe itself is re-credited
+        # below (wait cycles consume wait-budget, transient failures
+        # consume retry-budget — never each other's).
+        remaining = [self.max_attempts] * len(tables)
 
-        def one(t: TableSpec) -> TableRunResult:
+        def one(i: int, t: TableSpec) -> TableRunResult:
+            def attempt():
+                remaining[i] -= 1
+                return runner(t)
+
             try:
                 retry(
-                    lambda: runner(t),
-                    max_attempts=self.max_attempts,
+                    attempt,
+                    max_attempts=remaining[i],
                     backoff_rate=self.backoff_rate,
                     base_sleep=self.base_sleep,
                     # no-data is terminal-by-design; a not-ready flow
@@ -269,6 +282,10 @@ class RunPlanner:
                 # (the reference's Wait-state loop, iterator slot
                 # notwithstanding — max_concurrency=100 there makes
                 # slots a non-resource; here they are the resource).
+                # Re-credit the probe's attempt: discovering the feed
+                # is not ready is charged to max_flow_waits, not to the
+                # retry budget.
+                remaining[i] += 1
                 return TableRunResult(t.target_table_name, "WAITING", str(e))
             except Exception as e:  # noqa: BLE001 - isolation by design
                 # warning-vs-failed classification, exactly the
@@ -304,7 +321,7 @@ class RunPlanner:
         waits_used = [0] * len(tables)
         with ThreadPoolExecutor(max_workers=self.max_concurrency) as pool:
             futures = {
-                pool.submit(one, t): i for i, t in enumerate(tables)
+                pool.submit(one, i, t): i for i, t in enumerate(tables)
             }
             wait_heap: list[tuple[float, int]] = []
             while futures or wait_heap:
@@ -363,7 +380,7 @@ class RunPlanner:
                 now = time.monotonic()
                 while wait_heap and wait_heap[0][0] <= now:
                     _, i = heapq.heappop(wait_heap)
-                    futures[pool.submit(one, tables[i])] = i
+                    futures[pool.submit(one, i, tables[i])] = i
         results = [r for r in slots if r is not None]
         self.results = results
         if self.notifier:

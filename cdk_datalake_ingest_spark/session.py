@@ -111,10 +111,16 @@ def require_non_null_ids(df, id_col: str, caller: str) -> None:
         )
 
 
-#: session-scoped verified-keys memo for require_unique_non_null_ids:
-#: semanticHash -> [(DataFrame, id_col), ...] of plans already probed
-#: clean. Holds analyzed-plan references only (no data); bounded below.
-_VERIFIED_IDS: dict[int, list] = {}
+#: verified-keys memo for require_unique_non_null_ids, keyed WEAKLY
+#: per SparkSession (ADVICE r13): semanticHash -> [(DataFrame,
+#: id_col), ...] of plans already probed clean in THAT session.  A
+#: stopped session's entries drop with the session object itself — no
+#: wholesale clear, and the memo never pins a dead session (or its
+#: DataFrames) alive.  Holds analyzed-plan references only (no data);
+#: bounded per session below.
+import weakref as _weakref
+
+_VERIFIED_IDS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 _VERIFIED_IDS_CAP = 256
 
 
@@ -125,7 +131,9 @@ def verified_ids_cache_clear() -> None:
     _VERIFIED_IDS.clear()
 
 
-def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
+def require_unique_non_null_ids(
+    df, id_col: str, caller: str, memoize: bool = True
+) -> None:
     """Probe that a row-identity column is non-NULL AND unique, and
     raise — the guard for operators that REASSEMBLE results by
     ``id_col`` (bpe_tokenize vocab, scrub_boilerplate,
@@ -152,28 +160,25 @@ def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
     the SAME id relation — or a gate suite probing the same table
     plan query after query — runs the scan once instead of per call.
     The memo sees plan semantics, not file contents: re-probing the
-    same plan over files mutated in place would wrongly skip — call
-    :func:`verified_ids_cache_clear` after such mutations (the
+    same plan over files mutated in place would wrongly skip — pass
+    ``memoize=False`` when probing relations over mutable paths (or
+    call :func:`verified_ids_cache_clear` after such mutations; the
     engine's own tables are immutable-snapshot ManagedTables, where
-    this cannot happen)."""
+    this cannot happen).  Entries live in a per-SparkSession weak
+    store, so stopping the session drops its verifications with it."""
     key = None
+    session_memo = None
     try:
-        key = df.semanticHash()
-        for cached_df, cached_col in _VERIFIED_IDS.get(key, ()):
-            # SAME-SESSION only (review catch): the memo is
-            # process-global, but a verification must not outlive its
-            # SparkSession — after spark.stop(), files under the same
-            # path may be regenerated with duplicate/NULL ids and the
-            # identical plan in a NEW session would wrongly skip the
-            # probe (the exact corruption it guards against). Session
-            # identity makes "per session" true by construction;
-            # entries from dead sessions age out at the cap clear.
-            if (
-                cached_col == id_col
-                and cached_df.sparkSession is df.sparkSession
-                and df.sameSemantics(cached_df)
-            ):
-                return
+        if memoize:
+            key = df.semanticHash()
+            # WeakKeyDictionary keyed on the session object: "per
+            # session" is structural — a new session at the same paths
+            # starts with an empty memo, and dead sessions are never
+            # pinned by the cache (review catch + ADVICE r13).
+            session_memo = _VERIFIED_IDS.setdefault(df.sparkSession, {})
+            for cached_df, cached_col in session_memo.get(key, ()):
+                if cached_col == id_col and df.sameSemantics(cached_df):
+                    return
     except Exception:  # pragma: no cover - hash unavailable: just probe
         key = None
     bad = (
@@ -182,10 +187,10 @@ def require_unique_non_null_ids(df, id_col: str, caller: str) -> None:
         .where(F.col("__id").isNull() | (F.col("__n") > 1))
         .take(1)
     )
-    if not bad and key is not None:
-        if len(_VERIFIED_IDS) >= _VERIFIED_IDS_CAP:
-            _VERIFIED_IDS.clear()
-        _VERIFIED_IDS.setdefault(key, []).append((df, id_col))
+    if not bad and key is not None and session_memo is not None:
+        if len(session_memo) >= _VERIFIED_IDS_CAP:
+            session_memo.clear()
+        session_memo.setdefault(key, []).append((df, id_col))
     if bad:
         row = bad[0]
         if row["__id"] is None:

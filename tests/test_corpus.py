@@ -669,30 +669,87 @@ def test_unique_id_probe_memoizes_clean_plans_per_session(spark):
 
 
 def test_unique_id_probe_memo_is_session_scoped(spark):
-    """Review catch: a verification must not outlive its SparkSession —
-    a cached entry whose frame belongs to a DIFFERENT session is not a
-    hit (files under the same path may have been regenerated between
-    sessions with duplicate ids)."""
+    """Review catch (restructured for the r14 weak per-session store):
+    a verification must not outlive its SparkSession. The memo is now
+    a WeakKeyDictionary keyed on the session object, so the property
+    is structural — a different session has its own (initially empty)
+    namespace, and a dead session's entries drop with the object."""
+    import gc
+
     from cdk_datalake_ingest_spark import session as S
 
     S.verified_ids_cache_clear()
     clean = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     S.require_unique_non_null_ids(clean, "doc_id", "t")
-    assert len(S._VERIFIED_IDS) == 1
-    # forge a cross-session entry: same key, frame pinned to a foreign
-    # session object — the identity check must force a re-probe
-    (key, entries), = S._VERIFIED_IDS.items()
+    # the entry lives under THIS session's namespace
+    assert spark in S._VERIFIED_IDS and len(S._VERIFIED_IDS[spark]) == 1
 
     class _ForeignSession:  # stands in for a stopped/other session
         pass
 
-    class _ForeignFrame:
-        sparkSession = _ForeignSession()
-
-    S._VERIFIED_IDS[key] = [(_ForeignFrame(), "doc_id")]
-    # the probe re-runs (and re-memoizes with the LIVE frame) instead
-    # of trusting the foreign entry
+    foreign = _ForeignSession()
+    S._VERIFIED_IDS[foreign] = {123: [("frame", "doc_id")]}
+    # foreign namespaces never leak into this session's lookups
     S.require_unique_non_null_ids(clean, "doc_id", "t")
-    live = S._VERIFIED_IDS[key]
-    assert any(df.sparkSession is clean.sparkSession for df, _ in live)
+    assert len(S._VERIFIED_IDS[spark]) == 1
+    # and a dropped session object takes its verifications with it —
+    # no wholesale clear needed (ADVICE r13)
+    del foreign
+    gc.collect()
+    assert all(
+        not isinstance(k, _ForeignSession) for k in S._VERIFIED_IDS.keys()
+    )
     S.verified_ids_cache_clear()
+
+
+def test_unique_id_probe_memoize_opt_out(spark):
+    """ADVICE r13: memoize=False probes every call and records nothing
+    — the escape hatch for identical plans over files mutated in place
+    within one session (where the semantic memo cannot see the
+    change)."""
+    from cdk_datalake_ingest_spark import session as S
+
+    S.verified_ids_cache_clear()
+    clean = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    S.require_unique_non_null_ids(clean, "doc_id", "t", memoize=False)
+    assert len(S._VERIFIED_IDS.get(spark, {})) == 0
+    S.verified_ids_cache_clear()
+
+
+def test_token_projection_operators_track_persisted_frames(spark):
+    """ADVICE r13: the four operators sharing the persisted (id,
+    tokens) projection expose the same `persisted` tracking hook as
+    _minhash_banded, so long-running callers can release the cached
+    token stages deterministically instead of waiting on the
+    GC-driven ContextCleaner."""
+    from pyspark import StorageLevel
+
+    from cdk_datalake_ingest_spark.operators.corpus import (
+        dedup_substrings,
+        nb_quality_scores,
+        scrub_boilerplate,
+        unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta", True),
+            (2, "alpha beta gamma delta epsilon eta", False),
+            (3, "totally different words entirely here now", True),
+        ],
+        "doc_id long, text string, label boolean",
+    )
+    none_level = StorageLevel(False, False, False, False, 1)
+    for run in (
+        lambda tr: unigram_lm_scores(docs, persisted=tr),
+        lambda tr: nb_quality_scores(docs, "label", persisted=tr),
+        lambda tr: scrub_boilerplate(docs, persisted=tr),
+        lambda tr: dedup_substrings(docs, length=3, persisted=tr),
+    ):
+        tracked = []
+        out = run(tracked)
+        assert out.count() >= 0  # materialize through the cached stage
+        assert len(tracked) >= 1
+        for df in tracked:
+            df.unpersist()
+            assert df.storageLevel == none_level

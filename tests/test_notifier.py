@@ -312,3 +312,48 @@ def test_flow_wait_budget_exhaustion_fails_the_table():
     assert failures == ["sf_stuck"]
     assert successes == []  # a stuck flow suppresses endpoint success
     assert log.failed_count() == 1
+
+
+def test_retry_budget_carries_across_wait_requeues():
+    """ADVICE r13: a runner interleaving transient failures with
+    not-ready answers must stay bounded by max_attempts TOTAL transient
+    failures across all wait cycles — wait requeues must not reset the
+    retry counter (previously up to max_attempts × (max_flow_waits+1)
+    executions). Not-ready probes themselves stay free (wait budget)."""
+    from cdk_datalake_ingest_spark.plans.planner import (
+        FlowNotReadyError,
+        RunLog,
+        RunPlanner,
+    )
+
+    catalog = ConfigCatalog(
+        tables=[TableSpec("t_flaky", endpoint="EP")],
+        endpoints=[EndpointSpec("EP", bd_type="file")],
+    )
+    calls = {"fail": 0, "notready": 0}
+
+    def runner(t: TableSpec) -> None:
+        # alternate: transient failure, then CREATING, forever
+        if (calls["fail"] + calls["notready"]) % 2 == 0:
+            calls["fail"] += 1
+            raise RuntimeError("transient")
+        calls["notready"] += 1
+        raise FlowNotReadyError("CREATING")
+
+    log = RunLog(tempfile.mkdtemp(prefix="cdk_budget_") + "/log.jsonl")
+    planner = RunPlanner(
+        catalog,
+        run_log=log,
+        base_sleep=0.0,
+        max_attempts=3,
+        flow_wait_seconds=0.0,
+        max_flow_waits=50,
+    )
+    results = planner.run(runner)
+    assert [r.status for r in results] == ["FAILED"]
+    # exactly max_attempts transient failures were admitted in total,
+    # no matter how many wait cycles interleaved
+    assert calls["fail"] == 3
+    # and the wait budget was nowhere near exhausted — the failure is
+    # the retry budget's, not the flow-wait envelope's
+    assert calls["notready"] < 50
