@@ -3,11 +3,16 @@
 Media are opaque ``binary`` columns plus typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` stages so each executor processes whole record batches
-without per-row Python overhead. The actual codec work is STUBBED
-(image/audio libraries are not in this environment): ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
+without per-row Python overhead. The pixel codec is an OPTIONAL
+dependency (r14, the same env-gated pattern as the Delta branch):
+when Pillow imports, ``decode_image_features`` / ``resize_images``
+run the real decode inside the identical batch loop; without it they
+raise NotImplementedError unless ``fake=True``, in which case a
 deterministic fake decoder produces stable feature rows — the Spark
-plumbing (schema, batching, partitioning) is real and tested.
+plumbing (schema, batching, partitioning) is real and tested either
+way. The real-decode branch is written to the published Pillow API
+and covered by tests that skip cleanly when the library is absent
+(as it is in this sandbox — disclosed capability boundary).
 """
 
 from __future__ import annotations
@@ -16,6 +21,14 @@ import hashlib
 from typing import Iterator
 
 import pandas as pd
+
+try:  # pragma: no cover - environment-dependent
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_PIL = True
+except Exception:
+    _PILImage = None
+    HAS_PIL = False
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -109,18 +122,36 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return h[0], h[1]
 
 
+def _pil_decode(content: bytes) -> tuple[int, int]:
+    """Real pixel decode (Pillow): feat_0/feat_1 = decoded width/
+    height — the decode succeeding at all is the screen (truncated or
+    corrupt payloads raise inside PIL and surface as (-1, -1))."""
+    import io
+
+    try:
+        with _PILImage.open(io.BytesIO(content or b"")) as im:
+            return int(im.width), int(im.height)
+    except Exception:
+        return -1, -1
+
+
 def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over binary image content.
 
-    Real decoding would swap ``_fake_decode`` for PIL/libvips inside
-    the same mapInPandas batch loop — the batch shape, schema and
-    partitioning are identical.
+    With Pillow installed (``HAS_PIL``) and ``fake=False``, the batch
+    loop runs the real decode: feat_0/feat_1 are the decoded pixel
+    dimensions, (-1, -1) for undecodable payloads. Without Pillow,
+    ``fake=True`` selects the deterministic stub decoder (sha1-derived
+    features) and ``fake=False`` raises — the plumbing is identical
+    in all three cases.
     """
-    if not fake:
+    if not fake and not HAS_PIL:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stub decoder"
+            "image codecs unavailable in this environment (pip install "
+            "Pillow for the real decode); pass fake=True for the "
+            "deterministic stub decoder"
         )
+    decode = _fake_decode if fake else _pil_decode
 
     import numpy as np
 
@@ -135,7 +166,7 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode(c) for c in pdf["content"]]
+            feats = [decode(c) for c in pdf["content"]]
             stats = [_byte_stats(c or b"") for c in pdf["content"]]
             yield pd.DataFrame(
                 {
@@ -183,19 +214,45 @@ def target_dims(width: int, height: int, max_dim: int) -> tuple[int, int]:
     return max(1, int(w * scale + 0.5)), max(1, int(h * scale + 0.5))
 
 
+def _pil_resize(content: bytes, dims: tuple[int, int]) -> bytes:
+    """Real resize (Pillow): decode, LANCZOS-fit to ``dims``, re-encode
+    PNG. Undecodable payloads yield empty bytes (the decode screen
+    already classifies them)."""
+    import io
+
+    if dims == (0, 0):
+        return b""
+    try:
+        lanczos = getattr(_PILImage, "LANCZOS", None) or (
+            _PILImage.Resampling.LANCZOS
+        )
+        with _PILImage.open(io.BytesIO(content or b"")) as im:
+            out = io.BytesIO()
+            im.resize(dims, lanczos).save(out, format="PNG")
+            return out.getvalue()
+    except Exception:
+        return b""
+
+
 def resize_images(df: DataFrame, max_dim: int = 512, fake: bool = False) -> DataFrame:
     """Arrow-batched image resize over binary content. The output-
-    dimension computation (:func:`target_dims`) is real; the pixel
-    work is stubbed like :func:`decode_image_features` — a real
-    deployment swaps the fake re-encode for PIL/libvips inside the
-    same mapInPandas batch loop with identical schema/partitioning.
-    The fake output bytes are deterministic in (content, dims) so
-    downstream dedup/hash stages exercise realistically."""
-    if not fake:
+    dimension computation (:func:`target_dims`) is always real; with
+    Pillow installed and ``fake=False`` the pixel work is too (decode,
+    LANCZOS resize, PNG re-encode inside the same batch loop). Without
+    Pillow, ``fake=True`` selects the stub re-encode — deterministic
+    in (content, dims) so downstream dedup/hash stages exercise
+    realistically — and ``fake=False`` raises."""
+    if not fake and not HAS_PIL:
         raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True "
-            "for the deterministic stub resizer"
+            "image codecs unavailable in this environment (pip install "
+            "Pillow for the real resize); pass fake=True for the "
+            "deterministic stub resizer"
         )
+
+    def _stub(content: bytes, dims: tuple[int, int]) -> bytes:
+        return hashlib.sha1((content or b"") + b"|%dx%d" % dims).digest()
+
+    encode = _stub if fake else _pil_resize
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -209,9 +266,7 @@ def resize_images(df: DataFrame, max_dim: int = 512, fake: bool = False) -> Data
                     "out_width": [d[0] for d in dims],
                     "out_height": [d[1] for d in dims],
                     "content": [
-                        hashlib.sha1(
-                            (c or b"") + b"|%dx%d" % d
-                        ).digest()
+                        encode(c, d)
                         for c, d in zip(pdf["content"], dims)
                     ],
                 }

@@ -78,6 +78,10 @@ def test_multimodal_fake_decode_plumbing(spark):
 
 
 def test_multimodal_decode_without_codecs_raises(spark):
+    from cdk_datalake_ingest_spark.functions.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        pytest.skip("Pillow installed: fake=False runs the real decode")
     with pytest.raises(NotImplementedError):
         decode_image_features(_media_df(spark), fake=False)
 
@@ -111,8 +115,11 @@ def test_resize_images_plumbing(spark):
     assert (r0.out_width, r0.out_height) == (512, 384)
     # fake bytes are deterministic in (content, dims)
     assert bytes(r0.content) == _h.sha1(bytes([0]) * 10 + b"|512x384").digest()
-    with pytest.raises(NotImplementedError):
-        resize_images(df, fake=False)
+    from cdk_datalake_ingest_spark.functions.multimodal import HAS_PIL
+
+    if not HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            resize_images(df, fake=False)
 
 
 def test_sample_frames(spark):
@@ -208,3 +215,42 @@ def test_multimodal_boundary_params_raise(spark):
     for bad in (0, -100):
         with pytest.raises(ValueError, match="every_ms must be positive"):
             sample_frames(df, every_ms=bad)
+
+
+
+def test_real_pil_decode_when_available(spark):
+    """Optional-dependency real decode (r14, env-gated like the Delta
+    branch): skips cleanly when Pillow is absent; with it, fake=False
+    decodes real pixel dimensions and classifies corrupt payloads as
+    (-1, -1), and resize_images re-encodes real PNGs at target dims."""
+    from cdk_datalake_ingest_spark.functions.multimodal import (
+        HAS_PIL,
+        decode_image_features,
+        resize_images,
+    )
+
+    if not HAS_PIL:
+        pytest.skip("Pillow not installed (sandbox capability boundary)")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame(
+        [
+            (0, "image", bytearray(png), "image/png", 40, 30, None),
+            (1, "image", bytearray(b"corrupt"), "image/png", 40, 30, None),
+        ],
+        "media_id long, media_type string, content binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    feats = {r.media_id: r for r in decode_image_features(df).collect()}
+    assert (feats[0].feat_0, feats[0].feat_1) == (40, 30)
+    assert (feats[1].feat_0, feats[1].feat_1) == (-1, -1)
+    out = {r.media_id: r for r in resize_images(df, max_dim=20).collect()}
+    assert (out[0].out_width, out[0].out_height) == (20, 15)
+    with Image.open(io.BytesIO(bytes(out[0].content))) as im:
+        assert (im.width, im.height) == (20, 15)
+    assert bytes(out[1].content) == b""  # undecodable payload
