@@ -7238,75 +7238,9 @@ WHERE r_name = 'AMERICA'
 # streaming_neardup_ingest_docs gate made it 115 — inside the <=120
 # bound.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ROUND-13 WINDOW (positions 1-50, FIFO rotation per COVERAGE.md):
-    # (a) the 23 r10-fresh leftovers lead (3-round staleness bound —
-    # pre-positioned at tail 51-73 by the r12 rotation; conveniently
-    # including the whole merge/restore/CDF table family, whose
-    # merge_upsert code changed this round: insert-only fast path +
-    # source_unique/touched_partitions hints),
-    "q21_waiting_suppliers": q21_waiting_suppliers,
-    "q22_dormant_customers": q22_dormant_customers,
-    "events_unpivot_metrics": events_unpivot_metrics,
-    "events_value_percentiles": events_value_percentiles,
-    "dq_validate_orders": dq_validate_orders,
-    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
-    "events_pivot_by_type": events_pivot_by_type,
-    "table_change_feed_events": table_change_feed_events,
-    "merge_upsert_events": merge_upsert_events,
-    "merge_delete_window_events": merge_delete_window_events,
-    "schema_evolution_merge": schema_evolution_merge,
-    "zorder_layout_events": zorder_layout_events,
-    "q01_pricing_summary": q01_pricing_summary,
-    "q03_top_orders": q03_top_orders,
-    "q05_region_revenue": q05_region_revenue,
-    "q17_small_quantity_revenue": q17_small_quantity_revenue,
-    "orders_without_lineitems": orders_without_lineitems,
-    "customers_with_open_orders": customers_with_open_orders,
-    "returned_vs_finished_setops": returned_vs_finished_setops,
-    "table_restore_roundtrip_events": table_restore_roundtrip_events,
-    "sql_interface_q13": sql_interface_q13,
-    "embedding_near_dup": embedding_near_dup,
-    "simhash_near_dup_docs": simhash_near_dup_docs,
-    # (b) the 12 code/gate-changed entries of round 13: the planner
-    # gate (WARNING endpoint + wait-envelope scheduler), the
-    # streaming near-dup gate (transactional ManagedTable sink),
-    # salesforce_incremental_upsert (planner/flow-poll integration),
-    # the five unique-id-probe consumers (session-scoped memoization
-    # — curate/scrub/substring/semantic pair/bpe_tokenize), and the
-    # three _minhash_banded consumers (persisted-tracking signature
-    # change: minhash pairs / incremental ingest / clusters),
-    "planner_multi_table_run": planner_multi_table_run,
-    "streaming_neardup_ingest_docs": streaming_neardup_ingest_docs,
-    "salesforce_incremental_upsert": salesforce_incremental_upsert,
-    "curate_documents": curate_documents,
-    "scrub_boilerplate_docs": scrub_boilerplate_docs,
-    "substring_dedup_docs": substring_dedup_docs,
-    "bpe_tokenize_docs": bpe_tokenize_docs,
-    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
-    "semantic_dedup_embeddings": semantic_dedup_embeddings,
-    "minhash_near_dup_docs": minhash_near_dup_docs,
-    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
-    "near_dup_clusters_docs": near_dup_clusters_docs,
-    # (c) 15 oldest r11-fresh backfill to 50 (standing order)
-    "q10_returned_customers": q10_returned_customers,
-    "q12_priority_shipping": q12_priority_shipping,
-    "kmeans_train_hash_docs": kmeans_train_hash_docs,
-    "decontaminate_docs": decontaminate_docs,
-    "decontaminate_multi_docs": decontaminate_multi_docs,
-    "multimodal_media_pipeline": multimodal_media_pipeline,
-    "embedding_near_dup_lsh": embedding_near_dup_lsh,
-    "ann_cosine_topk": ann_cosine_topk,
-    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
-    "watermark_events": watermark_events,
-    "incremental_between_events": incremental_between_events,
-    "continuous_rollup_events": continuous_rollup_events,
-    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
-    "temperature_mixture_docs": temperature_mixture_docs,
-    "sql_interface_window": sql_interface_window,
-    # TAIL 51-70: the 20 r11-fresh leftovers at their 3-round bound —
-    # they MUST lead the r14 window. Every tail entry is locally
-    # re-attested this round in PARITY_LOCAL_r13.json (full-registry
-    # oracle at sf0.01).
+    # ROUND-14 WINDOW (positions 1-50, FIFO rotation per COVERAGE.md):
+    # (a) the 20 r11-fresh leftovers lead (3-round staleness bound —
+    # pre-positioned at tail 51-70 by the r13 rotation),
     "sql_interface_setops": sql_interface_setops,
     "dsl_flags_orders": dsl_flags_orders,
     "salesforce_stage_orders": salesforce_stage_orders,
@@ -7327,7 +7261,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gap_fill_user_hours": gap_fill_user_hours,
     "sessionize_events": sessionize_events,
     "q04_priority_exists": q04_priority_exists,
-    # r12-fresh (due r15):
+    # (b) the 18 code/gate-changed entries: the streaming ingest
+    # loop (folded index + atomic group commit), the planner retry
+    # budget + flow-wait consumers, the six ManagedTable-core
+    # consumers (txn plumbing touched write/_commit/_read_manifest),
+    # the unique-id-probe memo consumers, the persisted-hook corpus
+    # operators (incl. the two r12-fresh ones promoted early), and
+    # the multimodal decode probe,
+    "streaming_neardup_ingest_docs": streaming_neardup_ingest_docs,
+    "planner_multi_table_run": planner_multi_table_run,
+    "salesforce_incremental_upsert": salesforce_incremental_upsert,
+    "curate_documents": curate_documents,
+    "scrub_boilerplate_docs": scrub_boilerplate_docs,
+    "substring_dedup_docs": substring_dedup_docs,
+    "bpe_tokenize_docs": bpe_tokenize_docs,
+    "semantic_dedup_hash_docs": semantic_dedup_hash_docs,
+    "semantic_dedup_embeddings": semantic_dedup_embeddings,
+    "multimodal_media_pipeline": multimodal_media_pipeline,
+    "table_change_feed_events": table_change_feed_events,
+    "merge_upsert_events": merge_upsert_events,
+    "merge_delete_window_events": merge_delete_window_events,
+    "schema_evolution_merge": schema_evolution_merge,
+    "zorder_layout_events": zorder_layout_events,
+    "table_restore_roundtrip_events": table_restore_roundtrip_events,
+    "nb_quality_filter_docs": nb_quality_filter_docs,
+    "unigram_lm_docs": unigram_lm_docs,
+    # (c) 12 oldest r12-fresh backfill in standing order.
     "q06_forecast_revenue": q06_forecast_revenue,
     "q14_promo_revenue": q14_promo_revenue,
     "q19_bracket_revenue": q19_bracket_revenue,
@@ -7340,9 +7299,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_sessionize_stateful_events": streaming_sessionize_stateful_events,
     "ann_pq_adc_topk": ann_pq_adc_topk,
     "ann_ivfadc_topk": ann_ivfadc_topk,
-    "nb_quality_filter_docs": nb_quality_filter_docs,
+    # TAIL: the 31 r12-fresh leftovers sit at positions 51-81 at
+    # their 3-round bound and MUST lead the r15 window; the 34
+    # r13-fresh leftovers follow (due r16).
     "gopher_rules_docs": gopher_rules_docs,
-    "unigram_lm_docs": unigram_lm_docs,
     "tfidf_top_terms_docs": tfidf_top_terms_docs,
     "chunk_docs_sliding": chunk_docs_sliding,
     "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
@@ -7373,6 +7333,40 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_supplier_part_counts": q16_supplier_part_counts,
     "q18_large_volume_customers": q18_large_volume_customers,
     "q20_promotion_suppliers": q20_promotion_suppliers,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
+    "q22_dormant_customers": q22_dormant_customers,
+    "events_unpivot_metrics": events_unpivot_metrics,
+    "events_value_percentiles": events_value_percentiles,
+    "dq_validate_orders": dq_validate_orders,
+    "jsonl_roundtrip_docs": jsonl_roundtrip_docs,
+    "events_pivot_by_type": events_pivot_by_type,
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
+    "orders_without_lineitems": orders_without_lineitems,
+    "customers_with_open_orders": customers_with_open_orders,
+    "returned_vs_finished_setops": returned_vs_finished_setops,
+    "sql_interface_q13": sql_interface_q13,
+    "embedding_near_dup": embedding_near_dup,
+    "simhash_near_dup_docs": simhash_near_dup_docs,
+    "minhash_near_dup_docs": minhash_near_dup_docs,
+    "incremental_minhash_ingest_docs": incremental_minhash_ingest_docs,
+    "near_dup_clusters_docs": near_dup_clusters_docs,
+    "q10_returned_customers": q10_returned_customers,
+    "q12_priority_shipping": q12_priority_shipping,
+    "kmeans_train_hash_docs": kmeans_train_hash_docs,
+    "decontaminate_docs": decontaminate_docs,
+    "decontaminate_multi_docs": decontaminate_multi_docs,
+    "embedding_near_dup_lsh": embedding_near_dup_lsh,
+    "ann_cosine_topk": ann_cosine_topk,
+    "jdbc_roundtrip_orders": jdbc_roundtrip_orders,
+    "watermark_events": watermark_events,
+    "incremental_between_events": incremental_between_events,
+    "continuous_rollup_events": continuous_rollup_events,
+    "raw_csv_roundtrip_stage": raw_csv_roundtrip_stage,
+    "temperature_mixture_docs": temperature_mixture_docs,
+    "sql_interface_window": sql_interface_window,
 }
 
 ORACLES: dict[str, str] = {
