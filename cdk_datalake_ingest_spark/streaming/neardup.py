@@ -246,6 +246,7 @@ def _tagged_merge(
     txn: GroupTransaction | None = None,
     partition_by: list[str] | None = None,
     touched: list[tuple] | None = None,
+    files_per_partition: int = 1,
 ) -> None:
     """Idempotent landing of one batch's slice of a sink table: MERGE
     keyed on (BATCH_COL, *keys) into a table partitioned by
@@ -257,12 +258,37 @@ def _tagged_merge(
     bookkeeping, not a merge key — a re-ingested id converges onto one
     row). With ``txn`` the snapshot is staged only; the caller's
     ``txn.commit()`` lands every sink of the batch in one atomic group
-    commit."""
+    commit.
+
+    ``files_per_partition`` bounds the sink's file count: the write is
+    keyed-repartitioned onto ``len(touched) × files_per_partition``
+    tasks, so each batch partition lands as (at most) that many files
+    instead of one per shuffle partition. The 200-batch soak
+    (tools/neardup_soak.py, SCALE.md) showed why the default is 1:
+    micro-batch sinks otherwise accumulate shuffle-width TINY files
+    per batch, and every later batch pays O(total files) in snapshot
+    listing and link walks — per-batch wall grew 2.6x by batch 100.
+    Deployments with multi-GB batches raise it to keep files at
+    healthy parquet sizes."""
     partition_by = partition_by or [BATCH_COL]
     touched = touched or [(batch_id,)]
     tagged = df.withColumn(BATCH_COL, F.lit(batch_id).cast("int"))
     if run_key is not None:
         tagged = tagged.withColumn(RUN_COL, F.lit(run_key))
+    if files_per_partition:
+        split = [F.col(c) for c in partition_by]
+        if files_per_partition > 1:
+            # same-partition rows must spread across tasks to yield
+            # multiple files: salt the exchange with a key hash
+            split.append(
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in (BATCH_COL, *keys)]),
+                    F.lit(files_per_partition),
+                )
+            )
+        tagged = tagged.repartition(
+            max(len(touched), 1) * files_per_partition, *split
+        )
     tbl = ManagedTable(spark, path)
     if not tbl.exists:
         import pathlib
@@ -364,6 +390,7 @@ def apply_ingest_step(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     run_key: str | None = None,
+    files_per_partition: int = 1,
     **sig_params,
 ) -> None:
     """The foreachBatch body as a module-level function (directly
@@ -484,7 +511,8 @@ def apply_ingest_step(
         # advance or neither does
         txn = GroupTransaction()
         _tagged_merge(
-            spark, out_path, survivors, batch_id, [id_col], txn=txn
+            spark, out_path, survivors, batch_id, [id_col], txn=txn,
+            files_per_partition=files_per_partition,
         )
         _tagged_merge(
             spark,
@@ -496,6 +524,7 @@ def apply_ingest_step(
             txn=txn,
             partition_by=[BATCH_COL, KIND_COL],
             touched=[(batch_id, KIND_BANDS), (batch_id, KIND_SETS)],
+            files_per_partition=files_per_partition,
         )
         txn.commit()
     finally:
@@ -549,6 +578,7 @@ def stream_near_dup_ingest(
     available_now: bool = True,
     maintain_every: int | None = None,
     run_key: str | None = None,
+    files_per_partition: int = 1,
     **sig_params,
 ) -> "object | None":
     """Drain ``source_stream`` (availableNow) through the ingest loop:
@@ -598,7 +628,15 @@ def stream_near_dup_ingest(
     (s3://, abfss://, ...), where the nonce file cannot live: pass any
     string with the checkpoint's lifetime — mint it when creating the
     checkpoint, reuse it across restarts, replace it only when the
-    checkpoint is recreated."""
+    checkpoint is recreated.
+
+    ``files_per_partition`` (default 1) bounds each batch partition's
+    file count — the long-drain soak (tools/neardup_soak.py, SCALE.md)
+    showed shuffle-width tiny files per batch growing every later
+    batch's listing + link cost ~2.6x by batch 100; one batch-sized
+    file per partition holds the per-batch cost flat. Raise it when
+    individual batches are large enough that a single parquet file
+    per sink partition would be unhealthy (multi-GB)."""
 
     # stream identity for the probe's self-step exclusion: stable
     # across restarts of the same checkpoint (replayed batches keep
@@ -639,6 +677,7 @@ def stream_near_dup_ingest(
             text_col,
             jaccard_threshold,
             run_key=run_key,
+            files_per_partition=files_per_partition,
             **sig_params,
         )
         if maintain_every and batch_id % maintain_every == maintain_every - 1:
