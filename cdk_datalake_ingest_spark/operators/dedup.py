@@ -16,6 +16,8 @@ pandas_udf is SimHash's 64-bit popcount math (Arrow-vectorized).
 
 from __future__ import annotations
 
+import re as _re
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -124,6 +126,86 @@ def exact_dedup(
     return survivors
 
 
+#: ASCII_WS re-spelled for embedding in a SQL string literal: every
+#: backslash doubled, so after the SQL parser's one unescaping pass
+#: (``\\`` -> ``\``) the pattern string the regex engine receives is
+#: BYTE-IDENTICAL to what the Column-API path passes directly.  Do NOT
+#: embed ASCII_WS raw in SQL: the SQL layer unescapes ``\t``/``\n``
+#: itself but has no ``\f``/``\x`` escapes -- those silently drop the
+#: backslash, turning the class into one that strips literal 'f'/'x'
+#: characters from documents (caught by the fast-vs-fallback
+#: equivalence test).  Assumes spark.sql.parser.escapedStringLiterals
+#: stays at its default (false), which session.py never touches.
+_SQL_WS = ASCII_WS.replace("\\", "\\\\")
+
+
+_IDENT_RE = _re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _attr_sql(col: Column | str) -> str | None:
+    """Backtick-quoted SQL for a plain attribute reference — None when
+    the column is a computed expression (those keep the Column-API
+    construction path).
+
+    The expr-assembled builders below exist because constructing a
+    higher-order-function expression through the Python API costs
+    ~10-40 py4j round trips PER LAMBDA (`_create_lambda` + per-arg
+    `lit`/`getattr` chatter): the 32-permutation MinHash signature
+    alone measured ~0.5 s of pure driver time per construction, paid
+    per query (and per micro-batch in the streaming ingest loop).
+    Rendering the same tree as ONE SQL string parsed JVM-side costs
+    ~2 ms and yields an equivalent expression (guide §4: shrink the
+    Python boundary — here the boundary is the driver's expression
+    construction, not row data). Every hot call site passes a plain
+    column reference, so the fast path covers them; arbitrary Column
+    inputs still work through the original construction.
+
+    Only bare unqualified identifiers qualify (no dots: ``a.b`` means
+    field/alias access in the Column API but would be quoted here as
+    one literal name — those fall back rather than change meaning)."""
+    if isinstance(col, str):
+        name = col
+        if "`" in name or not _IDENT_RE.fullmatch(name):
+            return None
+    else:
+        name = col._jc.toString()
+        if "`" in name or not _IDENT_RE.fullmatch(name):
+            return None
+    return "`" + name + "`"
+
+
+def _normalize_sql(x: str) -> str:
+    """SQL text of :func:`normalize_text` over ``x`` (same functions,
+    same pinned char class — see normalize_text's docstring)."""
+    return (
+        f"btrim(regexp_replace(lower(translate({x}, 'İΣ', 'iσ')), "
+        f"'[{_SQL_WS}]+', ' '), ' ')"
+    )
+
+
+def _tokens_sql(x: str) -> str:
+    """SQL text of word_shingles' token stage:
+    ``array_remove(split(normalize, ' '), '')``."""
+    return f"array_remove(split({_normalize_sql(x)}, ' '), '')"
+
+
+def _shingles_sql(t: str, n: int) -> str:
+    """SQL text of :func:`word_shingles_of_tokens` over token SQL
+    ``t`` — the zip_with chain plus the branch-free empty guard,
+    exactly the Column-API tree."""
+    c = f"greatest((size({t}) - {n - 1}), 0)"
+    shingle = f"slice({t}, {n}, {c})"
+    for k in reversed(range(n - 1)):
+        shingle = (
+            f"zip_with(slice({t}, {k + 1}, {c}), {shingle}, "
+            "(x, y) -> concat_ws(' ', x, y))"
+        )
+    return (
+        f"CASE WHEN {c} > 0 THEN {shingle} "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+
+
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> (empty array if the
     document has fewer than n tokens — including the n=1 edge on an
@@ -151,6 +233,9 @@ def word_shingles(col: Column, n: int = 3) -> Column:
       5): CaseWhen guard 2.37-2.39 s vs 1.79-2.09 s unguarded vs
       2.04 s this form — the r10 1.29x driver regression, recovered
       with the guard semantics kept."""
+    attr = _attr_sql(col)
+    if attr is not None:
+        return F.expr(_shingles_sql(_tokens_sql(attr), n))
     norm = normalize_text(col)
     tokens = F.array_remove(F.split(norm, " "), "")
     return word_shingles_of_tokens(tokens, n)
@@ -167,6 +252,9 @@ def word_shingles_of_tokens(tokens: Column, n: int = 3) -> Column:
     to shingles). Semantics are exactly word_shingles' given
     ``tokens(text)`` / ``array_remove(split(normalize_text(text)))``
     input: empty array below n tokens and for empty/NULL documents."""
+    attr = _attr_sql(tokens)
+    if attr is not None:
+        return F.expr(_shingles_sql(attr, n))
     count = F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
     shingle = F.slice(tokens, n, count)
     for k in reversed(range(n - 1)):
@@ -191,6 +279,9 @@ def shingle_hashes(shingles: Column, seed: int) -> Column:
     """64-bit hash per shingle (xxhash64). Materialize this ONCE before
     building the signature: hashing the strings is the expensive part,
     the per-permutation work is then pure integer arithmetic."""
+    attr = _attr_sql(shingles)
+    if attr is not None:
+        return F.expr(f"transform({attr}, s -> xxhash64(s, {int(seed)}))")
     return F.transform(shingles, lambda s: F.xxhash64(s, F.lit(seed)))
 
 
@@ -232,20 +323,28 @@ def _minhash_signature(hashes: Column, num_hashes: int, prime: int, seed: int) -
     # Deterministic (a_i, b_i) derived from a splitmix-style recurrence;
     # no RNG state so the plan is reproducible.
     a_seed, b_seed = seed * 2654435761 + 1, seed * 40503 + 7
-    for i in range(num_hashes):
-        a = (a_seed + i * 0x9E3779B97F4A7C15) % prime or 1
-        b = (b_seed + i * 0xBF58476D1CE4E5B9) % prime
-        sig.append(
-            F.array_min(
-                F.transform(
-                    hashes,
-                    lambda h: (
-                        (F.pmod(h, F.lit(prime)) * F.lit(a) + F.lit(b))
-                        % F.lit(prime)
-                    ),
-                )
-            )
+    ab = [
+        (
+            (a_seed + i * 0x9E3779B97F4A7C15) % prime or 1,
+            (b_seed + i * 0xBF58476D1CE4E5B9) % prime,
         )
+        for i in range(num_hashes)
+    ]
+    h = _attr_sql(hashes)
+    if h is not None:
+        sig = [
+            f"array_min(transform({h}, "
+            f"h -> ((pmod(h, {prime}) * {a}) + {b}) % {prime}))"
+            for a, b in ab
+        ]
+        return F.expr("array(" + ", ".join(sig) + ")")
+    def _perm(a: int, b: int):
+        return lambda hh: (
+            (F.pmod(hh, F.lit(prime)) * F.lit(a) + F.lit(b)) % F.lit(prime)
+        )
+
+    for a, b in ab:
+        sig.append(F.array_min(F.transform(hashes, _perm(a, b))))
     return F.array(*sig)
 
 
@@ -312,29 +411,15 @@ def _minhash_banded(
         F.col(id_col),
         _minhash_signature(F.col("__h"), num_hashes, prime, seed).alias("__sig"),
     )
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         F.col(id_col),
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col("__sig"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), "
+            "b -> named_struct("
+            "'band', b, "
+            "'band_hash', xxhash64(concat_ws(',', "
+            f"transform(slice(__sig, (b * {rows_per_band}) + 1, "
+            f"{rows_per_band}), v -> cast(v AS string)))))))"
         ).alias("b"),
     ).select(id_col, "b.band", "b.band_hash")
     sets = shingled.select(

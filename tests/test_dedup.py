@@ -350,3 +350,74 @@ def test_dedup_parameter_guards(spark):
             df, idx_b, idx_s, "doc_id", "text",
             num_hashes=32, bands=32, max_batch_rows=4,
         )
+
+
+def test_sql_fast_path_matches_column_api_fallback(spark):
+    """The SQL-assembled fast path (attribute-reference inputs) and the
+    Column-API fallback (computed inputs) must be result-identical —
+    including on form-feed/vertical-tab whitespace: Spark's SQL string
+    parser has no \\f or \\x escapes, so an un-doubled backslash in the
+    embedded char class silently strips literal 'f'/'x' characters
+    (the bug this test was written against).  The fallback is forced
+    with a semantically-identity computed expression."""
+    from cdk_datalake_ingest_spark.operators.dedup import (
+        MINHASH_PRIME,
+        _attr_sql,
+        _minhash_signature,
+        shingle_hashes,
+        word_shingles,
+        word_shingles_of_tokens,
+        normalize_text,
+    )
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "  The\tquick\x0Bbrown\ffox\r\njumps  over the lazy dog  "),
+        (3, "İstanbul ΣΙΓΜΑ Σ eΣ"),
+        (4, ""),
+        (5, None),
+        (6, "one two"),
+        (7, "f x \f \x0b fox xylophone"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+
+    # dispatch sanity: plain refs take the fast path, computed don't
+    assert _attr_sql(F.col("text")) == "`text`"
+    assert _attr_sql(F.concat(F.col("text"), F.lit(""))) is None
+    assert _attr_sql(F.col("a.b")) is None  # field access must NOT be quoted
+
+    ident = F.concat(F.col("text"), F.lit(""))  # identity, but computed
+    fast = df.select("id", word_shingles(F.col("text"), 3).alias("s"))
+    slow = df.select("id", word_shingles(ident, 3).alias("s"))
+    assert sorted(fast.collect()) == sorted(slow.collect())
+
+    toks = df.select(
+        "id",
+        F.array_remove(F.split(normalize_text(F.col("text")), " "), "").alias("t"),
+    )
+    tok_ident = F.slice(F.col("t"), 1, 1 << 20)
+    assert sorted(
+        toks.select("id", word_shingles_of_tokens(F.col("t"), 2).alias("s")).collect()
+    ) == sorted(
+        toks.select("id", word_shingles_of_tokens(tok_ident, 2).alias("s")).collect()
+    )
+
+    sh = df.select("id", word_shingles(F.col("text"), 3).alias("sh"))
+    sh_ident = F.slice(F.col("sh"), 1, 1 << 20)
+    assert sorted(
+        sh.select("id", shingle_hashes(F.col("sh"), 42).alias("h")).collect()
+    ) == sorted(
+        sh.select("id", shingle_hashes(sh_ident, 42).alias("h")).collect()
+    )
+
+    hs = sh.select("id", shingle_hashes(F.col("sh"), 42).alias("h"))
+    h_ident = F.slice(F.col("h"), 1, 1 << 20)
+    assert sorted(
+        hs.select(
+            "id", _minhash_signature(F.col("h"), 16, MINHASH_PRIME, 42).alias("g")
+        ).collect()
+    ) == sorted(
+        hs.select(
+            "id", _minhash_signature(h_ident, 16, MINHASH_PRIME, 42).alias("g")
+        ).collect()
+    )
