@@ -39,12 +39,51 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from cdk_datalake_ingest_spark.functions.similarity import _as_double
+from cdk_datalake_ingest_spark.operators.dedup import _attr_sql
 from cdk_datalake_ingest_spark.operators.semantic import (
     _centroid_dim,
     _guarded_vec,
     _sq_dist,
+    _sq_dist_sql,
 )
 from cdk_datalake_ingest_spark.session import ensure_parallelism
+
+
+def _dlit(x: float) -> str:
+    """A Python float as a Spark SQL double literal: ``repr`` is the
+    shortest round-tripping decimal form, so the parsed double is
+    bit-identical to the ``F.lit(float)`` literal; the ``D`` suffix
+    pins the literal type to DOUBLE (a bare ``1.5`` parses DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _book_sql(book) -> str:
+    """One codebook as a nested SQL array literal —
+    ``array(array(...), ...)`` of double literals, replacing the
+    ``F.lit(list-of-lists)`` construction (k x dsub py4j literal calls
+    per book; the ADC-table builder pays it m times per query plan)."""
+    return (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(_dlit(x) for x in c) + ")" for c in book
+        )
+        + ")"
+    )
+
+
+def _pq_codes_sql(dists_attr: str, m: int, k: int) -> str:
+    """SQL text of the per-subspace round-6 + smaller-cid tie-break
+    over a PROJECTED raw-distance column (``_pq_dists_udf`` output):
+    entry j is ``array_sort`` over slice j's (dist, cid) structs, the
+    exact ``_pq_codes_col`` tree parsed in one round trip instead of
+    m transform/slice/struct Python-API chains."""
+    parts = [
+        f"(array_sort(transform(slice({dists_attr}, {j * k + 1}, {k}), "
+        "(d, i) -> named_struct('dist', round(d, 6), "
+        "'cid', cast(i + 1 AS int)))))[0].cid"
+        for j in range(m)
+    ]
+    return "array(" + ", ".join(parts) + ")"
 
 
 def _check_codebooks(codebooks, fn: str) -> tuple[int, int, int]:
@@ -138,6 +177,25 @@ def _pq_codes_col(vec: Column, codebooks) -> Column:
     return F.array(*codes)
 
 
+def _pq_codes_over(
+    df: DataFrame, vec_attr: str, codebooks
+) -> tuple[DataFrame, Column]:
+    """Construction fast path for :func:`_pq_codes_col` (guide §4):
+    project the raw-distance kernel output as a NAMED column, then
+    build the m-subspace tie-break as one parsed SQL string
+    (``_pq_codes_sql``) over it — the Column form costs m
+    transform/slice/sort Python-API chains (~0.65 s per call at m=16)
+    where the text parses in ~2 ms.  Returns ``(projected_df, codes)``;
+    the internal ``__pqd`` column disappears in the caller's select,
+    and the projection collapse leaves the physical plan identical
+    (one ArrowEvalPython, same tie-break tree)."""
+    m, k, _ = _check_codebooks(codebooks, "pq_encode")
+    dists = _pq_dists_udf(_books_key(codebooks))(F.col(vec_attr))
+    return df.withColumn("__pqd", dists), F.expr(
+        _pq_codes_sql("`__pqd`", m, k)
+    )
+
+
 def pq_train(
     corpus: DataFrame,
     m: int = 16,
@@ -190,27 +248,23 @@ def pq_train(
         F.col(id_col), _guarded_vec(id_col, vec_col, dim, "pq_train")
     )
     for _ in range(iters):
-        assigned = base.select(
+        withd, codes = _pq_codes_over(base, "__v", books)
+        assigned = withd.select(
             F.col("__v"),
-            F.posexplode(_pq_codes_col(F.col("__v"), books)).alias(
-                "__subi", "__cid"
-            ),
+            F.posexplode(codes).alias("__subi", "__cid"),
         )
-        # per-(subspace, cluster) means over that subspace's dsub dims;
-        # element_at is 1-based and __subi 0-based
+        # per-(subspace, cluster) means over that subspace's dsub dims
+        # (element_at is 1-based and __subi 0-based), rendered as
+        # parsed SQL text — one round trip per dim instead of the
+        # 6-call round/avg/element_at/arith chain
         mean_rows = (
             assigned.groupBy("__subi", "__cid")
             .agg(
                 *[
-                    F.round(
-                        F.avg(
-                            F.element_at(
-                                F.col("__v"),
-                                F.col("__subi") * dsub + i + 1,
-                            )
-                        ),
-                        6,
-                    ).alias(f"d{i}")
+                    F.expr(
+                        f"round(avg(element_at(`__v`, "
+                        f"`__subi` * {dsub} + {i + 1})), 6) AS d{i}"
+                    )
                     for i in range(dsub)
                 ]
             )
@@ -244,9 +298,8 @@ def pq_encode(
     base = ensure_parallelism(corpus).select(
         F.col(id_col), _guarded_vec(id_col, vec_col, dim, "pq_encode")
     )
-    return base.select(
-        F.col(id_col), _pq_codes_col(F.col("__v"), codebooks).alias("codes")
-    )
+    withd, codes = _pq_codes_over(base, "__v", codebooks)
+    return withd.select(F.col(id_col), codes.alias("codes"))
 
 
 def _adc_tables(vec: Column, codebooks) -> Column:
@@ -255,6 +308,21 @@ def _adc_tables(vec: Column, codebooks) -> Column:
     per QUERY row (queries are the broadcast-small side), then every
     candidate costs M lookups."""
     dsub = len(codebooks[0][0])
+    attr = _attr_sql(vec)
+    if attr is not None:
+        # construction fast path (guide §4, the dedup._attr_sql
+        # pattern): the Column form below builds m x (nested-literal +
+        # 3 lambdas) through py4j — measured ~1.7 s of pure driver
+        # time per call at m=16, k=16.  The identical tree as ONE
+        # parsed SQL string costs ~2 ms; double literals round-trip
+        # bit-exactly via repr (_dlit).
+        tabs_sql = [
+            f"transform({_book_sql(book)}, cv -> round("
+            + _sq_dist_sql(f"slice({attr}, {j * dsub + 1}, {dsub})", "cv")
+            + ", 6))"
+            for j, book in enumerate(codebooks)
+        ]
+        return F.expr("array(" + ", ".join(tabs_sql) + ")")
     tabs = []
     for j, book in enumerate(codebooks):
         sub = F.slice(vec, j * dsub + 1, dsub)
@@ -362,9 +430,10 @@ def pq_adc_topk(
         base = ensure_parallelism(corpus).select(
             F.col(id_col), _guarded_vec(id_col, vec_col, dim, "pq_adc_topk")
         )
-        enc = base.select(
+        withd, codes = _pq_codes_over(base, "__v", codebooks)
+        enc = withd.select(
             F.col(id_col),
-            _pq_codes_col(F.col("__v"), codebooks).alias("codes"),
+            codes.alias("codes"),
             _nearest_struct(F.col("__v"), coarse_centroids)["cid"].alias(
                 "__list"
             ),

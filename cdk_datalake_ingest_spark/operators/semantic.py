@@ -55,6 +55,21 @@ def _sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+def _sq_dist_sql(a: str, b: str) -> str:
+    """SQL text of :func:`_sq_dist` over rendered operands — the same
+    zip_with/aggregate tree, parsed JVM-side in one round trip.  The
+    dedup._attr_sql construction fast path (guide §4 applied to plan
+    construction): each lambda built through the Python API costs
+    ~10-40 py4j round trips, and the PQ ADC-table builder constructs
+    m x 3 of them per call — rendering the identical expression as
+    text is ~300x cheaper with a bit-identical result (``0.0D`` is the
+    double literal ``F.lit(0.0)`` builds)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _guarded_vec(
     id_col: str, vec_col: str, dim: int, fn_name: str
 ) -> Column:
@@ -250,11 +265,15 @@ def lloyd_kmeans(
         assigned = base.withColumn(
             "cluster_id", nearest_centroid(F.col("__v"), cents)
         )
+        # per-dimension means rendered as parsed SQL text (one py4j
+        # round trip each instead of the 5-call round/avg/getitem
+        # chain — ~dim x 4 fewer calls per iteration; `__v`[i] is the
+        # same 0-based GetArrayItem the Column form builds)
         mean_rows = (
             assigned.groupBy("cluster_id")
             .agg(
                 *[
-                    F.round(F.avg(F.col("__v")[i]), 6).alias(f"d{i}")
+                    F.expr(f"round(avg(`__v`[{i}]), 6) AS d{i}")
                     for i in range(dim)
                 ]
             )
