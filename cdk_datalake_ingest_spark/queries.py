@@ -1997,9 +1997,18 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE closure — equal by the gated recall-1 pair
     equivalence (`minhash_near_dup_docs`)."""
     from cdk_datalake_ingest_spark.operators.dedup import normalize_text
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
 
     docs = _t(spark, sf_dir, "documents")
     c = F.col("text")
+    # Fan the enrich chain out BEFORE the expression-heavy stage
+    # (guide §2.5 input skew): the documents fixture is one parquet
+    # file -> one scan partition, so the normalize/tokenize/stopword
+    # enrich below otherwise runs single-core — profiled at 2.7 s of
+    # the gate's 6.7 s wall as a 1-task broadcast build. At 100 TB the
+    # scan has thousands of natural partitions and this is a no-op
+    # (ensure_parallelism only repartitions UP).
+    enrich_src = ensure_parallelism(docs)
     # Staged enrich (round-12 perf fix, attributed by
     # tools/normalize_ab_probe.py: the r11 normalize body re-evaluated
     # through ~10 expression positions cost a measured 1.36x on this
@@ -2011,7 +2020,9 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Whole-stage codegen fuses the stages back into one pass over the
     # scan — same stage count, ~4x less expression work per row.
     langs = list(T.STOPWORDS)
-    normed = docs.select("doc_id", "text", normalize_text(c).alias("__norm"))
+    normed = enrich_src.select(
+        "doc_id", "text", normalize_text(c).alias("__norm")
+    )
     toked = normed.select(
         "doc_id",
         "text",
@@ -2064,6 +2075,14 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     surv = latest_record_dedup(
         eligible, ["content_hash"], [F.col("doc_id").asc()]
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the persisted survivor relation NOW, with a proper
+    # parallel job: the LSH stage's parallelism probe
+    # (ensure_parallelism's .rdd) otherwise materializes this plan's
+    # AQE stages itself just to learn a partition count — measured
+    # 3.6 s of the gate's 7.5 s wall, executed before the cache
+    # existed. One count() fills the cache once; the probe and both
+    # downstream consumers then read blocks.
+    surv.count()
     try:
         surv_text = docs.select("doc_id", "text").join(
             surv.select("doc_id"), "doc_id"
