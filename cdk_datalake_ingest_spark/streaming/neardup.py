@@ -508,24 +508,47 @@ def apply_ingest_step(
         # one atomic commit across both sinks (r14): each merge stages
         # its snapshot (all the Spark work happens here), the group
         # commit below applies the manifests together — both tables
-        # advance or neither does
+        # advance or neither does.  The two staged writes are
+        # INDEPENDENT until the commit (different tables, disjoint
+        # snapshot dirs), so they run overlapped from a two-thread
+        # pool (guide §2.6: a micro-batch write job leaves most slots
+        # idle; the second job back-fills them) — the shared persisted
+        # dedup stage is computed once either way (cached-block access
+        # is lock-guarded per block, so the slower job waits on blocks
+        # instead of recomputing).  A failure in either thread
+        # propagates before commit(), leaving both tables unadvanced —
+        # the same crash surface the sequential form had.
         txn = GroupTransaction()
-        _tagged_merge(
-            spark, out_path, survivors, batch_id, [id_col], txn=txn,
-            files_per_partition=files_per_partition,
-        )
-        _tagged_merge(
-            spark,
-            index_path,
-            fold_index_rows(new_bands, new_sets, id_col),
-            batch_id,
-            [KIND_COL, id_col, "band"],
-            run_key=run_key,
-            txn=txn,
-            partition_by=[BATCH_COL, KIND_COL],
-            touched=[(batch_id, KIND_BANDS), (batch_id, KIND_SETS)],
-            files_per_partition=files_per_partition,
-        )
+
+        def _merge_survivors() -> None:
+            _tagged_merge(
+                spark, out_path, survivors, batch_id, [id_col], txn=txn,
+                files_per_partition=files_per_partition,
+            )
+
+        def _merge_index() -> None:
+            _tagged_merge(
+                spark,
+                index_path,
+                fold_index_rows(new_bands, new_sets, id_col),
+                batch_id,
+                [KIND_COL, id_col, "band"],
+                run_key=run_key,
+                txn=txn,
+                partition_by=[BATCH_COL, KIND_COL],
+                touched=[(batch_id, KIND_BANDS), (batch_id, KIND_SETS)],
+                files_per_partition=files_per_partition,
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [
+                pool.submit(_merge_survivors),
+                pool.submit(_merge_index),
+            ]
+            for fut in futures:
+                fut.result()
         txn.commit()
     finally:
         # deterministic release per batch (public API — drops blocks
