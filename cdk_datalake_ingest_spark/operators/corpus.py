@@ -713,11 +713,17 @@ def bpe_train_merges(
             f"sequential-BPE merge order.",
             stacklevel=2,
         )
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
+
     words = (
         # tokens() already lowercases through the pinned normalize_text
         # path (simple case mapping for İ/Σ); re-lowering here would be
         # a no-op at best and must NOT happen before the pin.
-        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        # Fan out first (no-op at production partition counts): the
+        # fixture corpus is one parquet file, and the tokenize+explode
+        # otherwise runs the whole vocabulary pass on a single core.
+        ensure_parallelism(docs)
+        .select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.col("w").rlike("^[a-z]+$"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
@@ -1003,7 +1009,13 @@ def bpe_tokenize(
         )
 
         require_unique_non_null_ids(docs, id_col, "bpe_tokenize (vocab mode)")
-    toks = docs.select(
+    from cdk_datalake_ingest_spark.session import ensure_parallelism
+
+    # fan out before the tokenize+explode (no-op at production
+    # partition counts — same rationale as bpe_train_merges' words
+    # stage: a single-file fixture corpus otherwise tokenizes on one
+    # core, twice: the distinct-word stage and the reassembly join)
+    toks = ensure_parallelism(docs).select(
         F.col(id_col),
         # same no-pre-lower rule as the inline path above
         F.posexplode(tokens(F.col(text_col))).alias("__pos", "__w"),
