@@ -407,7 +407,12 @@ def semantic_dedup(
             dim=dim,
         )
     rel = (
-        corpus.select(
+        # fan out first (no-op at production partition counts): the
+        # assignment kernel + checkpoint otherwise materialize on the
+        # input's single fixture partition, and both pair-join
+        # branches then read a one-partition relation
+        ensure_parallelism(corpus)
+        .select(
             F.col(id_col),
             _guarded_vec(id_col, vec_col, dim, "semantic_dedup"),
         )

@@ -67,7 +67,10 @@ from cdk_datalake_ingest_spark.operators.merge import merge_dataframes
 from cdk_datalake_ingest_spark.sources.parquet import ts_us_expr
 from cdk_datalake_ingest_spark.operators.sessionize import sessionize
 from cdk_datalake_ingest_spark.plans.pipeline import StagePipeline
-from cdk_datalake_ingest_spark.session import apply_runtime_conf
+from cdk_datalake_ingest_spark.session import (
+    apply_runtime_conf,
+    ensure_parallelism,
+)
 from cdk_datalake_ingest_spark.specs import ColumnSpec, TableSpec
 
 # Jan 2024 event-time split points (bigint microseconds, UTC).
@@ -1175,7 +1178,10 @@ GROUP BY 1
 
 
 def text_metrics_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     # project the token array once (r12, the curate_documents lesson:
     # the column-wrapper functions would re-run normalize+split in ~10
@@ -1249,7 +1255,10 @@ FROM documents
 
 
 def lang_id_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     # staged hits shape (r12, the curate_documents lesson — and the
     # oracle's own CTE `h` shape below): tokens once, the four hit
     # counts once, then the argmax over attribute refs; the plain
@@ -1305,7 +1314,10 @@ FROM h
 
 
 def fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     from cdk_datalake_ingest_spark.operators.dedup import word_shingles
 
     return docs.select(
@@ -1695,7 +1707,10 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin)."""
     from cdk_datalake_ingest_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     grams = F.array_distinct(word_shingles(F.col("text"), DECONTAM_NGRAM))
     train = docs.filter(F.col("source") != DECONTAM_EVAL_SOURCE)
     bench_grams = (
@@ -1761,7 +1776,10 @@ def decontaminate_multi_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of how many benchmarks are screened."""
     from cdk_datalake_ingest_spark.operators.dedup import word_shingles
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     grams = F.array_distinct(word_shingles(F.col("text"), DECONTAM_NGRAM))
     evals = list(DECONTAM_MULTI_SOURCES)
     train = docs.filter(~F.col("source").isin(evals))
@@ -2186,7 +2204,10 @@ def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: a pure map stage — no shuffle, no UDF; at 100 TB this
     is scan-bound and pipelines with any downstream filter."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     d = F.col("doc_id")
     injected = F.concat(
         F.col("text"),
@@ -2262,7 +2283,10 @@ def repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         word_shingles,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     grams = docs.select(
         "doc_id", word_shingles(F.col("text"), 2).alias("__g")
     ).select(
@@ -3810,7 +3834,10 @@ _SQL_BPE_RE = (
 def token_stats_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budgeting: whitespace tokens vs BPE-ish pre-tokenizer
     pieces vs regex words."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     return docs.select(
         "doc_id",
@@ -5048,7 +5075,10 @@ def gopher_rules_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure narrow map over the scan — every rule is a native expression
     on the token array; ratios are exact integer divisions so the
     threshold comparisons cannot drift cross-engine."""
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     c = F.col("text")
     # two-stage shape (r12, the curate_documents lesson): tokens once,
     # then the four rule INPUTS as their own multi-referenced aliases —
@@ -5206,7 +5236,10 @@ def hash_embed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors featurizer feeding the semantic operators."""
     from cdk_datalake_ingest_spark.functions.embed import hash_embed_counts
 
-    docs = _t(spark, sf_dir, "documents")
+    # fan out the single-file fixture scan before the expression-heavy
+    # map stage (no-op at production partition counts; profiled as a
+    # single-task job in tools/hotspot_sweep.json)
+    docs = ensure_parallelism(_t(spark, sf_dir, "documents"))
     counts = hash_embed_counts(F.col("text"), 64)
     return docs.select(
         "doc_id",
@@ -6174,7 +6207,11 @@ def _hash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate's cost at sf0.1 before the checkpoint landed."""
     from cdk_datalake_ingest_spark.functions.embed import hash_embed
 
-    corpus = _t(spark, sf_dir, "documents").select(
+    # fan out BEFORE the featurize so the checkpoint materializes (and
+    # every downstream Lloyd/pair stage reads) 32-way instead of the
+    # fixture's single scan partition (hotspot_sweep: the semantic
+    # gates' 0.6-2.3 s single-task jobs were this chain)
+    corpus = ensure_parallelism(_t(spark, sf_dir, "documents")).select(
         F.col("doc_id").alias("vec_id"),
         hash_embed(F.col("text"), _KM_DIM).alias("embedding"),
     )
