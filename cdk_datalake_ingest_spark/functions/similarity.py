@@ -127,7 +127,36 @@ def dot_arrow(a: Column, b: Column) -> Column:
     return _DOT_ARROW[0](a, b)
 
 
+def _dlit(x: float) -> str:
+    """A Python float as a Spark SQL double literal (repr round-trips
+    bit-exactly; the D suffix pins DOUBLE — a bare 1.5 parses
+    DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _vec_sql(values) -> str:
+    """A flat float vector as a SQL array literal of double literals."""
+    return "array(" + ", ".join(_dlit(x) for x in values) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of :func:`dot` over rendered operands — the identical
+    zip_with/aggregate fold parsed JVM-side in one round trip (the
+    dedup._attr_sql construction fast path, guide §4: each Python-API
+    lambda costs ~10-40 py4j round trips; the LSH bucket builder
+    constructs n_planes of these per call)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def norm(a: Column) -> Column:
+    from cdk_datalake_ingest_spark.operators.dedup import _attr_sql
+
+    attr = _attr_sql(a)
+    if attr is not None:
+        return F.expr(f"sqrt({_dot_sql(attr, attr)})")
     return F.sqrt(dot(a, a))
 
 
@@ -144,6 +173,12 @@ def scored_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     thresholds and ranked last, but still emitted as a candidate row
     with a NULL score that can occupy top-k slots. The upstream
     exclusion keeps every emitted cosine well-defined."""
+    from cdk_datalake_ingest_spark.operators.dedup import _attr_sql
+
+    parts = [_attr_sql(c) for c in (qv, cv, qn, cn)]
+    if all(p is not None for p in parts):
+        aq, ac, nq, nc = parts
+        return F.expr(f"{_dot_sql(aq, ac)} / ({nq} * {nc})")
     return dot(qv, cv) / (qn * cn)
 
 
@@ -200,6 +235,17 @@ def _dim_checked(vec: Column, dim: int, fn_name: str) -> Column:
                 F.lit(f" != expected dim {dim}"),
             )
         )
+    )
+
+
+def _dim_checked_sql(v: str, dim: int, fn_name: str) -> str:
+    """SQL text of :func:`_dim_checked` over a rendered vector operand
+    — identical CASE/raise_error tree, parsed JVM-side."""
+    return (
+        f"CASE WHEN ({v}) IS NULL THEN {v} "
+        f"WHEN size({v}) = {dim} THEN {v} "
+        f"ELSE raise_error(concat('{fn_name}: embedding length ', "
+        f"CAST(size({v}) AS STRING), ' != expected dim {dim}')) END"
     )
 
 
@@ -262,6 +308,27 @@ def rp_lsh_bucket(
             f"rp_lsh_bucket packs one sign bit per plane into a long: "
             f"max 62 planes, got {len(planes)}"
         )
+    from cdk_datalake_ingest_spark.operators.dedup import _attr_sql
+
+    attr = _attr_sql(vec)
+    if attr is not None:
+        # construction fast path (guide §4, the dedup._attr_sql
+        # pattern): the Column form below costs n_planes x (dim
+        # literal calls + 2 lambdas) through py4j per call — the
+        # ann_lsh_suite gate constructs FOUR of these.  The identical
+        # tree as one parsed SQL string costs ~2 ms; double literals
+        # round-trip via repr (_dlit).
+        v = _dim_checked_sql(
+            f"CAST({attr} AS ARRAY<DOUBLE>)",
+            len(planes[0]),
+            "rp_lsh_bucket",
+        )
+        terms = "".join(
+            f" + (CAST(({_dot_sql(v, _vec_sql(p))}) > 0 AS BIGINT)"
+            f" * {1 << i})"
+            for i, p in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT){terms}")
     v = _dim_checked(_as_double(vec), len(planes[0]), "rp_lsh_bucket")
     bucket = F.lit(0).cast("long")
     for i, p in enumerate(planes):
@@ -483,7 +550,7 @@ def ivf_topk(
     # ONE nested-array literal — compact codegen; the per-row centroid
     # ranking is a narrow expression, so corpus→list assignment needs
     # no shuffle (the property that matters at 100 TB).
-    cents = F.lit([list(c) for c in centroids])
+    cents = None  # built lazily by the Column fallback below
 
     dim = len(centroids[0])
 
@@ -496,6 +563,33 @@ def ivf_topk(
         re-run an O(dim) interpreted fold PER CENTROID per row — the
         repo's documented HOF-capture pitfall. The oracle (_IVF_COS /
         _IVF_KM_COS) drops the same factor."""
+        from cdk_datalake_ingest_spark.operators.dedup import _attr_sql
+
+        attr = _attr_sql(vec)
+        if attr is not None:
+            # construction fast path (guide §4): the Column form costs
+            # a nested n_centroids x dim literal (one py4j call per
+            # component) plus 4 lambdas per call, and ivf_topk builds
+            # it for both sides — render the identical tree as one
+            # parsed SQL string instead.
+            v = _dim_checked_sql(attr, dim, "ivf_topk")
+            cents_sql = (
+                "array("
+                + ", ".join(_vec_sql(c) for c in centroids)
+                + ")"
+            )
+            scored_sql = (
+                f"transform({cents_sql}, (cv, i) -> named_struct("
+                f"'cos', {_dot_sql(v, 'cv')} / sqrt({_dot_sql('cv', 'cv')}), "
+                "'list_id', CAST(i + 1 AS INT)))"
+            )
+            return F.expr(
+                f"transform(slice(reverse(array_sort({scored_sql})), "
+                f"1, {n}), s -> s.list_id)"
+            )
+        nonlocal cents
+        if cents is None:
+            cents = F.lit([list(c) for c in centroids])
         v = _dim_checked(vec, dim, "ivf_topk")
         scored = F.transform(
             cents,
