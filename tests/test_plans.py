@@ -61,10 +61,16 @@ def test_column_pruning(spark):
 
 
 def test_pii_scrub_is_shuffle_free_map_stage(spark):
-    """PII scrub must stay a pure map over the scan: no Exchange, no
-    Python evaluation — at 100 TB it pipelines with the read."""
+    """PII scrub must stay a pure map over the scan: no data-keyed
+    Exchange, no Python evaluation — at 100 TB it pipelines with the
+    read. The one allowed Exchange is ensure_parallelism's round-robin
+    fan-out of the single-file fixture scan (r14, guide §2.5 input
+    skew): it only fires when the scan has fewer partitions than the
+    cluster has slots, so a 100 TB table never pays it and the map
+    stage still pipelines with the (fanned-out) read."""
     plan = _plan(spark, "pii_scrub_docs")
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -386,7 +392,11 @@ def test_hash_embed_gate_is_map_side_until_output(spark):
     Python, and never more than one eval node for the three
     references hash_embed makes to the counts column."""
     plan = _plan(spark, "hash_embed_docs")
-    assert "Exchange" not in plan
+    # no data-keyed exchange; ensure_parallelism's round-robin fan-out
+    # of the single-file fixture scan is allowed (r14 — fires only
+    # below cluster-slot partition counts, a no-op at 100 TB)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan
     # formatted explain prints each node twice (tree + detail) — count
     # the numbered detail headers
