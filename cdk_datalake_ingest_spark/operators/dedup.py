@@ -383,7 +383,7 @@ def _minhash_banded(
     df = ensure_parallelism(df)
     shingled = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_size).alias("__sh")
-    ).filter(F.size("__sh") > 0)
+    )
     # Pre-hash every shingle once inside the cached projection: the
     # signature's 32 permutations then cost integer arithmetic only.
     shingled = shingled.withColumn(
@@ -407,6 +407,17 @@ def _minhash_banded(
         shingled = shingled.persist()
         if persisted is not None:
             persisted.append(shingled)
+    # Empty-shingle drop ABOVE the cache boundary (r14): written below
+    # the persist, Catalyst inlines the `__sh` alias into the predicate
+    # and pushes `size(word_shingles(text)) > 0` all the way to the
+    # scan — the most expensive narrow stage evaluates TWICE (once in
+    # the pushed filter, once in the projection), and on a single-file
+    # fixture the pushed copy runs as a 1-task stage (measured 1.0 s in
+    # curate's SQL node metrics). Above the InMemoryRelation it is a
+    # cheap array-length check per cached row. With cache=False there
+    # is no barrier and the planner may still push it — acceptable: an
+    # uncached caller has opted into recomputation-over-memory anyway.
+    shingled = shingled.filter(F.size("__sh") > 0)
     sig = shingled.select(
         F.col(id_col),
         _minhash_signature(F.col("__h"), num_hashes, prime, seed).alias("__sig"),

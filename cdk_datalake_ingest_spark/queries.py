@@ -2068,6 +2068,16 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("__toks").alias("n_tokens"),
         "content_hash",
     )
+    # Pushdown barrier (r14): Catalyst pushes the deterministic
+    # eligibility filter below the round-robin fan-out, re-evaluating
+    # the enrich expressions (normalize + tokenize + stopword hits +
+    # quality) inside the filter on the single pre-exchange scan task —
+    # measured 1.5 s as a one-task WholeStageCodegen in the SQL node
+    # metrics, duplicating work the post-exchange projections then do
+    # again in parallel. The lazy localCheckpoint truncates the plan so
+    # the filter stays above the fan-out; the materialized relation is
+    # metadata-sized (doc_id + 4 small fields, no text).
+    enriched = enriched.localCheckpoint(eager=False)
     eligible = enriched.filter(
         (F.col("lang_pred") == "en") & (F.col("quality") >= 0.5)
     )
@@ -2102,7 +2112,14 @@ def curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # downstream consumers then read blocks.
     surv.count()
     try:
-        surv_text = docs.select("doc_id", "text").join(
+        # Fan out the re-scan too (guide §2.5, same single-file-fixture
+        # reason as enrich_src above): this relation feeds the
+        # shingle/MinHash/band stage in near_dup_edge_pairs, which
+        # otherwise runs as ONE task over the un-fanned docs scan —
+        # profiled at 2.2 s of the gate's 8.3 s fresh-session wall
+        # (tools/hotspot_sweep.py max_1task_job). No-op at production
+        # partition counts.
+        surv_text = ensure_parallelism(docs.select("doc_id", "text")).join(
             surv.select("doc_id"), "doc_id"
         )
         pairs = near_dup_edge_pairs(surv_text)
