@@ -394,16 +394,16 @@ def _minhash_banded(
         # self-join left/right + verify left/right); shingling+hashing
         # is the expensive narrow stage, so materialize it once. At
         # cluster scale prefer a checkpoint/persisted table for very
-        # large corpora. Lifetime: the persist is lazy and its blocks
-        # are released by the ContextCleaner once the returned plans
-        # are garbage-collected (same contract as semantic_dedup's
-        # checkpoint) — long sessions should drop finished results
-        # rather than accumulate them. Callers that need DETERMINISTIC
-        # release (the streaming ingest loop: one persist per
-        # micro-batch would otherwise pile up for the whole drain) pass
-        # ``persisted``, collect the appended DataFrames, and call
-        # ``df.unpersist()`` when their consumers are done — the public
-        # API that drops both the blocks and the CacheManager entry.
+        # large corpora. Lifetime: persist() registers a CacheManager
+        # entry that lives until unpersist() — Python GC of the
+        # returned plans never drops the JVM-side entry, and the
+        # planner substitutes the cached relation into any later query
+        # whose subtree matches (cross-query contamination). Callers
+        # needing deterministic release (the streaming ingest loop, the
+        # query-registry gates via _GATE_PERSISTED) pass ``persisted``,
+        # collect the appended DataFrames, and call ``df.unpersist()``
+        # when their consumers are done — the public API that drops
+        # both the blocks and the CacheManager entry.
         shingled = shingled.persist()
         if persisted is not None:
             persisted.append(shingled)
@@ -449,6 +449,7 @@ def minhash_signature_index(
     seed: int = 42,
     prime: int = MINHASH_PRIME,
     cache: bool = True,
+    persisted: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The PERSISTABLE near-dup index of a corpus: ``(bands_df,
     sets_df)`` — write both to tables (e.g. ``ManagedTable``) and
@@ -466,7 +467,7 @@ def minhash_signature_index(
     second pass (or checkpoint upstream)."""
     return _minhash_banded(
         df, id_col, text_col, shingle_size, num_hashes, bands, seed,
-        prime, cache=cache,
+        prime, cache=cache, persisted=persisted,
     )
 
 
@@ -484,6 +485,7 @@ def incremental_near_dup(
     prime: int = MINHASH_PRIME,
     cache: bool = True,
     max_batch_rows: int | None = 4_000_000,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Near-duplicates of an INCOMING batch against an EXISTING corpus
     index (the crawl-ingest shape: dedup each new snapshot against
@@ -530,7 +532,7 @@ def incremental_near_dup(
             )
     new_bands, new_sets = _minhash_banded(
         new_docs, id_col, text_col, shingle_size, num_hashes, bands,
-        seed, prime, cache=cache,
+        seed, prime, cache=cache, persisted=persisted,
     )
     return probe_signatures(
         new_bands, new_sets, index_bands, index_sets, id_col,
@@ -598,6 +600,7 @@ def minhash_near_dup_pairs(
     seed: int = 42,
     prime: int = MINHASH_PRIME,
     cache: bool = True,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate candidate pairs, verified
     with exact Jaccard over shingle sets.
@@ -609,10 +612,15 @@ def minhash_near_dup_pairs(
     At 100 TB the explode keeps only (id, band, hash) tuples — signature
     width controls shuffle volume, not document text. rows_per_band =
     num_hashes/bands tunes the candidate recall/precision.
+
+    ``persisted``: the shared deterministic-release hook (see
+    ``_minhash_banded``) — the internally persisted shingle stage is
+    appended so the caller can ``unpersist()`` it when consumers are
+    done instead of leaking a session-lifetime CacheManager entry.
     """
     banded, sets = _minhash_banded(
         df, id_col, text_col, shingle_size, num_hashes, bands, seed,
-        prime, cache,
+        prime, cache, persisted=persisted,
     )
     return pairs_from_signatures(banded, sets, id_col, jaccard_threshold)
 
@@ -743,6 +751,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     seed: int = 42,
+    persisted: list[DataFrame] | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs by 4×15-bit block LSH, verified by exact
     popcount of the XOR.
@@ -759,7 +768,12 @@ def simhash_near_dup_pairs(
         )
     # persist: the block self-join reads the signatures from two
     # branches; without this the tokenize+Arrow-UDF stage runs twice.
+    # ``persisted`` is the deterministic-release hook (see
+    # _minhash_banded): callers collect the frame and unpersist it
+    # once consumers are done.
     sigs = simhash_signatures(df, id_col, text_col, seed).persist()
+    if persisted is not None:
+        persisted.append(sigs)
     blocks = sigs.select(
         id_col,
         "simhash",

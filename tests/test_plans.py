@@ -627,6 +627,36 @@ def test_text_gates_evaluate_normalize_once(spark):
         )
 
 
+def test_registry_queries_are_cache_isolated(spark):
+    """Operator-internal persists must not leak across registry
+    invocations (r14): dedup_substrings persists a shared (id, tokens)
+    projection, and before the _GATE_PERSISTED drain the CacheManager
+    entry outlived the query — the planner then substituted the cached
+    relation into ANY later query whose subtree matched (observed:
+    gopher_rules served substring_dedup's tokens from cache), i.e. one
+    timed bench query silently read another's intermediate. Pin both
+    halves: the plan stays cache-free across a persisting predecessor,
+    and the predecessor's cache entries are gone once the next registry
+    entry runs."""
+    # start from a known-empty CacheManager so the isEmpty assertion
+    # below sees only what THIS test's two queries left behind
+    spark.catalog.clearCache()
+    QUERIES["substring_dedup_docs"](spark, SF).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    plan = _exec_plan(spark, "gopher_rules_docs")
+    assert "InMemoryTableScan" not in plan, (
+        "gopher_rules_docs was served another query's cached "
+        "intermediate — cross-query cache isolation is broken:\n" + plan
+    )
+    # the wrapper drained substring_dedup's persists before gopher
+    # planned, so nothing of the predecessor may remain registered
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        "CacheManager still holds entries from a previous registry "
+        "invocation after the drain"
+    )
+
+
 def test_curate_enrich_stays_single_normalize(spark):
     """curate_documents end-to-end contains the enrich (1 normalize)
     plus the LSH shingle stage (word_shingles' internal references are
