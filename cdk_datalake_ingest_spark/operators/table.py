@@ -58,6 +58,48 @@ except Exception:
 
 MANIFEST = "_manifest.json"
 HISTORY = "_history.jsonl"
+
+
+def _murmur3_hash_int32(v: int, seed: int = 42) -> int:
+    """Spark's ``hash()`` of an INTEGER value — Murmur3_x86_32.hashInt
+    with Spark's fixed seed 42, returned as a SIGNED 32-bit int.
+    Stable across Spark versions (the hash defines shuffle layout, so
+    it can never change); pinned against a live ``hash()`` call in
+    tests/test_table_maintenance.py."""
+    m = 0xFFFFFFFF
+    k = (v * 0xCC9E2D51) & m
+    k = ((k << 15) | (k >> 17)) & m
+    k = (k * 0x1B873593) & m
+    h = (seed ^ k) & m
+    h = ((h << 13) | (h >> 19)) & m
+    h = (h * 5 + 0xE6546B64) & m
+    h ^= 4  # fmix: total bytes hashed
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & m
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & m
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+@functools.lru_cache(maxsize=None)
+def _exact_hash_salts(n: int) -> tuple[int, ...]:
+    """salts[b] = smallest non-negative int that Spark's
+    HashPartitioning routes to partition b of n — i.e.
+    ``pmod(hash(salts[b]), n) == b``.  Mapping a small categorical key
+    through this table turns ``repartition(n, key)`` into EXACT
+    routing (partition i holds exactly category i), where hashing the
+    raw 0..n-1 ids would collide some partitions and leave others
+    empty (guide §2.5's synthetic-key pitfall).  Expected search cost
+    is n·H(n) murmur evaluations — microseconds."""
+    salts: dict[int, int] = {}
+    v = 0
+    while len(salts) < n:
+        b = _murmur3_hash_int32(v) % n  # Python % is already pmod
+        if b not in salts:
+            salts[b] = v
+        v += 1
+    return tuple(salts[b] for b in range(n))
 COMMIT_LOCK = "_manifest.lock"
 #: per-snapshot schema pin (underscore-prefixed => invisible to the
 #: parquet reader's file listing, like _SUCCESS)
@@ -1723,7 +1765,37 @@ class ManagedTable:
         if zorder:
             zcol = self._zvalue_column(df, cluster_by, zorder_bits)
             df = df.withColumn("__z", zcol)
-            if num_files:
+            zbits = zorder_bits * len(cluster_by)
+            if (
+                num_files
+                and num_files >= 2
+                and num_files & (num_files - 1) == 0
+                and (1 << zbits) >= num_files
+            ):
+                # Deterministic z-octant routing (power-of-two file
+                # counts): the top log2(num_files) bits of the z-value
+                # already split the key space into num_files
+                # equi-depth cells (the rank bucketing below makes
+                # each bit an equi-depth split), so the range
+                # partitioner's boundary-SAMPLING job — a full extra
+                # pass over the snapshot recomputing the z expression
+                # — buys nothing.  Route cell i to partition i exactly
+                # via the salt table (hashing the raw 0..n-1 cell ids
+                # would collide partitions and write fewer files).
+                # Files then align to z-cell boundaries exactly, the
+                # property the skipping probe assumes; under a
+                # pathological perfect correlation of all z columns a
+                # cell can be empty and the rewrite produces fewer
+                # files — the same corner where range partitioning
+                # would emit near-empty files.
+                shift = zbits - (num_files.bit_length() - 1)
+                salts = _exact_hash_salts(num_files)
+                route = F.element_at(
+                    F.array(*[F.lit(s) for s in salts]),
+                    (F.shiftright(F.col("__z"), shift) + 1).cast("int"),
+                )
+                df = df.repartition(int(num_files), route)
+            elif num_files:
                 df = df.repartitionByRange(int(num_files), F.col("__z"))
             else:
                 df = df.repartitionByRange(F.col("__z"))

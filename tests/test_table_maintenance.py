@@ -403,6 +403,32 @@ def test_optimize_zorder_skips_files_on_trailing_column(spark, tmp_path):
     assert cand_z_y < cand_lin_y
 
 
+def test_exact_hash_salts_match_spark_partitioning(spark):
+    """The z-octant routing (optimize zorder, power-of-two num_files)
+    maps cell ids through _exact_hash_salts so `repartition(n, salt)`
+    routes cell i to partition i EXACTLY — which is only true if the
+    Python murmur3 replica computes the same hash Spark's
+    HashPartitioning does.  Pin the whole salt table against a live
+    ``pmod(hash(...), n)`` for every file count the API accepts."""
+    from cdk_datalake_ingest_spark.operators.table import (
+        _exact_hash_salts,
+        _murmur3_hash_int32,
+    )
+
+    for n in (2, 4, 8, 16, 32):
+        salts = _exact_hash_salts(n)
+        exprs = ", ".join(
+            f"pmod(hash({s}), {n})" for s in salts
+        )
+        got = list(spark.sql(f"SELECT {exprs}").first())
+        assert got == list(range(n)), (n, salts, got)
+    # and the raw hash replica itself, across sign/extremes
+    vals = [0, 1, 7, 42, -1, 2**31 - 1, -(2**31)]
+    exprs = ", ".join(f"hash(cast({v} as int))" for v in vals)
+    got = list(spark.sql(f"SELECT {exprs}").first())
+    assert got == [_murmur3_hash_int32(v) for v in vals]
+
+
 def test_optimize_zorder_rejects_unrankable_and_bad_bits(spark, tmp_path):
     from pyspark.sql import functions as F
 
