@@ -94,6 +94,13 @@ def unigram_lm_scores(
     cost on real documents — runs once per row instead of once per
     pass. Pass False for a corpus too large to persist.
     """
+    # NO fan-out here (measured, r14): this is an aggregation-shaped
+    # operator — ensure_parallelism before the tokenize projection made
+    # the gate SLOWER (unigram warm 1.14 -> 1.99 s, perplexity 1.21 ->
+    # 2.29 s at sf0.1): the round-robin exchange of raw text plus a
+    # 32-wide exploded-token shuffle costs more than the 1-task
+    # tokenize saves (same finding as tfidf/chunk/vocab_top in
+    # queries.py).
     base = docs.select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
@@ -169,6 +176,9 @@ def nb_quality_scores(
         raise ValueError(
             f"nb_quality_scores: smoothing alpha must be > 0, got {alpha}"
         )
+    # NO fan-out here (measured, r14): aggregation-shaped like
+    # unigram_lm_scores above — the fan-out read 1.46 -> 2.27 s warm
+    # at sf0.1; see the note there.
     labeled = docs.select(
         F.col(id_col),
         tokens(F.col(text_col)).alias("__toks"),
