@@ -215,6 +215,41 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def default_driver_memory() -> str | None:
+    """Driver heap for engine-created LOCAL sessions, or None to keep
+    Spark's default.
+
+    In local mode the driver JVM hosts every executor slot, so the
+    1 GiB ``spark.driver.memory`` default means N concurrent tasks
+    share ~400 MB of unified (execution+storage) memory — measured on
+    the 32-core bench box as aggregation spill, storage eviction of
+    intra-query persists, and an old-gen that grows across a long
+    query sequence until warm sweeps run 10-30% slower than fresh-
+    session walls (r15 A/B: full bench 180.3 s at 1 GiB vs 147.8 s at
+    8 GiB, same tree, same box — guide §5's "executor memory" applied
+    to the local-mode driver that IS the executor).
+
+    Sizing is scale-adaptive, not a local[32] constant: 256 MB per
+    task slot (the unified-memory share that keeps the bench's
+    shuffle/agg buffers out of spill), bounded by a quarter of the
+    box's RAM, floored at Spark's own 1 GiB default (returning None
+    when the formula cannot beat it — tiny boxes keep stock behavior).
+    ``SPARK_GRAFT_DRIVER_MEM`` overrides outright. Cluster
+    deployments are untouched: :func:`get_spark` applies this only to
+    local[*] masters — a real cluster sizes driver/executor memory in
+    spark-submit, where executors do not live in the driver."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            mem_mb = int(f.readline().split()[1]) // 1024
+    except (OSError, ValueError, IndexError):  # pragma: no cover
+        return None
+    target_mb = min(default_parallelism() * 256, mem_mb // 4)
+    return f"{target_mb}m" if target_mb > 1024 else None
+
+
 def require_non_ansi(spark: SparkSession, caller: str) -> None:
     """Refuse to run DSL semantics on an ANSI-enabled session.
 
@@ -330,6 +365,16 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     for k, v in ENGINE_CONF.items():
         builder = builder.config(k, v)
+    if master.startswith("local") and "spark.driver.memory" not in (
+        extra_conf or {}
+    ):
+        # local mode: the driver JVM hosts all executor slots — size
+        # its heap to the slot count instead of Spark's 1 GiB default
+        # (see default_driver_memory; no-op if a JVM already exists,
+        # standard getOrCreate semantics)
+        mem = default_driver_memory()
+        if mem:
+            builder = builder.config("spark.driver.memory", mem)
     if shuffle_partitions is None:
         shuffle_partitions = max(default_parallelism() * 2, 8)
     builder = builder.config(
