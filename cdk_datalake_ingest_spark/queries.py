@@ -17,6 +17,7 @@ hash-match on values):
 
 from __future__ import annotations
 
+import weakref as _weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -122,14 +123,47 @@ def _prep(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Table-HANDLE memo, keyed weakly per SparkSession (the
+#: require_unique_non_null_ids convention): (sf_dir, name) -> the
+#: analyzed scan DataFrame.  ``spark.read.parquet`` costs ~0.1-0.17 s
+#: per call even warm (a fresh InMemoryFileIndex + parquet footer
+#: schema inference + ~30 py4j round trips), and the registry resolves
+#: the same handful of read-only fixture tables hundreds of times per
+#: bench/parity sweep — ~20 s of pure re-resolution per sweep at
+#: sf0.1.  This is the catalog pattern (the reference resolves tables
+#: through Glue, not by re-inferring schema from files per job): the
+#: memo holds the immutable PLAN object only — no data is cached, and
+#: every action still scans the parquet files — so bench timing
+#: semantics are unchanged except that later queries stop re-paying
+#: schema inference for the same session-lifetime table.  The file
+#: list is pinned at first resolution (exactly like a catalog
+#: listing): callers pointing _t at a DIRECTORY THEY MUTATE would see
+#: stale file lists — the fixture dirs are read-only, and no gate
+#: writes into sf_dir.  A stopped session's entries drop with the
+#: session object (weak keying), so no stale-JVM handles survive.
+_T_MEMO: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _prep(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    memo = _T_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    df = memo.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        memo[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.withColumn("ts_us", ts_us_expr(ev))
+    memo = _T_MEMO.setdefault(spark, {})
+    key = (sf_dir, "events", "__ts_us")
+    df = memo.get(key)
+    if df is None:
+        ev = _t(spark, sf_dir, "events")
+        df = ev.withColumn("ts_us", ts_us_expr(ev))
+        memo[key] = df
+    return df
 
 
 def _dec(col: str, t: str = "decimal(18,2)") -> F.Column:
@@ -1472,7 +1506,7 @@ def _sessionize_gate(
 
     _prep(spark)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_raw = _t(spark, sf_dir, "events")
     ev = ev_raw.select(
         "event_id",
         "user_id",
@@ -1639,7 +1673,7 @@ def streaming_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_raw = _t(spark, sf_dir, "events")
     ev = ev_raw.select(
         F.timestamp_micros(ts_us_expr(ev_raw)).alias("et"),
         "user_id",
@@ -2961,7 +2995,7 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
-    ev_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev_raw = _t(spark, sf_dir, "events")
     ev = ev_raw.select(
         F.timestamp_micros(ts_us_expr(ev_raw)).alias("et"),
         "event_type",
