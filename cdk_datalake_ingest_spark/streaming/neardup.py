@@ -180,7 +180,28 @@ def ingest_batch(
         cache=sig_params.get("cache", True),
         persisted=track,
     )
-    if sig_params.get("cache", True):
+    if sig_params.get("truncate_plans", False):
+        # Per-batch PLAN truncation (r15, guide §4 applied to plan
+        # construction): the ~12 downstream ops this function and the
+        # two sink merges build on banded/sets each pay JVM-side
+        # analysis over the full 32-permutation minhash expression
+        # tree — measured ~1.5 s of driver time per micro-batch, paid
+        # EVERY batch of a drain. An eager localCheckpoint collapses
+        # both relations to a LogicalRDD scan, making every downstream
+        # op O(1)-sized (A/B on the 3-batch gate: 8.1 -> 6.1-6.9 s).
+        # Cost: the two checkpoint jobs materialize the shared
+        # (persisted) shingle stage once — the same work the first
+        # consumers would have done. Lifecycle: checkpoint blocks are
+        # MEMORY_AND_DISK and released by the ContextCleaner once the
+        # batch's plans are dropped (GC-driven, not the deterministic
+        # `persisted` drain — batch-sized blocks, bounded by eviction;
+        # the 200-batch soak bounds the steady state). Batch callers
+        # building ONE plan per query keep the persist path below:
+        # they pay construction once, and a truncation job would not
+        # amortize.
+        banded = banded.localCheckpoint()
+        sets = sets.localCheckpoint()
+    elif sig_params.get("cache", True):
         # the banded relation is consumed ~4x (pair join left+right,
         # probe, survivor-signature write); each use would re-run the
         # 32-permutation signature expression from the cached shingle
@@ -442,6 +463,10 @@ def apply_ingest_step(
         import uuid
 
         run_key = uuid.uuid4().hex[:16]
+    # the LOOP caller rebuilds the whole dedup plan every micro-batch,
+    # so the per-batch plan-truncation pays for itself here (and only
+    # here — see ingest_batch's truncate_plans note)
+    sig_params.setdefault("truncate_plans", True)
     persisted: list[DataFrame] = []
     try:
         not_self = ~(
